@@ -1,0 +1,22 @@
+"""betacores_tpu — TPU-native JAX framework for robust Bayesian coreset
+construction (capabilities of dionman/beta-cores, WSDM 2021, rebuilt
+TPU-first).
+
+Public API mirrors the reference's exports (reference:
+bayesiancoresets/__init__.py, coreset/__init__.py, snnls/__init__.py) so a
+reference user can switch with minimal changes, while everything underneath
+is jit-compiled static-shape JAX.
+"""
+
+from . import models, utils
+from .utils import NumericalPrecisionError, set_tolerance, set_verbosity
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "models",
+    "utils",
+    "NumericalPrecisionError",
+    "set_tolerance",
+    "set_verbosity",
+]
