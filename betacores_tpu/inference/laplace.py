@@ -1,0 +1,98 @@
+"""Jitted Laplace approximation via damped Newton.
+
+Replaces the reference's scipy BFGS-with-10-jittered-retries Laplace fit
+(reference: examples/zellner_logreg/main.py:86-111, util/opt.py:10-33) with a
+fixed-iteration damped Newton solve that is jit/scan-friendly and supports
+warm starting — the critical hot-path optimization: the reference re-runs a
+cold BFGS inside *every* Adam gradient step of every selection round
+(call stack SURVEY.md 3.2).
+
+The target log-joint is concave for all supported models (Gaussian prior +
+log-concave likelihood), so Newton with backtracking converges
+quadratically; from a warm start 2-3 iterations reach float32 precision.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+class LaplaceApprox(NamedTuple):
+    mu: jnp.ndarray          # (d,) mode of the weighted log-joint
+    prec_chol: jnp.ndarray   # (d, d) lower chol of -Hessian at the mode
+    # diagonal variant: prec_chol holds sqrt(-diag_hess) on the diagonal
+
+
+# Backtracking grid: candidate step sizes tried per Newton iteration.
+_TS = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125])
+
+
+def newton_laplace(
+    log_joint: Callable[[jnp.ndarray], jnp.ndarray],
+    grad: Callable[[jnp.ndarray], jnp.ndarray],
+    hess: Callable[[jnp.ndarray], jnp.ndarray],
+    mu0: jnp.ndarray,
+    n_iters: int = 8,
+) -> LaplaceApprox:
+    """Maximize a concave log-joint by damped Newton with a static
+    backtracking grid (static shapes: all n_iters x 8 candidate evaluations
+    are traced; each is O(M d) — tiny next to the N x S projection work)."""
+
+    def body(mu, _):
+        g = grad(mu)
+        H = hess(mu)
+        # Newton direction: solve (-H) p = g ; -H is SPD for concave targets.
+        L = jnp.linalg.cholesky(-H)
+        p = jax.scipy.linalg.cho_solve((L, True), g)
+        cands = mu[None, :] + _TS[:, None] * p[None, :]
+        vals = jax.vmap(log_joint)(cands)
+        vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+        best = jnp.argmax(vals)
+        improved = vals[best] > log_joint(mu)
+        mu_new = jnp.where(improved, cands[best], mu)
+        return mu_new, None
+
+    mu, _ = jax.lax.scan(body, mu0, None, length=n_iters)
+    L = jnp.linalg.cholesky(-hess(mu))
+    return LaplaceApprox(mu=mu, prec_chol=L)
+
+
+def newton_laplace_diag(
+    log_joint: Callable,
+    grad: Callable,
+    diag_hess: Callable,
+    mu0: jnp.ndarray,
+    n_iters: int = 12,
+) -> LaplaceApprox:
+    """Diagonal-Hessian variant (reference ``graddiag`` flag,
+    zellner_logreg/main.py:104-106): Newton direction g / (-diag_hess),
+    covariance approximated as diag(1 / -diag_hess)."""
+
+    def body(mu, _):
+        g = grad(mu)
+        dh = diag_hess(mu)
+        p = g / (-dh)
+        cands = mu[None, :] + _TS[:, None] * p[None, :]
+        vals = jax.vmap(log_joint)(cands)
+        vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+        best = jnp.argmax(vals)
+        improved = vals[best] > log_joint(mu)
+        return jnp.where(improved, cands[best], mu), None
+
+    mu, _ = jax.lax.scan(body, mu0, None, length=n_iters)
+    L = jnp.diag(jnp.sqrt(-diag_hess(mu)))
+    return LaplaceApprox(mu=mu, prec_chol=L)
+
+
+def sample_laplace(key: jax.Array, lap: LaplaceApprox, n_samples: int) -> jnp.ndarray:
+    """(S, d) draws theta = mu + L^{-T} z with the *correct* covariance
+    Sig = L^{-T} L^{-1} = (-H)^{-1}. (The reference draws mu + z @ LSig.T
+    with LSig = L^{-1}, i.e. covariance L^{-1} L^{-T} — the factor-order bug
+    documented in models/gaussian.py; not reproduced.)"""
+    d = lap.mu.shape[0]
+    z = jax.random.normal(key, (n_samples, d), dtype=lap.mu.dtype)
+    return lap.mu + solve_triangular(lap.prec_chol.T, z.T, lower=False).T

@@ -1,0 +1,157 @@
+"""Sparse non-negative least squares: functional core + eager API.
+
+Spec: reference bayesiancoresets/snnls/snnls.py:8-106. Solves
+min_w ||A w - b||, w >= 0, growing support greedily one column per
+iteration. The reference's failure contract (snnls.py:40-79) — on a
+numerics failure revert weights, stabilize, retry once, then latch
+``reached_numeric_limit`` and stop growing — is preserved exactly, but as
+branch-free ``lax`` control flow carrying (w, retried, latched) instead of
+exceptions (SURVEY.md section 7 delta 5).
+
+A solver provides a pure ``step(w) -> (w_new, ok)`` combining the
+reference's ``_select`` + ``_reweight``; the shared :func:`build` driver
+adds the monotone-error check and retry/latch logic. Eager class wrappers
+at the bottom mirror the reference's OO API.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import errors
+from ..utils.errors import NumericalPrecisionError
+from ..utils.logging import get_logger
+from .nnls import nnls_on_support
+
+
+class BuildState(NamedTuple):
+    w: jnp.ndarray
+    retried: jnp.ndarray  # bool: last iteration failed once already
+    latched: jnp.ndarray  # bool: reached_numeric_limit
+
+
+StepFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def build(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs: int,
+          check_monotone: bool = True) -> BuildState:
+    """Run ``itrs`` greedy iterations (reference snnls.py:31-79 loop).
+
+    A failed iteration consumes an iteration slot, exactly like the
+    reference's try/except inside ``for i in range(itrs)``.
+    """
+
+    def body(_, st: BuildState) -> BuildState:
+        def active(st: BuildState) -> BuildState:
+            had_support = jnp.any(st.w > 0)
+            prev_err = error_fn(st.w)
+            w_new, ok = step_fn(st.w)
+            mono_fail = jnp.logical_and(
+                jnp.asarray(check_monotone), jnp.logical_and(had_support, error_fn(w_new) > prev_err)
+            )
+            fail = jnp.logical_or(jnp.logical_not(ok), mono_fail)
+            return BuildState(
+                w=jnp.where(fail, st.w, w_new),
+                retried=jnp.logical_and(fail, jnp.logical_not(st.retried)),
+                latched=jnp.logical_or(st.latched, jnp.logical_and(fail, st.retried)),
+            )
+
+        return jax.lax.cond(st.latched, lambda s: s, active, st)
+
+    st0 = BuildState(w=w0, retried=jnp.asarray(False), latched=jnp.asarray(False))
+    return jax.lax.fori_loop(0, itrs, body, st0)
+
+
+def optimize(A: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, max_support: int,
+             n_iters: int = 400) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Post-build exact weight re-solve on the active support with
+    cost-increase rollback (reference snnls.py:82-97, scipy ``nnls``
+    replaced by the jitted solver in snnls/nnls.py).
+
+    Returns (w_new, rolled_back)."""
+    prev_err = jnp.linalg.norm(A @ w - b)
+    w_new = nnls_on_support(A, b, w > 0, max_support, n_iters=n_iters)
+    new_err = jnp.linalg.norm(A @ w_new - b)
+    ok = new_err <= prev_err * (1.0 + errors.TOL)
+    return jnp.where(ok, w_new, w), jnp.logical_not(ok)
+
+
+# --------------------------------------------------------------------------
+# Eager object API (reference-compatible surface)
+# --------------------------------------------------------------------------
+
+
+class SparseNNLS:
+    """Eager wrapper with the reference's interface: ``build(itrs)``,
+    ``optimize()``, ``weights()``, ``error()``, ``size()``, ``reset()``,
+    ``reached_numeric_limit`` (reference snnls/snnls.py:8-106)."""
+
+    check_error_monotone = True
+
+    def __init__(self, A, b, max_support: int | None = None):
+        A = jnp.asarray(A)
+        b = jnp.asarray(b)
+        if A.ndim != 2 or b.ndim != 1 or A.shape[0] != b.shape[0]:
+            raise ValueError("A must be (D, N) and b (D,)")
+        self.A = A
+        self.b = b
+        self.max_support = int(max_support) if max_support is not None else min(A.shape)
+        self.log = get_logger(self.__class__.__name__)
+        self._pre = self._precompute()
+        self.w = jnp.zeros(A.shape[1], dtype=A.dtype)
+        self.reached_numeric_limit = False
+        self._jit_build = jax.jit(
+            lambda w0, itrs: build(self._step, self._error, w0, itrs, self.check_error_monotone),
+            static_argnums=1,
+        )
+        self._jit_optimize = jax.jit(lambda w: optimize(self.A, self.b, w, self.max_support))
+
+    # --- subclass hooks ---
+    def _precompute(self):
+        return None
+
+    def _step(self, w):
+        raise NotImplementedError
+
+    # --- shared ---
+    def _error(self, w):
+        return jnp.linalg.norm(self.A @ w - self.b)
+
+    def reset(self):
+        self.w = jnp.zeros(self.A.shape[1], dtype=self.A.dtype)
+        self.reached_numeric_limit = False
+
+    def size(self) -> int:
+        return int((self.w > 0).sum())
+
+    def weights(self) -> np.ndarray:
+        return np.asarray(self.w).copy()
+
+    def error(self) -> float:
+        return float(self._error(self.w))
+
+    def build(self, itrs: int) -> None:
+        if self.reached_numeric_limit:
+            self.log.warning("numeric limit already reached; returning")
+            return
+        if self.A.size == 0:
+            self.log.warning("no data; returning")
+            return
+        st = self._jit_build(self.w, int(itrs))
+        self.w = st.w
+        if bool(st.latched):
+            self.reached_numeric_limit = True
+            self.log.warning(
+                "numeric limit reached: size=%d error=%g", self.size(), self.error()
+            )
+
+    def optimize(self) -> None:
+        w_new, rolled_back = self._jit_optimize(self.w)
+        self.w = w_new
+        if bool(rolled_back):
+            self.reached_numeric_limit = True
+            self.log.warning("optimize() increased cost; rolled back and latched")
