@@ -8,14 +8,34 @@ reference user can switch with minimal changes, while everything underneath
 is jit-compiled static-shape JAX.
 """
 
-from . import models, utils
+from . import coresets, inference, models, ops, snnls, utils
+from .coresets import (
+    BatchPSVICoreset,
+    BetaBlackBoxProjector,
+    BetaCoreset,
+    BlackBoxProjector,
+    HilbertCoreset,
+    SparseVICoreset,
+    UniformSamplingCoreset,
+)
 from .utils import NumericalPrecisionError, set_tolerance, set_verbosity
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "coresets",
+    "inference",
     "models",
+    "ops",
+    "snnls",
     "utils",
+    "BatchPSVICoreset",
+    "BetaBlackBoxProjector",
+    "BetaCoreset",
+    "BlackBoxProjector",
+    "HilbertCoreset",
+    "SparseVICoreset",
+    "UniformSamplingCoreset",
     "NumericalPrecisionError",
     "set_tolerance",
     "set_verbosity",

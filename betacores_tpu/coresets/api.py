@@ -1,0 +1,354 @@
+"""Eager object API, mirroring the reference's user-facing surface.
+
+Reference: bayesiancoresets/coreset/coreset.py (Coreset ABC),
+coreset/__init__.py exports. These classes hold a jitted functional core
+(state pytrees + compiled build programs) behind the reference's mutable
+interface: ``build(itrs, sz)``, ``optimize()``, ``get()``, ``size()``,
+``reset()``, ``error()``. Randomness is an explicit per-instance
+``KeySequence`` seeded at construction instead of the global numpy stream.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import ModelFns, beta_gradient_from_autodiff
+from ..ops.projection import center
+from ..snnls.giga import GIGA
+from ..utils.errors import NumericalPrecisionError
+from ..utils.logging import get_logger
+from ..utils.prng import KeySequence
+from . import state as state_lib
+from .bpsvi import BPSVIConfig, make_bpsvi_builder
+from .incremental import IncrementalConfig, make_incremental_builder
+
+
+def _round_capacity(sz: int) -> int:
+    return max(64, int(np.ceil(sz / 64.0)) * 64)
+
+
+def _steps_to_i0(step_sched, opt_itrs: int) -> np.ndarray:
+    """Evaluate a reference-style ``step_sched(i)`` callable into the static
+    learning-rate array the jitted Adam scan consumes."""
+    return np.asarray([float(step_sched(i)) for i in range(opt_itrs)])
+
+
+class BlackBoxProjector:
+    """Bundle (sampler, projection_dim, model functions): the reference's
+    BlackBoxProjector (projector.py:12-37) re-expressed as pure functions.
+    ``sampler(key, n, wts, pts, aux) -> (samples, aux)``."""
+
+    def __init__(self, sampler, projection_dimension: int, loglikelihood,
+                 grad_loglikelihood=None):
+        self.sampler = sampler
+        self.projection_dimension = projection_dimension
+        self.model = ModelFns(
+            log_likelihood=loglikelihood,
+            grad_z_log_likelihood=grad_loglikelihood,
+        )
+
+
+class BetaBlackBoxProjector:
+    """Beta-divergence projector bundle (reference projector.py:39-66)."""
+
+    def __init__(self, sampler, projection_dimension: int, beta_likelihood,
+                 loglikelihood, beta_gradient=None):
+        self.sampler = sampler
+        self.projection_dimension = projection_dimension
+        if beta_gradient is None:
+            beta_gradient = beta_gradient_from_autodiff(beta_likelihood)
+        self.model = ModelFns(
+            log_likelihood=loglikelihood,
+            beta_likelihood=beta_likelihood,
+            beta_gradient=beta_gradient,
+        )
+
+
+class Coreset:
+    """Base eager coreset (reference coreset/coreset.py:7-71)."""
+
+    def __init__(self, data, *, seed: int = 0, max_size: int = 0,
+                 wts=None, idcs=None, pts=None, beta: float = 0.5):
+        self.data = jnp.asarray(data)
+        self.log = get_logger(self.__class__.__name__)
+        self.keys = KeySequence(seed)
+        self.reached_numeric_limit = False
+        self._beta0 = float(beta)
+        cap = _round_capacity(max_size or 1)
+        if wts is not None:
+            cap = max(cap, _round_capacity(len(np.asarray(wts))))
+            self.state = state_lib.warm_start_state(
+                cap, np.asarray(wts, dtype=self.data.dtype), idcs, np.asarray(pts, dtype=self.data.dtype), beta=beta,
+                sampler_aux=self._init_aux(),
+            )
+            self.initialized = int(self.state.m)
+        else:
+            self.state = state_lib.init_state(cap, self.data.shape[1], beta=beta,
+                                              sampler_aux=self._init_aux(), dtype=self.data.dtype)
+            self.initialized = 0
+
+    def _init_aux(self):
+        return jnp.zeros(self.data.shape[1], dtype=jnp.asarray(self.data).dtype)
+
+    # --- reference API ---
+    def reset(self):
+        cap = self.state.wts.shape[0]
+        self.state = state_lib.init_state(cap, self.data.shape[1], beta=self._beta0,
+                                          sampler_aux=self._init_aux(), dtype=self.data.dtype)
+        self.reached_numeric_limit = False
+
+    def size(self) -> int:
+        return int((np.asarray(self.state.wts) > 0).sum())
+
+    def get(self):
+        return state_lib.get(self.state)
+
+    def error(self) -> float:
+        return 0.0  # parity: reference bcores.py:152-153 / sparsevi.py:138-139
+
+    def build(self, itrs: int, sz: int) -> None:
+        if self.reached_numeric_limit:
+            return
+        if sz < self.size():
+            raise ValueError(
+                f"{self.__class__.__name__}.build(): cannot shrink coreset "
+                f"(requested {sz} < current {self.size()})"
+            )
+        self._ensure_capacity(sz)
+        self._build(itrs, sz)
+
+    def optimize(self):
+        """Re-run weight refinement with rollback on cost increase
+        (reference coreset.py:48-65)."""
+        prev_cost = self.error()
+        prev_state = self.state
+        try:
+            self._optimize()
+            if self.error() > prev_cost * (1.0 + 1e-12):
+                raise NumericalPrecisionError("optimize() increased error")
+        except NumericalPrecisionError as e:
+            self.log.warning("%s", e)
+            self.state = prev_state
+            self.reached_numeric_limit = True
+
+    # --- hooks ---
+    def _ensure_capacity(self, sz: int) -> None:
+        cap = self.state.wts.shape[0]
+        if sz > cap:
+            new_cap = _round_capacity(sz)
+            w, p, i = (np.asarray(self.state.wts), np.asarray(self.state.pts), np.asarray(self.state.idcs))
+            m = int(self.state.m)
+            st = state_lib.init_state(new_cap, self.data.shape[1], beta=float(self.state.beta),
+                                      sampler_aux=self.state.sampler_aux, dtype=self.data.dtype)
+            self.state = st._replace(
+                wts=st.wts.at[:cap].set(w), idcs=st.idcs.at[:cap].set(i),
+                pts=st.pts.at[:cap].set(p), m=jnp.asarray(m, dtype=jnp.int32),
+            )
+
+    def _build(self, itrs: int, sz: int) -> None:
+        raise NotImplementedError
+
+    def _optimize(self) -> None:
+        raise NotImplementedError
+
+
+class _IncrementalCoreset(Coreset):
+    """Shared eager wrapper for SparseVI / beta-Cores."""
+
+    _use_beta = False
+    _learn_beta = False
+
+    def __init__(self, data, ll_projector, n_subsample_select=None, n_subsample_opt=None,
+                 opt_itrs: int = 100, step_sched: Callable = lambda i: 1.0 / (1.0 + i),
+                 beta: float = 0.5, learn_beta: Optional[bool] = None, seed: int = 0,
+                 max_size: int = 0, **kw):
+        super().__init__(data, seed=seed, max_size=max_size, beta=beta, **kw)
+        self.projector = ll_projector
+        if learn_beta is not None:
+            self._learn_beta = learn_beta
+        step_sizes = jnp.asarray(_steps_to_i0(step_sched, opt_itrs), dtype=self.data.dtype)
+        cfg = IncrementalConfig(
+            projection_dim=ll_projector.projection_dimension,
+            n_subsample_select=n_subsample_select,
+            n_subsample_opt=n_subsample_opt,
+            opt_itrs=opt_itrs,
+            use_beta=self._use_beta,
+            learn_beta=self._learn_beta,
+        )
+        self._builder = make_incremental_builder(self.data, ll_projector.model,
+                                                 ll_projector.sampler, cfg,
+                                                 step_sizes=step_sizes)
+        self._cfg = cfg
+
+    def _build(self, itrs: int, sz: int) -> None:
+        if self.size() + itrs > sz:
+            raise ValueError(
+                f"{self.__class__.__name__}._build(): itrs + current size "
+                f"({self.size()} + {itrs}) exceeds desired size {sz}"
+            )
+        self.state = self._builder.build(self.keys(), self.state, int(itrs))
+
+    def _optimize(self) -> None:
+        self.state = self._builder.optimize(self.keys(), self.state)
+
+
+class SparseVICoreset(_IncrementalCoreset):
+    """Sparse variational-inference coreset (Campbell & Beronov 2019).
+    Spec: reference coreset/sparsevi.py."""
+
+    _use_beta = False
+    _learn_beta = False
+
+
+class BetaCoreset(_IncrementalCoreset):
+    """beta-Cores: robust coreset under the beta-divergence (Manousakas &
+    Mascolo, WSDM 2021). Spec: reference coreset/bcores.py, with a working
+    ``learn_beta`` path."""
+
+    _use_beta = True
+
+    def __init__(self, data, ll_projector, beta: float = 0.5, learn_beta: bool = False, **kw):
+        super().__init__(data, ll_projector, beta=beta, learn_beta=learn_beta, **kw)
+
+    def get(self):
+        w, p, i = super().get()
+        return w, p, i, float(self.state.beta)
+
+
+class BatchPSVICoreset(Coreset):
+    """Batch pseudo-coreset (spec: reference coreset/bpsvi.py)."""
+
+    def __init__(self, data, ll_projector, opt_itrs: int = 100, n_subsample_opt=None,
+                 step_sched: Callable = lambda m: (lambda i: 1.0 / (1.0 + i)),
+                 seed: int = 0, **kw):
+        super().__init__(data, seed=seed, **kw)
+        self.projector = ll_projector
+        self.opt_itrs = opt_itrs
+        self.n_subsample_opt = n_subsample_opt
+        self.step_sched = step_sched
+        self._builders = {}
+
+    def _builder_for(self, sz: int):
+        if sz not in self._builders:
+            sched = self.step_sched(sz)
+            step_sizes = _steps_to_i0(sched, self.opt_itrs)
+            cfg = BPSVIConfig(
+                projection_dim=self.projector.projection_dimension,
+                n_subsample_opt=self.n_subsample_opt,
+                opt_itrs=self.opt_itrs,
+            )
+            self._builders[sz] = make_bpsvi_builder(self.data, self.projector.model,
+                                                    self.projector.sampler, cfg,
+                                                    step_sizes=step_sizes)
+        return self._builders[sz]
+
+    def _build(self, itrs: int, sz: int) -> None:
+        wts, pts, idcs = self._builder_for(sz)(self.keys(), sz, self._init_aux())
+        self._ensure_capacity(sz)
+        st = self.state
+        self.state = st._replace(
+            wts=st.wts.at[:sz].set(wts),
+            pts=st.pts.at[:sz].set(pts),
+            idcs=st.idcs.at[:sz].set(idcs.astype(jnp.int32)),
+            m=jnp.asarray(sz, dtype=jnp.int32),
+        )
+
+    def _optimize(self) -> None:
+        pass  # BPSVI's build IS the optimization (one-shot)
+
+
+class HilbertCoreset(Coreset):
+    """Project once into a fixed tangent space, then sparse-NNLS
+    (spec: reference coreset/hilbert.py)."""
+
+    def __init__(self, data, ll_projector, n_subsample=None, snnls=GIGA, seed: int = 0, **kw):
+        super().__init__(data, seed=seed, **kw)
+        key = self.keys()
+        d = self.data.shape[1]
+        empty_w = jnp.zeros(1, dtype=self.data.dtype)
+        empty_p = jnp.zeros((1, d), dtype=self.data.dtype)
+        samples, _ = ll_projector.sampler(
+            key, ll_projector.projection_dimension, empty_w, empty_p, self._init_aux()
+        )
+        if n_subsample is None:
+            sub_idcs = None
+            x = self.data
+        else:
+            n_subsample = min(self.data.shape[0], n_subsample)
+            sub_idcs = np.asarray(
+                jax.random.randint(self.keys(), (n_subsample,), 0, self.data.shape[0])
+            )
+            x = self.data[sub_idcs]
+        vecs = np.asarray(center(ll_projector.model.log_likelihood(x, samples)))
+        nonzero = np.sqrt((vecs**2).sum(axis=1)) > 0.0
+        vecs = vecs[nonzero]
+        self._row_map = (sub_idcs[nonzero] if sub_idcs is not None else np.where(nonzero)[0])
+        self.snnls = snnls(jnp.asarray(vecs.T), jnp.asarray(vecs.sum(axis=0)))
+
+    def reset(self):
+        self.snnls.reset()
+        super().reset()
+
+    def _sync_state(self):
+        w = self.snnls.weights()
+        keep = w > 0
+        wts = w[keep]
+        idcs = self._row_map[keep]
+        pts = np.asarray(self.data)[idcs]
+        cap = max(self.state.wts.shape[0], _round_capacity(len(wts)))
+        self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
+                                                idcs, pts, beta=self._beta0,
+                                                sampler_aux=self._init_aux())
+
+    def _build(self, itrs: int, sz: int) -> None:
+        if self.snnls.size() + itrs > sz:
+            raise ValueError(
+                f"HilbertCoreset._build(): itrs + current size exceeds desired size {sz}"
+            )
+        self.snnls.build(itrs)
+        self.reached_numeric_limit = self.snnls.reached_numeric_limit
+        self._sync_state()
+
+    def _optimize(self) -> None:
+        self.snnls.optimize()
+        self._sync_state()
+
+    def error(self) -> float:
+        return self.snnls.error()
+
+
+class UniformSamplingCoreset(Coreset):
+    """Uniform-sampling baseline (spec: reference coreset/sampling.py):
+    iid uniform draws with multiplicity counts, w = N * cts / sum(cts)."""
+
+    def __init__(self, data, seed: int = 0, **kw):
+        super().__init__(data, seed=seed, **kw)
+        self.cts: dict[int, int] = {}
+        self._rng = np.random.default_rng(seed)
+
+    def reset(self):
+        self.cts = {}
+        super().reset()
+
+    def _build(self, itrs: int, sz: int) -> None:
+        if self.size() + itrs > sz:
+            raise ValueError("UniformSamplingCoreset._build(): size overrun")
+        N = self.data.shape[0]
+        for f in self._rng.integers(0, N, size=itrs):
+            self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+        idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+        cts = np.fromiter(self.cts.values(), dtype=np.float64)
+        wts = N * cts / cts.sum()
+        pts = np.asarray(self.data)[idcs]
+        self._ensure_capacity(len(idcs))
+        cap = self.state.wts.shape[0]
+        self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
+                                                idcs, pts, beta=self._beta0,
+                                                sampler_aux=self._init_aux())
+
+    def _optimize(self) -> None:
+        pass

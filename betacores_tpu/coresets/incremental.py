@@ -1,0 +1,194 @@
+"""Incremental greedy coreset builder (SparseVI and beta-Cores).
+
+Spec: reference coreset/sparsevi.py:26-139 and coreset/bcores.py:27-156 —
+both share one skeleton per iteration:
+
+  select:   draw S posterior samples from the current coreset posterior,
+            project a data subsample and the coreset into the tangent space,
+            score candidates by correlation with the residual
+            resid = scaling * sum_n vecs_n - w . corevecs, and append the
+            argmax unless an existing coreset point scores higher;
+  optimize: refine all weights by ``opt_itrs`` projected-Adam steps of the
+            Monte-Carlo KL gradient -corevecs . resid / S, re-sampling the
+            posterior and the data subsample EVERY step (call stack
+            SURVEY.md 3.2).
+
+beta-Cores is the same skeleton with beta-likelihood projections
+(``use_beta``); ``learn_beta`` additionally optimizes beta by gradient —
+working here via the models' autodiff beta_gradient (the reference's
+learn_beta path crashes on a missing method, bcores.py:131).
+
+The entire ``build(key, state, itrs)`` — itrs x (select + opt_itrs Adam
+steps), every posterior re-fit included — is ONE compiled XLA program: a
+``lax.scan`` over iterations wrapping a ``lax.scan`` over Adam steps. The
+posterior sampler warm-starts through ``state.sampler_aux``, replacing the
+reference's cold scipy-BFGS-per-gradient-step (its dominant cost).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.projection import (
+    center,
+    draw_subsample,
+    project_beta,
+    project_beta_with_grad,
+    project_ll,
+)
+from ..utils.opt import nn_adam, step_schedule
+from .state import CoresetState
+
+
+@dataclasses.dataclass(frozen=True)
+class IncrementalConfig:
+    """Static build configuration (reference constructor kwargs at
+    bcores.py:9-11 / sparsevi.py:9-11)."""
+
+    projection_dim: int = 100          # S
+    n_subsample_select: Optional[int] = None
+    n_subsample_opt: Optional[int] = None
+    opt_itrs: int = 100
+    i0: float = 0.1                    # lr schedule i0 / (1 + i)
+    use_beta: bool = False             # project with the beta-likelihood
+    learn_beta: bool = False
+    beta_grad_scale: float = 1e-5      # reference bcores.py:134 damping
+
+
+class IncrementalBuilder:
+    """Compiled entry points: ``build(key, state, itrs)`` runs itrs x
+    (select + optimize); ``optimize(key, state)`` runs one refinement pass
+    alone (the reference's post-build ``Coreset.optimize()``)."""
+
+    def __init__(self, build_fn, optimize_fn):
+        self.build = build_fn
+        self.optimize = optimize_fn
+
+    def __call__(self, key, state, itrs):
+        return self.build(key, state, itrs)
+
+
+def make_incremental_builder(
+    data: jnp.ndarray,
+    model,
+    sampler: Callable,
+    config: IncrementalConfig,
+    step_sizes: Optional[jnp.ndarray] = None,
+) -> IncrementalBuilder:
+    """Returns compiled ``IncrementalBuilder`` closed over the dataset,
+    model bundle and sampler. ``step_sizes`` overrides the default
+    i0/(1+i) schedule (shape (opt_itrs,))."""
+    N = data.shape[0]
+    S = config.projection_dim
+    n_sel = None if config.n_subsample_select is None else min(N, config.n_subsample_select)
+    n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
+    if step_sizes is None:
+        step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=data.dtype)
+    step_sizes = jnp.asarray(step_sizes, dtype=data.dtype)
+
+    def _project(pts, samples, beta):
+        if config.use_beta:
+            return project_beta(model, pts, samples, beta)
+        return project_ll(model, pts, samples)
+
+    def _tangent(key, w, st: CoresetState, beta, n_sub, aux):
+        """Posterior samples + centered projections of a data (sub)sample and
+        of the coreset buffer (padding rows zeroed)."""
+        k_samp, k_sub = jax.random.split(key)
+        samples, aux = sampler(k_samp, S, w, st.pts, aux)
+        if n_sub is None:
+            vecs = _project(data, samples, beta)
+            scaling = jnp.asarray(1.0, dtype=data.dtype)
+            sub_idcs = None
+        else:
+            sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
+            vecs = _project(data[sub_idcs], samples, beta)
+        corevecs = _project(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
+        return vecs, corevecs, scaling, sub_idcs, samples, aux
+
+    def _select(key, st: CoresetState) -> CoresetState:
+        """Reference bcores.py:74-90 / sparsevi.py:74-96."""
+        vecs, corevecs, scaling, sub_idcs, _, aux = _tangent(
+            key, st.wts, st, st.beta, n_sel, st.sampler_aux
+        )
+        resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
+        vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+        vn = jnp.where(vn > 0, vn, jnp.inf)  # zero projections score 0 (reference NaNs)
+        corrs = (vecs @ resid) / vn / S
+        cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+        cn = jnp.where(cn > 0, cn, jnp.inf)
+        corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+
+        fcand = jnp.argmax(corrs)
+        f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+        take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
+        already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
+        M_max = st.wts.shape[0]
+        add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+
+        slot = jnp.minimum(st.m, M_max - 1)
+        idcs_new = jnp.where(add, st.idcs.at[slot].set(f), st.idcs)
+        pts_new = jnp.where(add, st.pts.at[slot].set(data[f]), st.pts)
+        m_new = jnp.where(add, st.m + 1, st.m)
+        return st._replace(idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
+
+    def _optimize(key, st: CoresetState) -> CoresetState:
+        """Reference bcores.py:126-150 / sparsevi.py:128-136."""
+        if not config.learn_beta:
+
+            def grad_fn(w, aux, k):
+                vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux)
+                resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                return -(corevecs @ resid) / S, aux
+
+            w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
+            return st._replace(wts=w_new, sampler_aux=aux)
+
+        # learn_beta: joint (w, beta) refinement, all coordinates projected
+        # to >= 0 (reference partial_nn_opt over arange, bcores.py:136-139).
+        # beta is additionally clamped to a positive floor: the
+        # beta-likelihood has a 1/beta pole at 0, and Adam's sign-normalized
+        # steps would otherwise walk beta onto it (the reference's >= 0
+        # projection alone would NaN the same way).
+        beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
+        mask_rows = lambda v: v * st.slot_mask[:, None].astype(data.dtype)
+
+        def grad_fn(x, aux, k):
+            w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
+            k_samp, k_sub = jax.random.split(k)
+            samples, aux = sampler(k_samp, S, w, st.pts, aux)
+            if n_opt is None:
+                vecs = project_beta(model, data, samples, beta)
+                scaling = jnp.asarray(1.0, dtype=data.dtype)
+            else:
+                sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                vecs = project_beta(model, data[sub_idcs], samples, beta)
+            corevecs, betagrads = project_beta_with_grad(model, st.pts, samples, beta)
+            corevecs, betagrads = mask_rows(corevecs), mask_rows(betagrads)
+            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+            wgrad = -(corevecs @ resid) / S
+            betagrad = -config.beta_grad_scale * (w @ (betagrads @ resid)) / S
+            return jnp.concatenate([wgrad, betagrad[None]]), aux
+
+        x0 = jnp.concatenate([st.wts, st.beta[None]])
+        xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes)
+        return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
+
+    @partial(jax.jit, static_argnums=2)
+    def build(key, st: CoresetState, itrs: int) -> CoresetState:
+        def body(st, k):
+            k1, k2 = jax.random.split(k)
+            st = _select(k1, st)
+            st = _optimize(k2, st)
+            return st, None
+
+        keys = jax.random.split(key, itrs)
+        st, _ = jax.lax.scan(body, st, keys)
+        return st
+
+    return IncrementalBuilder(build, jax.jit(lambda key, st: _optimize(key, st)))

@@ -28,7 +28,10 @@ class LaplaceApprox(NamedTuple):
 
 
 # Backtracking grid: candidate step sizes tried per Newton iteration.
-_TS = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125])
+# (numpy, not jnp: must not initialize the JAX backend at import time)
+import numpy as _np
+
+_TS = _np.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125])
 
 
 def newton_laplace(

@@ -1,0 +1,234 @@
+"""Coreset algorithm tests.
+
+Golden tests drive the jitted builds and the independent NumPy oracle down
+identical deterministic trajectories (fixed posterior samples, no
+subsampling) and compare weights/support. The end-to-end test is SURVEY.md
+section 7's minimum slice: synthetic contaminated Gaussian data, conjugate
+posterior, closed-form reverse KL (reference zellner_gaussian/main.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import betacores_tpu as bc
+from betacores_tpu.inference import fixed_sampler, gaussian_conjugate_sampler
+from betacores_tpu.models import gaussian as gmod
+from oracle import coresets as ocs
+from oracle import models as om
+
+
+def _setup_gauss(rng, N=40, d=3, S=8):
+    Sig = np.eye(d) * 2.0
+    Siginv = np.linalg.inv(Sig)
+    logdetSig = np.linalg.slogdet(Sig)[1]
+    X = rng.normal(size=(N, d))
+    samples = rng.normal(size=(S, d))
+    model = gmod.bundle(jnp.asarray(Siginv), logdetSig)
+    return X, samples, Siginv, logdetSig, model
+
+
+class TestIncrementalGolden:
+    """JAX build vs oracle build, identical deterministic trajectories."""
+
+    @pytest.mark.parametrize("use_beta", [False, True])
+    def test_build_matches_oracle(self, rng, use_beta):
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng)
+        beta = 0.4
+        M, opt_itrs = 6, 25
+        sched = lambda i: 0.5 / (1.0 + i)
+
+        prj_cls = bc.BetaBlackBoxProjector if use_beta else bc.BlackBoxProjector
+        if use_beta:
+            prj = prj_cls(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                          model.beta_likelihood, model.log_likelihood, model.beta_gradient)
+            alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=beta, learn_beta=False,
+                                 opt_itrs=opt_itrs, step_sched=sched, seed=1)
+        else:
+            prj = prj_cls(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                          model.log_likelihood)
+            alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=opt_itrs,
+                                     step_sched=sched, seed=1)
+
+        for m in range(1, M + 1):
+            alg.build(1, m)
+        got = alg.get()
+        w_got, p_got, i_got = got[0], got[1], got[2]
+
+        if use_beta:
+            lik = lambda pts, s: om.gauss_beta_likelihood(pts, s, beta, Siginv)
+        else:
+            lik = lambda pts, s: om.gauss_log_likelihood(pts, s, Siginv, logdetSig)
+        w_o, i_o, p_o = ocs.incremental_build_deterministic(
+            X, M, opt_itrs, sched, lambda w, p: samples, lik
+        )
+        keep = w_o > 0
+        np.testing.assert_array_equal(np.sort(i_got), np.sort(i_o[keep]))
+        # align by index for weight comparison
+        order_g, order_o = np.argsort(i_got), np.argsort(i_o[keep])
+        np.testing.assert_allclose(w_got[order_g], w_o[keep][order_o], rtol=1e-6, atol=1e-9)
+
+    def test_learn_beta_runs_and_updates(self, rng):
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng)
+        prj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                       model.beta_likelihood, model.log_likelihood,
+                                       model.beta_gradient)
+        alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.5, learn_beta=True,
+                             opt_itrs=15, seed=2)
+        alg.build(3, 3)
+        w, p, i, beta = alg.get()
+        assert np.isfinite(beta) and beta >= 0.0
+        assert len(w) >= 1 and (w >= 0).all()
+
+    def test_build_guard_and_reset(self, rng):
+        X, samples, _, _, model = _setup_gauss(rng)
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                   model.log_likelihood)
+        alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=5, seed=0)
+        alg.build(2, 2)
+        with pytest.raises(ValueError):
+            alg.build(5, 3)  # itrs + size > sz
+        with pytest.raises(ValueError):
+            alg.build(1, 0)  # shrink
+        alg.reset()
+        assert alg.size() == 0
+
+    def test_warm_start(self, rng):
+        X, samples, _, _, model = _setup_gauss(rng)
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                   model.log_likelihood)
+        w0 = np.ones(3)
+        i0 = np.arange(3)
+        alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=5, seed=0,
+                                 wts=w0, idcs=i0, pts=X[:3])
+        assert alg.size() == 3
+        alg.build(2, 5)
+        assert alg.size() <= 5
+
+
+class TestBPSVIGolden:
+    def test_matches_oracle(self, rng):
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng, N=30, d=3, S=6)
+        sz, opt_itrs = 5, 30
+        sched = lambda i: 0.3 / (1.0 + i)
+
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                   model.log_likelihood, model.grad_z_log_likelihood)
+        alg = bc.BatchPSVICoreset(jnp.asarray(X), prj, opt_itrs=opt_itrs,
+                                  step_sched=lambda m: sched, seed=7)
+        alg.build(1, sz)
+        w_got, p_got, i_got = alg.get()
+
+        # oracle driven with the same init indices
+        init_idcs = np.asarray(alg.state.idcs)[:sz]
+        w_o, p_o = ocs.bpsvi_build_deterministic(
+            X, init_idcs, opt_itrs, sched, lambda w, p: samples,
+            lambda pts, s: om.gauss_log_likelihood(pts, s, Siginv, logdetSig),
+            lambda pts, s: om.gauss_grad_x_log_likelihood(pts, s, Siginv),
+        )
+        keep = w_o > 0
+        np.testing.assert_allclose(w_got, w_o[keep], rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(p_got, p_o[keep], rtol=1e-6, atol=1e-8)
+
+    def test_batch_builds_match_individual(self, rng):
+        from betacores_tpu.coresets import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
+
+        X, samples, _, _, model = _setup_gauss(rng, N=30, d=3, S=6)
+        cfg = BPSVIConfig(projection_dim=6, opt_itrs=10, i0=0.3)
+        builder = make_bpsvi_builder(jnp.asarray(X), model,
+                                     fixed_sampler(jnp.asarray(samples)), cfg)
+        aux0 = jnp.zeros(3)
+        key = jax.random.key(5)
+        sizes = [2, 4]
+        wts_b, pts_b, idcs_b = bpsvi_build_batch(builder, key, sizes, 4, aux0)
+        # lane i must equal a standalone masked build with the same key
+        keys = jax.random.split(key, len(sizes))
+        for lane, sz in enumerate(sizes):
+            mask = jnp.arange(4) < sz
+            w1, p1, i1 = builder(keys[lane], 4, aux0, mask)
+            np.testing.assert_allclose(wts_b[lane], w1, rtol=1e-12)
+            np.testing.assert_allclose(pts_b[lane], p1, rtol=1e-12)
+
+
+class TestEndToEndGaussian:
+    """SURVEY section 7 minimum slice: contaminated synthetic Gaussian,
+    conjugate posterior, closed-form reverse KL."""
+
+    @pytest.fixture(autouse=True)
+    def setup(self, rng):
+        N, d = 400, 4
+        self.d = d
+        self.mu0 = np.zeros(d)
+        self.Sig0inv = np.eye(d)
+        self.Sig = 5.0 * np.eye(d)
+        self.Siginv = np.linalg.inv(self.Sig)
+        self.logdetSig = np.linalg.slogdet(self.Sig)[1]
+        X = rng.multivariate_normal(np.zeros(d), self.Sig, N)
+        out1 = rng.multivariate_normal(np.zeros(d) + 20.0, 0.5 * self.Sig, N // 50)
+        self.X = np.vstack([X, out1])
+        self.Xclean = X
+        # true posterior of the CLEAN data
+        self.mup, self.Sigp = om.gauss_weighted_post(
+            self.mu0, self.Sig0inv, self.Siginv, X, np.ones(N)
+        )
+        self.model = gmod.bundle(jnp.asarray(self.Siginv), self.logdetSig)
+        self.sampler = gaussian_conjugate_sampler(
+            jnp.asarray(self.mu0), jnp.asarray(self.Sig0inv), jnp.asarray(self.Siginv)
+        )
+
+    def _rkl(self, w, p):
+        """reverse KL(coreset posterior || full clean posterior)"""
+        muw, Sigw = om.gauss_weighted_post(self.mu0, self.Sig0inv, self.Siginv,
+                                           np.atleast_2d(p), np.atleast_1d(w))
+        return om.gaussian_KL(muw, Sigw, self.mup, np.linalg.inv(self.Sigp))
+
+    def test_hilbert_giga_reduces_kl(self):
+        prj = bc.BlackBoxProjector(self.sampler, 100, self.model.log_likelihood)
+        alg = bc.HilbertCoreset(jnp.asarray(self.Xclean), prj, seed=3)
+        kl_prior = self._rkl(np.zeros(1), np.zeros((1, self.d)))
+        alg.build(30, 30)
+        w, p, i = alg.get()
+        kl = self._rkl(w, p)
+        assert kl < 0.1 * kl_prior, f"GIGA KL {kl} vs prior {kl_prior}"
+
+    def test_sparsevi_reduces_kl(self):
+        prj = bc.BlackBoxProjector(self.sampler, 50, self.model.log_likelihood)
+        alg = bc.SparseVICoreset(jnp.asarray(self.Xclean), prj, opt_itrs=60, seed=4,
+                                 step_sched=lambda i: 1.0 / (1.0 + i))
+        kl_prior = self._rkl(np.zeros(1), np.zeros((1, self.d)))
+        for m in range(1, 11):
+            alg.build(1, m)
+        w, p, i = alg.get()
+        kl = self._rkl(w, p)
+        assert kl < 0.2 * kl_prior, f"SparseVI KL {kl} vs prior {kl_prior}"
+
+    def test_bcores_robust_to_outliers(self):
+        """On contaminated data, the beta-coreset posterior should stay much
+        closer to the clean posterior than a Hilbert coreset built on the
+        contaminated set (the WSDM'21 robustness claim, reference fig. 1)."""
+        Xc = jnp.asarray(self.X)
+        bprj = bc.BetaBlackBoxProjector(self.sampler, 50, self.model.beta_likelihood,
+                                        self.model.log_likelihood, self.model.beta_gradient)
+        alg = bc.BetaCoreset(Xc, bprj, beta=0.3, learn_beta=False, opt_itrs=60,
+                             seed=5, step_sched=lambda i: 1.0 / (1.0 + i))
+        for m in range(1, 11):
+            alg.build(1, m)
+        w, p, i, beta = alg.get()
+        kl_bcores = self._rkl(w, p)
+
+        prj = bc.BlackBoxProjector(self.sampler, 50, self.model.log_likelihood)
+        giga = bc.HilbertCoreset(Xc, prj, seed=6)
+        giga.build(10, 10)
+        wg, pg, ig = giga.get()
+        kl_giga = self._rkl(wg, pg)
+        assert kl_bcores < kl_giga, (kl_bcores, kl_giga)
+
+    def test_uniform_sampling_coreset(self):
+        alg = bc.UniformSamplingCoreset(jnp.asarray(self.Xclean), seed=8)
+        for m in range(1, 21):
+            alg.build(1, m)
+        w, p, i = alg.get()
+        assert w.sum() == pytest.approx(self.Xclean.shape[0])
+        kl_prior = self._rkl(np.zeros(1), np.zeros((1, self.d)))
+        assert self._rkl(w, p) < kl_prior
