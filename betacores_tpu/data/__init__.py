@@ -1,0 +1,11 @@
+from .perturb import perturb_groups, perturb_logreg, perturb_regression
+from .synthetic import gen_synthetic_gaussian, gen_synthetic_linreg, gen_synthetic_logreg
+
+__all__ = [
+    "perturb_groups",
+    "perturb_logreg",
+    "perturb_regression",
+    "gen_synthetic_gaussian",
+    "gen_synthetic_linreg",
+    "gen_synthetic_logreg",
+]

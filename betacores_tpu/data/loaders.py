@@ -1,0 +1,100 @@
+"""Dataset loading and preprocessing.
+
+Specs: reference examples/common/model_lr.py:6-30 (npz loading with
+train/test split and covariate whitening) and
+examples/common/model_neurlinr.py:37-48 (standardization). The npz format is
+the reference's: arrays ``X``, ``y`` and optional ``Xt``, ``yt``; labels in
+{-1, +1} (or {0, 1}, remapped).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def load_npz(path: str, ttr: float = 0.2):
+    """Load an (X, y[, Xt, yt]) npz; split train/test by ``ttr`` if no test
+    arrays are present (reference model_lr.py:6-18)."""
+    data = np.load(path, allow_pickle=True)
+    X = np.asarray(data["X"], dtype=np.float64)
+    Y = np.asarray(data["y"], dtype=np.float64).reshape(-1)
+    has_test = (
+        "Xt" in data and "yt" in data
+        and np.asarray(data["Xt"]).size > 1 and np.asarray(data["yt"]).size > 1
+    )
+    if has_test:
+        Xt, Yt = np.asarray(data["Xt"], dtype=np.float64), np.asarray(data["yt"], dtype=np.float64).reshape(-1)
+    else:
+        n_test = int(ttr * X.shape[0])
+        X, Y, Xt, Yt = X[:-n_test], Y[:-n_test], X[-n_test:], Y[-n_test:]
+    # remap {0,1} labels to {-1,+1}
+    if set(np.unique(Y)) <= {0.0, 1.0}:
+        Y = 2.0 * Y - 1.0
+        Yt = 2.0 * Yt - 1.0
+    return X, Y, Xt, Yt
+
+
+def std_cov(X: np.ndarray, Y: np.ndarray, mean_: Optional[np.ndarray] = None,
+            cov_: Optional[np.ndarray] = None):
+    """Whiten the covariates by the Cholesky factor of their covariance; the
+    last column (intercept) is untouched (reference model_lr.py:20-30).
+    Returns (X, Y, Z=y*X, mean, cov) — pass (mean, cov) back in to transform
+    test data consistently."""
+    X = np.array(X, copy=True)
+    if mean_ is None:
+        mean_ = X[:, :-1].mean(axis=0)
+        cov_ = np.cov(X[:, :-1], rowvar=False) + 1e-12 * np.eye(X.shape[1] - 1)
+    L = np.linalg.cholesky(np.atleast_2d(cov_))
+    X[:, :-1] = np.linalg.solve(L, (X[:, :-1] - mean_).T).T
+    Z = Y[:, None] * X
+    return X, Y, Z, mean_, cov_
+
+
+def standardize(Xtrain, ytrain, *others):
+    """Zero-mean unit-variance standardization fit on train, applied to any
+    number of additional (X, y) pairs (reference model_neurlinr.py:37-48).
+    Returns standardized arrays + (in_mean, in_std, out_mean, out_std)."""
+    in_mean, in_std = Xtrain.mean(axis=0), Xtrain.std(axis=0)
+    in_std = np.where(np.isclose(in_std, 0.0), 1.0, in_std)
+    out_mean, out_std = ytrain.mean(axis=0), ytrain.std(axis=0)
+    out_std = np.where(np.isclose(out_std, 0.0), 1.0, out_std)
+    out = [(Xtrain - in_mean) / in_std, (ytrain - out_mean) / out_std]
+    for i in range(0, len(others), 2):
+        out.append((others[i] - in_mean) / in_std)
+        out.append((others[i + 1] - out_mean) / out_std)
+    return (*out, in_mean, in_std, out_mean, out_std)
+
+
+def add_intercept(X: np.ndarray) -> np.ndarray:
+    return np.hstack([X, np.ones((X.shape[0], 1), dtype=X.dtype)])
+
+
+def load_groups_pickle(path: str) -> Tuple[List[List[int]], list]:
+    """Load a demographic-groups pickle ``(groups, demos)`` as produced by
+    the preprocessing scripts (reference preproc_adult.py:20-31)."""
+    with open(path, "rb") as f:
+        groups, demos = pickle.load(f)
+    return [list(map(int, g)) for g in groups], demos
+
+
+def make_random_groups(rng: np.random.Generator, N: int, group_size: int) -> List[List[int]]:
+    """Contiguous random partition into groups of ~group_size (the
+    neural-linear experiment batches points into groups of 20, reference
+    zellner_neural_linear/main.py:86)."""
+    perm = rng.permutation(N)
+    return [perm[i : i + group_size].tolist() for i in range(0, N, group_size)]
+
+
+def reference_dataset_path(name: str) -> Optional[str]:
+    """Resolve a packaged dataset from the reference checkout if present
+    (read-only mirror at /root/reference/examples/data)."""
+    for root in (os.environ.get("BETACORES_DATA", ""), "/root/reference/examples/data"):
+        if root:
+            p = os.path.join(root, f"{name}.npz")
+            if os.path.exists(p):
+                return p
+    return None

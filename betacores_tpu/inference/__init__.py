@@ -1,3 +1,5 @@
+from . import hmc
+from .hmc import HMCConfig, hmc_sample, run_chains, weighted_logreg_logprob
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
     fixed_sampler,
@@ -8,6 +10,11 @@ from .samplers import (
 )
 
 __all__ = [
+    "hmc",
+    "HMCConfig",
+    "hmc_sample",
+    "run_chains",
+    "weighted_logreg_logprob",
     "LaplaceApprox",
     "newton_laplace",
     "newton_laplace_diag",

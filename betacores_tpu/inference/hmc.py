@@ -1,0 +1,188 @@
+"""TPU-native MCMC for coreset-posterior evaluation.
+
+Replaces the reference's PyStan NUTS evaluation sampler (reference:
+examples/common/mcmc.py:21-59; weighted-likelihood Stan programs at
+zellner_logreg/main.py:24-43) so the whole pipeline runs on-device
+(SURVEY.md section 7 delta 7). The target density is the weighted coreset
+posterior  log p(th) = log prior(th) + sum_m w_m loglik(z_m | th).
+
+Sampler: multinomial HMC with jittered path lengths and Stan-style warmup —
+dual-averaging step-size adaptation to a target acceptance statistic plus a
+diagonal mass matrix estimated from warmup draws. Each iteration draws
+L ~ Uniform{1..L_max} leapfrog steps and samples a state from the whole
+trajectory by progressive multinomial (reservoir) sampling under the
+canonical density exp(-H). Jittered-length multinomial HMC is a standard
+dynamic-HMC scheme (exactly invariant for the target); it matches NUTS-grade
+mixing on the low-dimensional, log-concave-ish posteriors evaluated here
+while staying static-shape (a fixed L_max-step scan with masking) — the
+jit-friendly design NUTS's recursive tree is not.
+
+Everything (warmup + sampling, all chains) is one compiled program; chains
+vmap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HMCConfig(NamedTuple):
+    n_samples: int = 1000
+    n_warmup: int = 1000
+    L_max: int = 32
+    target_accept: float = 0.8
+    init_step_size: float = 0.1
+    # dual averaging constants (Hoffman & Gelman 2014, as in Stan)
+    da_gamma: float = 0.05
+    da_t0: float = 10.0
+    da_kappa: float = 0.75
+
+
+def _leapfrog_trajectory(key, logprob_and_grad, theta, eps, L, L_max, inv_mass):
+    """Run up to L_max leapfrog steps (first L active), multinomially
+    sampling one state from the trajectory under exp(-H). Returns
+    (theta_new, accept_stat)."""
+    d = theta.shape[0]
+    k_mom, k_sel = jax.random.split(key)
+    p0 = jax.random.normal(k_mom, (d,), dtype=theta.dtype) / jnp.sqrt(inv_mass)
+    lp0, g0 = logprob_and_grad(theta)
+    H0 = -lp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+    sel_keys = jax.random.split(k_sel, L_max)
+
+    def step(carry, inp):
+        th, p, g, chosen_th, logw_tot, acc_sum = carry
+        k, i = inp
+        active = i < L
+        # leapfrog
+        p_half = p + 0.5 * eps * g
+        th_new = th + eps * inv_mass * p_half
+        lp_new, g_new = logprob_and_grad(th_new)
+        p_new = p_half + 0.5 * eps * g_new
+        H = -lp_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
+        H = jnp.where(jnp.isfinite(H), H, jnp.inf)
+        logw = -(H - H0)
+        # reservoir multinomial sampling over trajectory states
+        logw_new_tot = jnp.logaddexp(logw_tot, jnp.where(active, logw, -jnp.inf))
+        take = jnp.log(jax.random.uniform(k)) < (logw - logw_new_tot)
+        take = jnp.logical_and(take, active)
+        chosen_th = jnp.where(take, th_new, chosen_th)
+        acc_sum = acc_sum + jnp.where(active, jnp.minimum(1.0, jnp.exp(logw)), 0.0)
+        # freeze the integrator once past L
+        th = jnp.where(active, th_new, th)
+        p = jnp.where(active, p_new, p)
+        g = jnp.where(active, g_new, g)
+        return (th, p, g, chosen_th, logw_new_tot, acc_sum), None
+
+    # logw of the initial state is 0 == -(H0 - H0); it seeds the reservoir
+    init = (theta, p0, g0, theta, jnp.asarray(0.0, theta.dtype), jnp.asarray(0.0, theta.dtype))
+    carry, _ = jax.lax.scan(step, init, (sel_keys, jnp.arange(L_max)))
+    chosen_th, acc_sum = carry[3], carry[5]
+    accept_stat = acc_sum / jnp.maximum(L.astype(theta.dtype), 1.0)
+    return chosen_th, accept_stat
+
+
+def hmc_sample(
+    key: jax.Array,
+    logprob: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0: jnp.ndarray,
+    config: HMCConfig = HMCConfig(),
+) -> Tuple[jnp.ndarray, dict]:
+    """Single-chain adaptive HMC. Returns (samples (n_samples, d), stats)."""
+    cfg = config
+    dtype = theta0.dtype
+    lpg = jax.value_and_grad(logprob)
+
+    def logprob_and_grad(th):
+        v, g = lpg(th)
+        return v, g
+
+    def one_iter(key, th, eps, L_key, inv_mass):
+        L = jax.random.randint(L_key, (), 1, cfg.L_max + 1)
+        return _leapfrog_trajectory(key, logprob_and_grad, th, eps, L, cfg.L_max, inv_mass)
+
+    # ---- warmup, two phases (Stan-style windows): ----
+    # phase A: dual-average eps under identity mass, Welford-estimate the
+    #          posterior variance over its second half;
+    # phase B: switch to the estimated diagonal mass and re-adapt eps
+    #          (changing the metric invalidates the phase-A step size).
+    d = theta0.shape[0]
+    n_a = cfg.n_warmup // 2
+    n_b = cfg.n_warmup - n_a
+
+    def make_warmup_phase(n_steps, collect_var):
+        def warmup_step(carry, inp):
+            th, logeps, logeps_bar, h_bar, mean, m2, inv_mass = carry
+            k, i = inp
+            k_traj, k_L = jax.random.split(k)
+            th, astat = one_iter(k_traj, th, jnp.exp(logeps), k_L, inv_mass)
+            t = i + 1.0
+            eta = 1.0 / (t + cfg.da_t0)
+            h_bar = (1.0 - eta) * h_bar + eta * (cfg.target_accept - astat)
+            mu_da = jnp.log(10.0 * cfg.init_step_size)
+            logeps = mu_da - jnp.sqrt(t) / cfg.da_gamma * h_bar
+            w = t ** (-cfg.da_kappa)
+            logeps_bar = w * logeps + (1.0 - w) * logeps_bar
+            if collect_var:
+                in_window = i >= n_steps // 2
+                cnt = jnp.maximum(i - n_steps // 2 + 1.0, 1.0)
+                delta = th - mean
+                mean = jnp.where(in_window, mean + delta / cnt, mean)
+                m2 = jnp.where(in_window, m2 + delta * (th - mean), m2)
+            return (th, logeps, logeps_bar, h_bar, mean, m2, inv_mass), astat
+
+        return warmup_step
+
+    logeps0 = jnp.log(jnp.asarray(cfg.init_step_size, dtype))
+    init_a = (theta0, logeps0, logeps0, jnp.asarray(0.0, dtype),
+              jnp.zeros(d, dtype), jnp.zeros(d, dtype), jnp.ones(d, dtype))
+    keys_a = jax.random.split(jax.random.fold_in(key, 0), n_a)
+    (th, _, logeps_bar_a, _, mean, m2, _), astats_a = jax.lax.scan(
+        make_warmup_phase(n_a, True), init_a, (keys_a, jnp.arange(n_a, dtype=dtype))
+    )
+    var = m2 / jnp.maximum(n_a - n_a // 2 - 1.0, 1.0)
+    inv_mass = jnp.where(var > 1e-10, var, 1.0)  # inverse mass = posterior variance
+
+    init_b = (th, logeps_bar_a, logeps_bar_a, jnp.asarray(0.0, dtype),
+              jnp.zeros(d, dtype), jnp.zeros(d, dtype), inv_mass)
+    keys_b = jax.random.split(jax.random.fold_in(key, 2), n_b)
+    (th, _, logeps_bar, _, _, _, _), astats_b = jax.lax.scan(
+        make_warmup_phase(n_b, False), init_b, (keys_b, jnp.arange(n_b, dtype=dtype))
+    )
+    wu_astats = jnp.concatenate([astats_a, astats_b])
+    eps = jnp.exp(logeps_bar)
+
+    # ---- sampling ----
+    def sample_step(th, inp):
+        k, _ = inp
+        k_traj, k_L = jax.random.split(k)
+        th, astat = one_iter(k_traj, th, eps, k_L, inv_mass)
+        return th, (th, astat)
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 1), cfg.n_samples)
+    th, (samples, astats) = jax.lax.scan(
+        sample_step, th, (keys_s, jnp.arange(cfg.n_samples))
+    )
+    return samples, {"step_size": eps, "accept_stat": jnp.mean(astats),
+                     "inv_mass": inv_mass, "warmup_accept": jnp.mean(wu_astats)}
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
+def run_chains(key, logprob, theta0, n_chains: int = 1, config: HMCConfig = HMCConfig()):
+    """vmap chains; theta0 (d,) is jittered per chain."""
+    keys = jax.random.split(key, n_chains)
+    inits = theta0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 99),
+                                             (n_chains,) + theta0.shape, dtype=theta0.dtype)
+    return jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+
+
+def weighted_logreg_logprob(Z, w):
+    """The weighted Bayesian-logreg evaluation target (the reference's
+    weighted Stan program, zellner_logreg/main.py:24-43)."""
+    from ..models import logreg
+
+    return lambda th: logreg.log_joint(Z, th, w)

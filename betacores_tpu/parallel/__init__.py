@@ -1,0 +1,11 @@
+from .mesh import DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh, shard_data
+from .sharded import make_sharded_incremental_builder
+
+__all__ = [
+    "DATA_AXIS",
+    "SAMP_AXIS",
+    "auto_mesh_shape",
+    "make_mesh",
+    "shard_data",
+    "make_sharded_incremental_builder",
+]

@@ -1,0 +1,193 @@
+"""Sharded multi-chip coreset builds.
+
+TPU-native replacement for the reference's only parallelism
+(multiprocessing.Pool, SURVEY.md section 2.5): the dataset's N axis is
+sharded over the mesh's ``data`` axis and the projection's posterior-sample
+S axis over the ``samp`` axis. Per build iteration:
+
+  * posterior sampling + weight refinement are REPLICATED (the coreset
+    state is M x d — tiny); every device computes identical values from
+    identical keys, so no parameter broadcasts are needed;
+  * candidate scoring is LOCAL: each data-shard draws a stratified local
+    subsample, projects it, and scores it against the residual;
+  * the Sigma-over-N residual term is one psum('data') of an S-slice, and
+    every inner product over S is a psum('samp') — the only collectives,
+    both tiny, riding ICI;
+  * greedy selection is a DISTRIBUTED ARGMAX: per-shard top-1 then an
+    all_gather('data') of (score, global index, point) triples and a
+    replicated argmax. Ties break toward the lower shard index, which
+    matches the single-device first-argmax rule under the same candidate
+    ordering (SURVEY.md hard part 5; across different mesh shapes the
+    subsample streams differ, so equivalence is statistical, not bitwise).
+
+The same mesh program compiles on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``), which is how tests and the
+driver's ``dryrun_multichip`` validate it without multi-chip hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..coresets.incremental import IncrementalConfig
+from ..coresets.state import CoresetState
+from ..utils.opt import step_schedule
+from .mesh import DATA_AXIS, SAMP_AXIS
+
+
+def make_sharded_incremental_builder(
+    data_sharded: jnp.ndarray,
+    n_true: int,
+    model,
+    sampler: Callable,
+    config: IncrementalConfig,
+    mesh,
+    step_sizes: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Returns jitted ``build(key, state, itrs) -> state`` where
+    ``data_sharded`` is row-sharded over the mesh's data axis (zero-padded
+    to divisibility; ``n_true`` is the unpadded row count) and the state is
+    replicated. Subsampled selection/optimization only (n_subsample_* must
+    be set: full-data mode on a shard is just the single-device builder)."""
+    if config.n_subsample_select is None or config.n_subsample_opt is None:
+        raise ValueError("sharded builder requires n_subsample_select/opt")
+
+    n_data = mesh.shape[DATA_AXIS]
+    n_samp = mesh.shape.get(SAMP_AXIS, 1)
+    S = config.projection_dim
+    if S % n_samp:
+        raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")
+    S_loc = S // n_samp
+    n_sel_loc = max(1, config.n_subsample_select // n_data)
+    n_opt_loc = max(1, config.n_subsample_opt // n_data)
+    dtype = data_sharded.dtype
+    if step_sizes is None:
+        step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
+    step_sizes = jnp.asarray(step_sizes, dtype=dtype)
+
+    def _proj(pts, samples_loc, beta):
+        """Local (n, S_loc) projection, centered over the FULL S axis via
+        psum('samp')."""
+        if config.use_beta:
+            lls = model.beta_likelihood(pts, samples_loc, beta)
+        else:
+            lls = model.log_likelihood(pts, samples_loc)
+        mean = jax.lax.psum(lls.sum(axis=1), SAMP_AXIS) / S
+        return lls - mean[:, None]
+
+    def _dot_S(a, b):
+        """Inner product over the sharded S axis."""
+        return jax.lax.psum(a @ b, SAMP_AXIS)
+
+    def _tangent(key, w, st, beta, n_loc, aux, data_local, ax_d, ax_s, local_valid):
+        k_samp, k_sub = jax.random.split(key)
+        # replicated sampler: same key on every device -> identical samples
+        samples, aux = sampler(k_samp, S, w, st.pts, aux)
+        samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
+        # stratified local subsample of this shard's valid rows
+        sub = jax.random.randint(jax.random.fold_in(k_sub, ax_d), (n_loc,), 0,
+                                 jnp.maximum(local_valid, 1))
+        vecs = _proj(data_local[sub], samples_loc, beta)
+        has_rows = (local_valid > 0).astype(dtype)
+        vecs = vecs * has_rows
+        # unbiased stratified Sigma-over-N: per-shard rescale, then psum
+        shard_scale = local_valid.astype(dtype) / n_loc
+        total = jax.lax.psum(shard_scale * vecs.sum(axis=0), DATA_AXIS)  # (S_loc,)
+        corevecs = _proj(st.pts, samples_loc, beta) * st.slot_mask[:, None].astype(dtype)
+        return vecs, corevecs, total, sub, aux
+
+    def _step(data_local, key, st: CoresetState) -> CoresetState:
+        ax_d = jax.lax.axis_index(DATA_AXIS)
+        ax_s = jax.lax.axis_index(SAMP_AXIS)
+        rows_loc = data_local.shape[0]
+        local_valid = jnp.clip(n_true - ax_d * rows_loc, 0, rows_loc)
+        k_sel, k_opt = jax.random.split(key)
+
+        # ---- select (distributed argmax) ----
+        vecs, corevecs, total, sub, aux = _tangent(
+            k_sel, st.wts, st, st.beta, n_sel_loc, st.sampler_aux,
+            data_local, ax_d, ax_s, local_valid,
+        )
+        resid_loc = total - st.wts @ corevecs  # (S_loc,), sharded over samp
+        corr_num = _dot_S(vecs, resid_loc)     # (n_loc,), replicated over samp
+        vn = jnp.sqrt(jax.lax.psum(jnp.sum(vecs * vecs, axis=1), SAMP_AXIS))
+        vn = jnp.where(vn > 0, vn, jnp.inf)
+        corrs = corr_num / vn / S
+        # shards with no valid rows (padding-only) never win the argmax
+        corrs = jnp.where(local_valid > 0, corrs, -jnp.inf)
+
+        cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
+        cn = jnp.where(cn > 0, cn, jnp.inf)
+        corecorrs = jnp.where(st.slot_mask, jnp.abs(_dot_S(corevecs, resid_loc)) / cn / S, -jnp.inf)
+
+        best_loc = jnp.argmax(corrs)
+        best_score = corrs[best_loc]
+        best_gidx = (ax_d * rows_loc + sub[best_loc]).astype(jnp.int32)
+        best_pt = data_local[sub[best_loc]]
+        scores_g = jax.lax.all_gather(best_score, DATA_AXIS)   # (n_data,)
+        gidx_g = jax.lax.all_gather(best_gidx, DATA_AXIS)
+        pts_g = jax.lax.all_gather(best_pt, DATA_AXIS)
+        win = jnp.argmax(scores_g)
+        f, f_pt, f_score = gidx_g[win], pts_g[win], scores_g[win]
+
+        take_new = jnp.logical_or(st.m == 0, f_score > jnp.max(corecorrs))
+        already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
+        M_max = st.wts.shape[0]
+        add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+        slot = jnp.minimum(st.m, M_max - 1)
+        st = st._replace(
+            idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),
+            pts=jnp.where(add, st.pts.at[slot].set(f_pt), st.pts),
+            m=jnp.where(add, st.m + 1, st.m),
+            sampler_aux=aux,
+        )
+
+        # ---- optimize (replicated Adam over the M-dim weights) ----
+        def grad_step(carry, inp):
+            w, m1, m2, aux = carry
+            lr, k, i = inp
+            vecs_o, corevecs_o, total_o, _, aux = _tangent(
+                k, w, st, st.beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid
+            )
+            resid = total_o - w @ corevecs_o
+            g = -_dot_S(corevecs_o, resid) / S
+            m1 = 0.9 * m1 + 0.1 * g
+            m2 = 0.999 * m2 + 0.001 * g * g
+            t = i + 1.0
+            w = w - lr * (m1 / (1 - 0.9**t)) / (1e-8 + jnp.sqrt(m2 / (1 - 0.999**t)))
+            return (jnp.maximum(w, 0.0), m1, m2, aux), None
+
+        keys = jax.random.split(k_opt, config.opt_itrs)
+        steps = jnp.arange(config.opt_itrs, dtype=dtype)
+        (w_new, _, _, aux), _ = jax.lax.scan(
+            grad_step,
+            (st.wts, jnp.zeros_like(st.wts), jnp.zeros_like(st.wts), st.sampler_aux),
+            (step_sizes, keys, steps),
+        )
+        return st._replace(wts=w_new, sampler_aux=aux)
+
+    def _build_local(data_local, key, st, itrs):
+        def body(st, k):
+            return _step(data_local, k, st), None
+
+        st, _ = jax.lax.scan(body, st, jax.random.split(key, itrs))
+        return st
+
+    state_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
+
+    @partial(jax.jit, static_argnums=2)
+    def build(key, st: CoresetState, itrs: int) -> CoresetState:
+        return jax.shard_map(
+            lambda d, k, s: _build_local(d, k, s, itrs),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(), state_spec),
+            out_specs=state_spec,
+            check_vma=False,
+        )(data_sharded, key, st)
+
+    return build

@@ -1,0 +1,106 @@
+"""Inference-layer tests: Newton-Laplace vs scipy BFGS ground truth, and the
+HMC evaluation sampler vs exact conjugate posteriors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betacores_tpu.inference import hmc, logreg_laplace_sampler, newton_laplace
+from betacores_tpu.models import logreg
+import oracle.models as om
+
+
+class TestLaplace:
+    def test_matches_scipy_bfgs(self, rng):
+        N, d = 50, 5
+        X = rng.normal(size=(N, d))
+        y = np.where(rng.uniform(size=N) > 0.4, 1.0, -1.0)
+        Z = jnp.asarray(y[:, None] * X)
+        w = jnp.asarray(rng.uniform(0.5, 2.0, size=N))
+
+        lap = newton_laplace(
+            lambda th: logreg.log_joint(Z, th, w),
+            lambda th: logreg.grad_th_log_joint(Z, th, w),
+            lambda th: logreg.hess_th_log_joint(Z, th, w),
+            jnp.zeros(d),
+            n_iters=12,
+        )
+        from scipy.optimize import minimize
+
+        res = minimize(
+            lambda th: -om.lr_log_joint(np.asarray(Z), th, np.asarray(w)),
+            np.zeros(d),
+            jac=lambda th: -om.lr_grad_th_log_joint(np.asarray(Z), th, np.asarray(w)),
+            method="BFGS", options={"gtol": 1e-12},
+        )
+        np.testing.assert_allclose(np.asarray(lap.mu), res.x, rtol=1e-6, atol=1e-8)
+        H = om.lr_hess_th_log_joint(np.asarray(Z), res.x, np.asarray(w))
+        np.testing.assert_allclose(
+            np.asarray(lap.prec_chol @ lap.prec_chol.T), -H, rtol=1e-6
+        )
+
+    def test_warm_start_sampler_protocol(self, rng):
+        N, d = 30, 4
+        Z = jnp.asarray(rng.normal(size=(N, d)))
+        w = jnp.ones(N)
+        sampler = logreg_laplace_sampler(n_newton=10)
+        samples, mu = sampler(jax.random.key(0), 64, w, Z, jnp.zeros(d))
+        assert samples.shape == (64, d)
+        # warm restart should return the same mode
+        samples2, mu2 = sampler(jax.random.key(1), 64, w, Z, mu)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu2), rtol=1e-8, atol=1e-10)
+
+
+class TestHMC:
+    def test_gaussian_target_moments(self, rng):
+        """Exact check: sampling N(mu, Sig) must recover mean and covariance."""
+        d = 3
+        mu = jnp.asarray([1.0, -2.0, 0.5])
+        A = rng.normal(size=(d, d))
+        Sig = A @ A.T + d * np.eye(d)
+        Siginv = jnp.asarray(np.linalg.inv(Sig))
+
+        def logprob(th):
+            delta = th - mu
+            return -0.5 * delta @ (Siginv @ delta)
+
+        cfg = hmc.HMCConfig(n_samples=2500, n_warmup=800, L_max=24)
+        samples, stats = hmc.hmc_sample(jax.random.key(0), logprob, jnp.zeros(d), cfg)
+        s = np.asarray(samples)
+        assert 0.4 < float(stats["accept_stat"]) <= 1.0
+        np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.25)
+        np.testing.assert_allclose(np.cov(s, rowvar=False), Sig, atol=0.2 * np.abs(Sig).max() + 0.3)
+
+    def test_weighted_logreg_posterior_vs_laplace(self, rng):
+        """The HMC mean on a weighted logreg posterior must sit near the
+        Laplace mode (log-concave target, moderate N)."""
+        N, d = 60, 3
+        X = rng.normal(size=(N, d))
+        y = np.where(rng.uniform(size=N) > 0.5, 1.0, -1.0)
+        Z = jnp.asarray(y[:, None] * X)
+        w = jnp.asarray(rng.uniform(0.5, 2.0, size=N))
+        logprob = hmc.weighted_logreg_logprob(Z, w)
+        lap = newton_laplace(
+            logprob,
+            lambda th: logreg.grad_th_log_joint(Z, th, w),
+            lambda th: logreg.hess_th_log_joint(Z, th, w),
+            jnp.zeros(d), n_iters=12,
+        )
+        cfg = hmc.HMCConfig(n_samples=2000, n_warmup=800, L_max=24)
+        samples, stats = hmc.hmc_sample(jax.random.key(3), logprob, jnp.zeros(d), cfg)
+        s = np.asarray(samples)
+        sd = np.sqrt(np.diag(np.asarray(lap.prec_chol @ lap.prec_chol.T)) ** -1)
+        atol = float(np.max(4 * sd / np.sqrt(200) + 0.1))
+        np.testing.assert_allclose(s.mean(0), np.asarray(lap.mu), atol=atol)
+
+    def test_multichain(self, rng):
+        def logprob(th):
+            return -0.5 * jnp.sum(th * th)
+
+        cfg = hmc.HMCConfig(n_samples=500, n_warmup=300, L_max=16)
+        samples, stats = hmc.run_chains(jax.random.key(1), logprob, jnp.zeros(2), 4, cfg)
+        assert samples.shape == (4, 500, 2)
+        pooled = np.asarray(samples).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.mean(0), np.zeros(2), atol=0.15)
+        np.testing.assert_allclose(pooled.std(0), np.ones(2), atol=0.15)

@@ -1,0 +1,80 @@
+"""Sharded-build tests on the virtual 8-device CPU mesh (SURVEY.md section 4:
+single-device vs sharded equivalence without a real cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betacores_tpu.coresets import IncrementalConfig, init_state, make_incremental_builder
+from betacores_tpu.inference import gaussian_conjugate_sampler
+from betacores_tpu.models import gaussian as gmod
+from betacores_tpu.parallel import make_mesh, make_sharded_incremental_builder, shard_data
+from oracle import models as om
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(11)
+    N, d = 600, 4
+    Sig = 3.0 * np.eye(d)
+    Siginv = np.linalg.inv(Sig)
+    logdetSig = np.linalg.slogdet(Sig)[1]
+    X = rng.multivariate_normal(np.zeros(d), Sig, N)
+    model = gmod.bundle(jnp.asarray(Siginv), logdetSig)
+    sampler = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.asarray(Siginv))
+    mup, Sigp = om.gauss_weighted_post(np.zeros(d), np.eye(d), Siginv, X, np.ones(N))
+    return X, model, sampler, (np.zeros(d), np.eye(d), Siginv, mup, Sigp)
+
+
+def _rkl(w, p, aux):
+    mu0, Sig0inv, Siginv, mup, Sigp = aux
+    muw, Sigw = om.gauss_weighted_post(mu0, Sig0inv, Siginv, np.atleast_2d(p), np.atleast_1d(w))
+    return om.gaussian_KL(muw, Sigw, mup, np.linalg.inv(Sigp))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_build_quality(problem, mesh_shape):
+    """The sharded build must reach the same posterior quality as the
+    single-device build, for every mesh factorization."""
+    X, model, sampler, aux = problem
+    cfg = IncrementalConfig(projection_dim=32, n_subsample_select=128,
+                            n_subsample_opt=64, opt_itrs=40, i0=1.0, use_beta=False)
+    mesh = make_mesh(*mesh_shape)
+    data_sharded, n_true = shard_data(jnp.asarray(X), mesh)
+    build = make_sharded_incremental_builder(data_sharded, n_true, model, sampler, cfg, mesh)
+    st = init_state(64, X.shape[1], dtype=data_sharded.dtype)
+    st = build(jax.random.key(0), st, 8)
+    w = np.asarray(st.wts)
+    p = np.asarray(st.pts)
+    keep = w > 0
+    assert keep.sum() >= 4
+    assert int(st.m) <= 8
+    # all selected indices are real (unpadded) rows, matching their points
+    idcs = np.asarray(st.idcs)[: int(st.m)]
+    assert (idcs >= 0).all() and (idcs < X.shape[0]).all()
+    np.testing.assert_allclose(np.asarray(data_sharded)[idcs], p[: int(st.m)], rtol=1e-6)
+
+    kl = _rkl(w[keep], p[keep], aux)
+    kl_prior = _rkl(np.zeros(1), np.zeros((1, X.shape[1])), aux)
+    assert kl < 0.3 * kl_prior, (kl, kl_prior)
+
+
+def test_sharded_matches_single_device_quality(problem):
+    X, model, sampler, aux = problem
+    cfg = IncrementalConfig(projection_dim=32, n_subsample_select=128,
+                            n_subsample_opt=64, opt_itrs=40, i0=1.0)
+    # single device
+    b1 = make_incremental_builder(jnp.asarray(X), model, sampler, cfg)
+    st1 = b1.build(jax.random.key(1), init_state(64, X.shape[1], dtype=jnp.float64), 8)
+    w1, p1 = np.asarray(st1.wts), np.asarray(st1.pts)
+    kl1 = _rkl(w1[w1 > 0], p1[w1 > 0], aux)
+    # sharded
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    b2 = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    st2 = b2(jax.random.key(1), init_state(64, X.shape[1], dtype=ds.dtype), 8)
+    w2, p2 = np.asarray(st2.wts), np.asarray(st2.pts)
+    kl2 = _rkl(w2[w2 > 0], p2[w2 > 0], aux)
+    # statistical equivalence: same quality ballpark (different subsample streams)
+    assert kl2 < 3.0 * kl1 + 1e-3, (kl1, kl2)
