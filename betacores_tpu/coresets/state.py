@@ -46,17 +46,32 @@ def warm_start_state(max_size: int, wts, idcs, pts, beta: float = 0.5,
                      sampler_aux: Any = None) -> CoresetState:
     """Seed a state with an existing coreset (reference constructor kwargs
     wts/idcs/pts at coreset/coreset.py:8-14, used for warm-started batch
-    acquisition at zellner_neural_linear/main.py:146-150)."""
-    wts = jnp.asarray(wts)
-    idcs = jnp.asarray(idcs, dtype=jnp.int32)
-    pts = jnp.asarray(pts)
+    acquisition at zellner_neural_linear/main.py:146-150).
+
+    Padding is assembled host-side in numpy and transferred once: eager
+    ``.at[:k].set`` with data-dependent k would compile a fresh tiny TPU
+    executable per distinct coreset size."""
+    import numpy as np
+
+    wts = np.asarray(wts)
+    pts = np.atleast_2d(np.asarray(pts))
     k, d = pts.shape
-    st = init_state(max_size, d, beta=beta, sampler_aux=sampler_aux, dtype=wts.dtype)
-    return st._replace(
-        wts=st.wts.at[:k].set(wts),
-        idcs=st.idcs.at[:k].set(idcs),
-        pts=st.pts.at[:k].set(pts),
+    dtype = wts.dtype
+    w_buf = np.zeros(max_size, dtype=dtype)
+    i_buf = -np.ones(max_size, dtype=np.int32)
+    p_buf = np.zeros((max_size, d), dtype=dtype)
+    w_buf[:k] = wts
+    i_buf[:k] = np.asarray(idcs, dtype=np.int32)
+    p_buf[:k] = pts
+    if sampler_aux is None:
+        sampler_aux = jnp.zeros(d, dtype=jnp.asarray(w_buf).dtype)
+    return CoresetState(
+        wts=jnp.asarray(w_buf),
+        idcs=jnp.asarray(i_buf),
+        pts=jnp.asarray(p_buf),
         m=jnp.asarray(k, dtype=jnp.int32),
+        beta=jnp.asarray(beta, dtype=jnp.asarray(w_buf).dtype),
+        sampler_aux=sampler_aux,
     )
 
 

@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Synthetic contaminated-Gaussian coreset experiment.
+
+Reproduces reference examples/zellner_gaussian/main.py: N Gaussian points
+plus three outlier clusters; build {BCORES, BPSVI, SVI, GIGAO, GIGAR, RAND,
+PRIOR} coresets for sizes m = 1..M; score each size by closed-form
+reverse/forward KL against the clean-data posterior; pickle the results.
+
+Usage:  python3 examples/zellner_gaussian.py --alg BCORES --trial 1
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import betacores_tpu as bc
+from betacores_tpu.data import gen_synthetic_gaussian
+from betacores_tpu.evaluation import reverse_forward_kl
+from betacores_tpu.inference import gaussian_conjugate_sampler, prior_gaussian_sampler
+from betacores_tpu.models import gaussian as gmod
+
+ALGS = ["BCORES", "BPSVI", "SVI", "GIGAO", "GIGAR", "RAND", "PRIOR"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alg", choices=ALGS, default="BCORES")
+    ap.add_argument("--trial", type=int, default=1)
+    ap.add_argument("--M", type=int, default=200)
+    ap.add_argument("--N", type=int, default=5000)
+    ap.add_argument("--d", type=int, default=100)
+    ap.add_argument("--proj-dim", type=int, default=200)
+    ap.add_argument("--opt-itrs", type=int, default=1000)
+    ap.add_argument("--n-subsample-opt", type=int, default=200)
+    ap.add_argument("--n-subsample-select", type=int, default=1000)
+    ap.add_argument("--i0", type=float, default=0.1)
+    ap.add_argument("--beta", type=float, default=0.1)
+    ap.add_argument("--pihat-noise", type=float, default=0.75)
+    ap.add_argument("--results-dir", default="results")
+    args = ap.parse_args()
+
+    key = jax.random.key(args.trial)
+    kd, kh = jax.random.split(key)
+    X, Xc, Sig = gen_synthetic_gaussian(kd, N=args.N, d=args.d, dtype=jnp.float32)
+    d = args.d
+    mu0, Sig0 = jnp.zeros(d), jnp.eye(d)
+    Sig0inv = jnp.eye(d)
+    Siginv = jnp.asarray(np.linalg.inv(np.asarray(Sig)), dtype=jnp.float32)
+    logdetSig = float(np.linalg.slogdet(np.asarray(Sig))[1])
+
+    model = gmod.bundle(Siginv, logdetSig)
+    sampler_w = gaussian_conjugate_sampler(mu0, Sig0inv, Siginv)
+    # true posterior of the clean data
+    post_full = gmod.weighted_post(mu0, Sig0inv, Siginv, X, jnp.ones(X.shape[0]))
+
+    sched = lambda i: args.i0 / (1.0 + i)
+    S = args.proj_dim
+    prj_w = bc.BlackBoxProjector(sampler_w, S, model.log_likelihood, model.grad_z_log_likelihood)
+    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model.beta_likelihood,
+                                      model.log_likelihood, model.beta_gradient)
+
+    # mis-tuned projector for GIGAR (reference main.py:76-84)
+    U = float(jax.random.uniform(jax.random.fold_in(kh, 0)))
+    muhat = U * post_full.mu  # + (1-U)*0
+    Sighat = U * post_full.cov + (1.0 - U) * Sig0
+    muhat = muhat + args.pihat_noise * jnp.linalg.norm(muhat) * jax.random.normal(
+        jax.random.fold_in(kh, 1), (d,), dtype=jnp.float32)
+    Sighat = Sighat * jnp.exp(-2 * args.pihat_noise * jnp.abs(
+        jax.random.normal(jax.random.fold_in(kh, 2), (), dtype=jnp.float32)))
+    sampler_opt = prior_gaussian_sampler(post_full.mu, jnp.linalg.cholesky(post_full.cov))
+    sampler_real = prior_gaussian_sampler(muhat, jnp.linalg.cholesky(Sighat))
+    prj_opt = bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood)
+    prj_real = bc.BlackBoxProjector(sampler_real, S, model.log_likelihood)
+
+    common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
+                  n_subsample_select=args.n_subsample_select, step_sched=sched,
+                  seed=args.trial, max_size=args.M)
+    algs = {
+        "BCORES": lambda: bc.BetaCoreset(Xc, prj_bw, beta=args.beta, learn_beta=False, **common),
+        "SVI": lambda: bc.SparseVICoreset(Xc, prj_w, **common),
+        "BPSVI": lambda: bc.BatchPSVICoreset(Xc, prj_w, opt_itrs=args.opt_itrs,
+                                             n_subsample_opt=args.n_subsample_opt,
+                                             seed=args.trial, max_size=args.M),
+        "GIGAO": lambda: bc.HilbertCoreset(Xc, prj_opt, seed=args.trial),
+        "GIGAR": lambda: bc.HilbertCoreset(Xc, prj_real, seed=args.trial),
+        "RAND": lambda: bc.UniformSamplingCoreset(Xc, seed=args.trial),
+        "PRIOR": lambda: None,
+    }
+
+    t0 = time.perf_counter()
+    w = [np.zeros(1)]
+    p = [np.zeros((1, d))]
+    betas = [args.beta]
+    alg = algs[args.alg]()
+    if args.alg == "PRIOR":
+        for m in range(1, args.M + 1):
+            w.append(np.zeros(1))
+            p.append(np.zeros((1, d)))
+    elif args.alg == "BPSVI":
+        # vmapped across sizes (replaces the reference's Pool(10))
+        from betacores_tpu.coresets import bpsvi_build_batch
+
+        builder = alg._builder_for(args.M)
+        wts_b, pts_b, _ = bpsvi_build_batch(builder, jax.random.key(args.trial + 1000),
+                                            list(range(1, args.M + 1)), args.M,
+                                            jnp.zeros(d, dtype=jnp.float32))
+        for m in range(1, args.M + 1):
+            wm = np.asarray(wts_b[m - 1])
+            keep = wm > 0
+            w.append(wm[keep])
+            p.append(np.asarray(pts_b[m - 1])[keep])
+    else:
+        for m in range(1, args.M + 1):
+            alg.build(1, m)
+            got = alg.get()
+            w.append(got[0])
+            p.append(got[1])
+            if args.alg == "BCORES":
+                betas.append(got[3])
+    build_time = time.perf_counter() - t0
+
+    # KL evaluation per coreset size (reference main.py:157-167).
+    # Zero-weight pad every coreset to one static shape so a single compiled
+    # (weighted_post + KL) program serves all M+1 sizes, then vmap over m.
+    cap = max(len(np.atleast_1d(wm)) for wm in w)
+    Wpad = np.zeros((args.M + 1, cap), dtype=np.float32)
+    Ppad = np.zeros((args.M + 1, cap, d), dtype=np.float32)
+    for m in range(args.M + 1):
+        wm, pm = np.atleast_1d(w[m]), np.atleast_2d(p[m])
+        Wpad[m, : len(wm)] = wm
+        Ppad[m, : len(wm)] = pm
+
+    @jax.jit
+    def eval_m(wm, pm):
+        post_w = gmod.weighted_post(mu0, Sig0inv, Siginv, pm, wm)
+        return reverse_forward_kl(post_w, post_full)
+
+    rklw, fklw = jax.vmap(eval_m)(jnp.asarray(Wpad), jnp.asarray(Ppad))
+    rklw, fklw = np.asarray(rklw), np.asarray(fklw)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    out = os.path.join(args.results_dir, f"results_{args.alg}_{args.trial}.pk")
+    with open(out, "wb") as fh:
+        pickle.dump({"alg": args.alg, "trial": args.trial, "w": w, "p": p,
+                     "rklw": rklw, "fklw": fklw, "betas": betas,
+                     "build_time_s": build_time,
+                     "mup": np.asarray(post_full.mu), "Sigp": np.asarray(post_full.cov)}, fh)
+    print(f"{args.alg} trial {args.trial}: build {build_time:.1f}s, "
+          f"rKL[1]={rklw[1]:.3f} rKL[M]={rklw[args.M]:.3f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

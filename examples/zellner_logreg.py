@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Bayesian-logistic-regression coreset experiment on UCI-scale data.
+
+Reproduces reference examples/zellner_logreg/main.py: load an npz dataset
+(or generate a synthetic one), whiten covariates, inject f_rate corruption,
+build {BCORES, SVI, BPSVI, RAND, PRIOR} coresets up to size M with a
+Laplace-approximation posterior sampler, then evaluate each coreset size by
+sampling the weighted posterior with the TPU-native HMC sampler (replacing
+the reference's weighted-Stan NUTS) and computing test accuracy and
+predictive log-likelihood. (The reference's evaluation loop dies at an
+``exit()`` debug artifact after the first MCMC, main.py:223 — completed
+here.)
+
+Usage: python3 examples/zellner_logreg.py --alg BCORES --dataset synth_lr \
+          --trial 1 --f-rate 0.1
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import betacores_tpu as bc
+from betacores_tpu.data import gen_synthetic_logreg, perturb_logreg
+from betacores_tpu.data.loaders import load_npz, reference_dataset_path, std_cov
+from betacores_tpu.evaluation import compute_accuracy, predictive_loglik
+from betacores_tpu.inference import HMCConfig, hmc, logreg_laplace_sampler
+from betacores_tpu.models import logreg
+
+ALGS = ["BCORES", "SVI", "BPSVI", "RAND", "PRIOR"]
+
+
+def load_dataset(name: str, trial: int):
+    path = reference_dataset_path(name)
+    if path is not None:
+        X, Y, Xt, Yt = load_npz(path)
+        X, Y, Z, mean_, cov_ = std_cov(X, Y)
+        Xt, Yt, Zt, _, _ = std_cov(Xt, Yt, mean_, cov_)
+        return (np.asarray(a, dtype=np.float32) for a in (X, Y, Z, Xt, Yt, Zt))
+    # synthetic fallback (zero-egress environments)
+    k = jax.random.key(trial + 7)
+    k1, k2 = jax.random.split(k)
+    X, Y, Z = gen_synthetic_logreg(k1, 12000, d=10)
+    Xt, Yt, Zt = gen_synthetic_logreg(k2, 2000, d=10)
+    return X, Y, Z, Xt, Yt, Zt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alg", choices=ALGS, default="BCORES")
+    ap.add_argument("--dataset", default="synth_lr")
+    ap.add_argument("--trial", type=int, default=1)
+    ap.add_argument("--graddiag", action="store_true")
+    ap.add_argument("--i0", type=float, default=1.0)
+    ap.add_argument("--f-rate", type=float, default=0.1)
+    ap.add_argument("--M", type=int, default=100)
+    ap.add_argument("--proj-dim", type=int, default=100)
+    ap.add_argument("--opt-itrs", type=int, default=500)
+    ap.add_argument("--n-subsample-opt", type=int, default=200)
+    ap.add_argument("--n-subsample-select", type=int, default=1000)
+    ap.add_argument("--beta", type=float, default=0.1)
+    ap.add_argument("--eval-every", type=int, default=10,
+                    help="evaluate accuracy/pll every k-th coreset size")
+    ap.add_argument("--mcmc-samples", type=int, default=1000)
+    ap.add_argument("--mcmc-warmup", type=int, default=1000)
+    ap.add_argument("--results-dir", default="results")
+    args = ap.parse_args()
+
+    X, Y, Z, Xt, Yt, Zt = (jnp.asarray(a) for a in load_dataset(args.dataset, args.trial))
+    kp = jax.random.key(args.trial)
+    X, Y, Z, out_idx = perturb_logreg(kp, X, Y, f_rate=args.f_rate)
+    D = X.shape[1]
+    print(f"dataset {args.dataset}: N={X.shape[0]} d={D}, corrupted {len(out_idx)}")
+
+    model = logreg.bundle()
+    sampler_w = logreg_laplace_sampler(diag=args.graddiag)
+    sched = lambda i: args.i0 / (1.0 + i)
+    S = args.proj_dim
+    prj_w = bc.BlackBoxProjector(sampler_w, S, model.log_likelihood, model.grad_z_log_likelihood)
+    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model.beta_likelihood,
+                                      model.log_likelihood, model.beta_gradient)
+
+    common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
+                  n_subsample_select=args.n_subsample_select, step_sched=sched,
+                  seed=args.trial, max_size=args.M)
+    algs = {
+        "BCORES": lambda: bc.BetaCoreset(Z, prj_bw, beta=args.beta, learn_beta=False, **common),
+        "SVI": lambda: bc.SparseVICoreset(Z, prj_w, **common),
+        "BPSVI": lambda: bc.BatchPSVICoreset(Z, prj_w, opt_itrs=args.opt_itrs,
+                                             n_subsample_opt=args.n_subsample_opt,
+                                             seed=args.trial, max_size=args.M),
+        "RAND": lambda: bc.UniformSamplingCoreset(Z, seed=args.trial),
+        "PRIOR": lambda: None,
+    }
+    alg = algs[args.alg]()
+
+    t0 = time.perf_counter()
+    w = [np.zeros(1)]
+    p = [np.zeros((1, D), dtype=np.float32)]
+    if args.alg == "PRIOR":
+        for m in range(1, args.M + 1):
+            w.append(np.zeros(1))
+            p.append(np.zeros((1, D), dtype=np.float32))
+    elif args.alg == "BPSVI":
+        from betacores_tpu.coresets import bpsvi_build_batch
+
+        builder = alg._builder_for(args.M)
+        wts_b, pts_b, _ = bpsvi_build_batch(builder, jax.random.key(args.trial + 1000),
+                                            list(range(1, args.M + 1)), args.M,
+                                            jnp.zeros(D, dtype=jnp.float32))
+        for m in range(1, args.M + 1):
+            wm = np.asarray(wts_b[m - 1])
+            keep = wm > 0
+            w.append(wm[keep])
+            p.append(np.asarray(pts_b[m - 1])[keep])
+    else:
+        for m in range(1, args.M + 1):
+            alg.build(1, m)
+            got = alg.get()
+            w.append(got[0])
+            p.append(got[1])
+    build_time = time.perf_counter() - t0
+    print(f"build: {build_time:.1f}s")
+
+    # evaluation: HMC on the weighted coreset posterior per size
+    eval_ms = list(range(0, args.M + 1, args.eval_every))
+    accs, plls, mcmc_times = {}, {}, {}
+    cfg = HMCConfig(n_samples=args.mcmc_samples, n_warmup=args.mcmc_warmup, L_max=32)
+    for m in eval_ms:
+        wm = jnp.asarray(np.atleast_1d(w[m]), dtype=jnp.float32)
+        pm = jnp.asarray(np.atleast_2d(p[m]), dtype=jnp.float32)
+        logprob = hmc.weighted_logreg_logprob(pm, wm)
+        t1 = time.perf_counter()
+        samples, stats = hmc.hmc_sample(jax.random.key(args.trial * 100 + m), logprob,
+                                        jnp.zeros(D, dtype=jnp.float32), cfg)
+        samples = jax.block_until_ready(samples)
+        mcmc_times[m] = time.perf_counter() - t1
+        accs[m] = float(compute_accuracy(Xt, Yt, samples))
+        plls[m] = float(predictive_loglik(Zt, samples))
+        print(f"m={m:4d} acc={accs[m]:.4f} pll={plls[m]:.4f} "
+              f"accept={float(stats['accept_stat']):.2f} ({mcmc_times[m]:.1f}s)")
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}"
+    out = os.path.join(args.results_dir, f"results_{tag}.pk")
+    with open(out, "wb") as fh:
+        pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,
+                     "build_time_s": build_time, "mcmc_times": mcmc_times}, fh)
+    print(f"saved -> {out}")
+
+
+if __name__ == "__main__":
+    main()
