@@ -165,7 +165,10 @@ class _IncrementalCoreset(Coreset):
     def __init__(self, data, ll_projector, n_subsample_select=None, n_subsample_opt=None,
                  opt_itrs: int = 100, step_sched: Callable = lambda i: 1.0 / (1.0 + i),
                  beta: float = 0.5, learn_beta: Optional[bool] = None, seed: int = 0,
-                 max_size: int = 0, **kw):
+                 max_size: int = 0, groups=None, initialized: bool = False, **kw):
+        if groups is not None and not max_size:
+            # group appends add up to max-group-size slots per iteration
+            max_size = sum(len(g) for g in groups)
         super().__init__(data, seed=seed, max_size=max_size, beta=beta, **kw)
         self.projector = ll_projector
         if learn_beta is not None:
@@ -179,21 +182,52 @@ class _IncrementalCoreset(Coreset):
             use_beta=self._use_beta,
             learn_beta=self._learn_beta,
         )
-        self._builder = make_incremental_builder(self.data, ll_projector.model,
-                                                 ll_projector.sampler, cfg,
-                                                 step_sizes=step_sizes)
         self._cfg = cfg
+        self.groups = groups
+        if groups is None:
+            self._builder = make_incremental_builder(self.data, ll_projector.model,
+                                                     ll_projector.sampler, cfg,
+                                                     step_sizes=step_sizes)
+        else:
+            from ..ops.projection import Groups
+            from .groups import init_group_state, make_group_incremental_builder
+
+            self._groups_padded = Groups.from_lists(groups)
+            self._builder = make_group_incremental_builder(
+                self.data, self._groups_padded, ll_projector.model,
+                ll_projector.sampler, cfg, step_sizes=step_sizes)
+            self._gstate = init_group_state(
+                self.state, len(groups),
+                initialized=int(self.state.m) if initialized else 0)
+
+    @property
+    def selected_groups(self):
+        """Indices of groups selected so far (reference bcores.py:114-115)."""
+        if self.groups is None:
+            return []
+        return np.where(np.asarray(self._gstate.selected))[0].tolist()
 
     def _build(self, itrs: int, sz: int) -> None:
-        if self.size() + itrs > sz:
-            raise ValueError(
-                f"{self.__class__.__name__}._build(): itrs + current size "
-                f"({self.size()} + {itrs}) exceeds desired size {sz}"
-            )
-        self.state = self._builder.build(self.keys(), self.state, int(itrs))
+        if self.groups is None:
+            if self.size() + itrs > sz:
+                raise ValueError(
+                    f"{self.__class__.__name__}._build(): itrs + current size "
+                    f"({self.size()} + {itrs}) exceeds desired size {sz}"
+                )
+            self.state = self._builder.build(self.keys(), self.state, int(itrs))
+        else:
+            self._gstate = self._gstate._replace(core=self.state)
+            self._gstate = self._builder(self.keys(), self._gstate, int(itrs))
+            self.state = self._gstate.core
+
+    def _ensure_capacity(self, sz: int) -> None:
+        if self.groups is None:
+            super()._ensure_capacity(sz)
+        # group mode pre-allocates the full capacity at construction
 
     def _optimize(self) -> None:
-        self.state = self._builder.optimize(self.keys(), self.state)
+        if self.groups is None:
+            self.state = self._builder.optimize(self.keys(), self.state)
 
 
 class SparseVICoreset(_IncrementalCoreset):
@@ -325,23 +359,39 @@ class UniformSamplingCoreset(Coreset):
     """Uniform-sampling baseline (spec: reference coreset/sampling.py):
     iid uniform draws with multiplicity counts, w = N * cts / sum(cts)."""
 
-    def __init__(self, data, seed: int = 0, **kw):
+    def __init__(self, data, seed: int = 0, groups=None, **kw):
         super().__init__(data, seed=seed, **kw)
         self.cts: dict[int, int] = {}
+        self.groups = groups
+        self.selected_groups: list[int] = []
         self._rng = np.random.default_rng(seed)
 
     def reset(self):
         self.cts = {}
+        self.selected_groups = []
         super().reset()
 
     def _build(self, itrs: int, sz: int) -> None:
-        if self.size() + itrs > sz:
-            raise ValueError("UniformSamplingCoreset._build(): size overrun")
         N = self.data.shape[0]
-        for f in self._rng.integers(0, N, size=itrs):
-            self.cts[int(f)] = self.cts.get(int(f), 0) + 1
-        idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-        cts = np.fromiter(self.cts.values(), dtype=np.float64)
+        if self.groups is None:
+            if self.size() + itrs > sz:
+                raise ValueError("UniformSamplingCoreset._build(): size overrun")
+            for f in self._rng.integers(0, N, size=itrs):
+                self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+            cts = np.fromiter(self.cts.values(), dtype=np.float64)
+        else:
+            # group mode (reference sampling.py:37-52): draw groups; append
+            # every member of each new group once
+            for g in self._rng.integers(0, len(self.groups), size=itrs):
+                if int(g) not in self.selected_groups:
+                    self.selected_groups.append(int(g))
+                    for f in self.groups[int(g)]:
+                        self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+            if not self.cts:
+                return
+            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+            cts = np.fromiter(self.cts.values(), dtype=np.float64)
         wts = N * cts / cts.sum()
         pts = np.asarray(self.data)[idcs]
         self._ensure_capacity(len(idcs))

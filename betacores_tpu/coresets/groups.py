@@ -1,0 +1,180 @@
+"""Group-mode (batch) incremental coreset builds.
+
+Spec: reference coreset/bcores.py:91-123 and coreset/sparsevi.py:97-126
+(group branches), used for demographic-group data valuation
+(zellner_logreg/group_selection.py) and batch acquisition in the
+neural-linear experiment. Selection scores whole groups — a group's tangent
+vector is the SUM of its members' projections (bcores.py:50,60) — and
+appends every member of the winning group with zero initial weight; weight
+refinement then runs at the individual-point level.
+
+TPU design: group vectors come from one full (N, S) projection followed by
+``segment_sum`` over a per-point group-id vector (one pass, MXU matmul +
+scatter-add), instead of the reference's Python loop of per-group
+projections. Appending a variable-size group under static shapes scatters a
+padded (L_max,) member block with out-of-range drop.
+
+Reference behaviors preserved: the first ``initialized`` warm-start slots
+are excluded from the existing-point score comparison (bcores.py:105-109);
+with ``n_subsample_opt`` set, refinement subsamples individual POINTS, not
+groups (the reference's branch at bcores.py:51 applies because
+``select=False``); selected groups are never re-selected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.projection import Groups, draw_subsample, project_beta, project_ll
+from ..utils.opt import nn_adam, step_schedule
+from .incremental import IncrementalConfig
+from .state import CoresetState
+
+
+class GroupCoresetState(NamedTuple):
+    core: CoresetState
+    selected: jnp.ndarray      # (G,) bool: group already in the coreset
+    initialized: jnp.ndarray   # scalar int32: warm-start slots locked out of
+                               # the corecorr comparison
+
+
+def group_ids_from_groups(groups: Groups, n_data: int) -> jnp.ndarray:
+    """(N,) int32 group id per point; points in no group get id G (an extra
+    dropped segment)."""
+    members = np.asarray(groups.members)
+    G = members.shape[0]
+    gid = np.full(n_data, G, dtype=np.int32)
+    for g in range(G):
+        mem = members[g]
+        gid[mem[mem >= 0]] = g
+    return jnp.asarray(gid)
+
+
+def init_group_state(core: CoresetState, n_groups: int,
+                     selected=None, initialized: int = 0) -> GroupCoresetState:
+    sel = jnp.zeros(n_groups, dtype=bool) if selected is None else jnp.asarray(selected)
+    return GroupCoresetState(core=core, selected=sel,
+                             initialized=jnp.asarray(initialized, dtype=jnp.int32))
+
+
+def make_group_incremental_builder(
+    data: jnp.ndarray,
+    groups: Groups,
+    model,
+    sampler: Callable,
+    config: IncrementalConfig,
+    step_sizes: Optional[jnp.ndarray] = None,
+):
+    """Returns jitted ``build(key, gstate, itrs) -> gstate``."""
+    N = data.shape[0]
+    G = groups.n_groups
+    L_max = groups.max_size
+    S = config.projection_dim
+    n_sel = None if config.n_subsample_select is None else min(G, config.n_subsample_select)
+    n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
+    dtype = data.dtype
+    gid = group_ids_from_groups(groups, N)
+    group_sizes = groups.sizes
+    if step_sizes is None:
+        step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
+    step_sizes = jnp.asarray(step_sizes, dtype=dtype)
+
+    def _project(pts, samples, beta):
+        if config.use_beta:
+            return project_beta(model, pts, samples, beta)
+        return project_ll(model, pts, samples)
+
+    def _group_vecs(samples, beta):
+        """(G, S) group tangent vectors via one full projection + segment_sum."""
+        vecs = _project(data, samples, beta)  # (N, S)
+        return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
+
+    def _corevecs(st: CoresetState, samples, beta):
+        return _project(st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
+
+    def _select(key, gst: GroupCoresetState) -> GroupCoresetState:
+        st = gst.core
+        k_samp, k_sub = jax.random.split(key)
+        samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
+        gvecs_all = _group_vecs(samples, st.beta)
+        if n_sel is None:
+            gvecs = gvecs_all
+            cand_gidx = jnp.arange(G, dtype=jnp.int32)
+            scaling = jnp.asarray(1.0, dtype=dtype)
+        else:
+            cand_gidx = jax.random.randint(k_sub, (n_sel,), 0, G).astype(jnp.int32)
+            gvecs = gvecs_all[cand_gidx]
+            scaling = jnp.asarray(G / n_sel, dtype=dtype)
+        corevecs = _corevecs(st, samples, st.beta)
+        resid = scaling * gvecs.sum(axis=0) - st.wts @ corevecs
+
+        vn = jnp.sqrt(jnp.sum(gvecs * gvecs, axis=1))
+        vn = jnp.where(vn > 0, vn, jnp.inf)
+        corrs = (gvecs @ resid) / vn / S
+        cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+        cn = jnp.where(cn > 0, cn, jnp.inf)
+        slot_ids = jnp.arange(st.wts.shape[0])
+        compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
+        corecorrs = jnp.where(compare_mask,
+                              jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+
+        best = jnp.argmax(corrs)
+        f = cand_gidx[best]
+        take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
+        fresh = jnp.logical_not(gst.selected[f])
+        M_max = st.wts.shape[0]
+        size_f = group_sizes[f]
+        room = st.m + size_f <= M_max
+        add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+
+        members = groups.members[f]                      # (L_max,) padded -1
+        j = jnp.arange(L_max)
+        pos = st.m + j
+        valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
+        pos_safe = jnp.where(valid, pos, M_max)          # out-of-range -> dropped
+        mem_safe = jnp.maximum(members, 0)
+        idcs_new = st.idcs.at[pos_safe].set(members, mode="drop")
+        pts_new = st.pts.at[pos_safe].set(data[mem_safe], mode="drop")
+        wts_new = st.wts.at[pos_safe].set(jnp.zeros(L_max, dtype=dtype), mode="drop")
+        m_new = jnp.where(add, st.m + size_f, st.m)
+        st = st._replace(wts=wts_new, idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
+        return GroupCoresetState(core=st, selected=gst.selected.at[f].set(
+            jnp.logical_or(gst.selected[f], add)), initialized=gst.initialized)
+
+    def _optimize(key, gst: GroupCoresetState) -> GroupCoresetState:
+        st = gst.core
+
+        def grad_fn(w, aux, k):
+            k_samp, k_sub = jax.random.split(k)
+            samples, aux = sampler(k_samp, S, w, st.pts, aux)
+            if n_opt is None:
+                vec_total = _group_vecs(samples, st.beta).sum(axis=0)
+                scaling = jnp.asarray(1.0, dtype=dtype)
+            else:
+                sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                vec_total = _project(data[sub_idcs], samples, st.beta).sum(axis=0)
+            corevecs = _corevecs(st, samples, st.beta)
+            resid = scaling * vec_total - w @ corevecs
+            return -(corevecs @ resid) / S, aux
+
+        w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
+        return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
+
+    @partial(jax.jit, static_argnums=2)
+    def build(key, gst: GroupCoresetState, itrs: int) -> GroupCoresetState:
+        def body(gst, k):
+            k1, k2 = jax.random.split(k)
+            gst = _select(k1, gst)
+            gst = _optimize(k2, gst)
+            return gst, None
+
+        gst, _ = jax.lax.scan(body, gst, jax.random.split(key, itrs))
+        return gst
+
+    return build

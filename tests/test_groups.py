@@ -1,0 +1,120 @@
+"""Group-mode (batch selection) tests: segment-sum group projections match
+per-group sums, group builds select whole groups, warm-start slot locking,
+and the uniform group baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import betacores_tpu as bc
+from betacores_tpu.coresets import init_state
+from betacores_tpu.coresets.groups import (
+    group_ids_from_groups,
+    init_group_state,
+    make_group_incremental_builder,
+)
+from betacores_tpu.coresets.incremental import IncrementalConfig
+from betacores_tpu.inference import fixed_sampler, gaussian_conjugate_sampler
+from betacores_tpu.models import gaussian as gmod
+from betacores_tpu.ops.projection import Groups, project_groups, project_ll
+
+
+@pytest.fixture
+def setup(rng):
+    N, d, S = 60, 3, 8
+    Sig = np.eye(d) * 2.0
+    Siginv = np.linalg.inv(Sig)
+    logdetSig = np.linalg.slogdet(Sig)[1]
+    X = rng.normal(size=(N, d))
+    samples = rng.normal(size=(S, d))
+    model = gmod.bundle(jnp.asarray(Siginv), logdetSig)
+    # uneven groups covering all points
+    sizes = [5, 12, 3, 20, 10, 10]
+    groups, i = [], 0
+    for s in sizes:
+        groups.append(list(range(i, i + s)))
+        i += s
+    return X, samples, model, groups, Siginv
+
+
+def test_group_projection_matches_member_sums(setup):
+    X, samples, model, groups, _ = setup
+    gp = Groups.from_lists(groups)
+    proj = lambda pts: project_ll(model, pts, jnp.asarray(samples))
+    gvecs = np.asarray(project_groups(proj, jnp.asarray(X), gp))
+    full = np.asarray(proj(jnp.asarray(X)))
+    for g, mem in enumerate(groups):
+        np.testing.assert_allclose(gvecs[g], full[mem].sum(axis=0), rtol=1e-9)
+    # segment-sum path agrees too
+    gid = group_ids_from_groups(gp, X.shape[0])
+    seg = jax.ops.segment_sum(jnp.asarray(full), gid, num_segments=len(groups) + 1)[: len(groups)]
+    np.testing.assert_allclose(np.asarray(seg), gvecs, rtol=1e-9)
+
+
+def test_group_build_selects_whole_groups(setup):
+    X, samples, model, groups, _ = setup
+    gp = Groups.from_lists(groups)
+    cfg = IncrementalConfig(projection_dim=samples.shape[0], opt_itrs=10, i0=0.5, use_beta=False)
+    builder = make_group_incremental_builder(
+        jnp.asarray(X), gp, model, fixed_sampler(jnp.asarray(samples)), cfg)
+    gst = init_group_state(init_state(60, X.shape[1], dtype=jnp.float64), len(groups))
+    gst = builder(jax.random.key(0), gst, 3)
+    st = gst.core
+    m = int(st.m)
+    sel = np.where(np.asarray(gst.selected))[0]
+    assert len(sel) >= 1
+    # appended slots = exact union of the selected groups' members
+    assert m == sum(len(groups[g]) for g in sel)
+    got_idcs = set(np.asarray(st.idcs)[:m].tolist())
+    want_idcs = set(i for g in sel for i in groups[g])
+    assert got_idcs == want_idcs
+    # each slot's point matches its index
+    np.testing.assert_allclose(
+        np.asarray(st.pts)[:m], X[np.asarray(st.idcs)[:m]], rtol=1e-9)
+
+
+def test_eager_group_api_sparsevi_and_bcores(setup):
+    X, samples, model, groups, _ = setup
+    prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                               model.log_likelihood)
+    alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=0)
+    alg.build(2, X.shape[0])
+    assert len(alg.selected_groups) >= 1
+    w, p, i = alg.get()
+    assert (w >= 0).all()
+
+    bprj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                    model.beta_likelihood, model.log_likelihood,
+                                    model.beta_gradient)
+    balg = bc.BetaCoreset(jnp.asarray(X), bprj, beta=0.3, learn_beta=False,
+                          opt_itrs=8, groups=groups, seed=1)
+    balg.build(2, X.shape[0])
+    assert len(balg.selected_groups) >= 1
+
+
+def test_initialized_slots_locked(setup):
+    """Warm-start slots must not suppress new-group selection (reference
+    initialized logic at bcores.py:105-109)."""
+    X, samples, model, groups, _ = setup
+    prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                               model.log_likelihood)
+    seed_pts = X[:3] + 100.0  # dominant fake coreset points
+    alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=5, groups=groups, seed=2,
+                             wts=np.ones(3), idcs=np.array([10_000_000, 10_000_001, 10_000_002]),
+                             pts=seed_pts, initialized=True)
+    alg.build(2, 10_000)
+    # with the seeds locked out of the comparison, real groups still get added
+    assert len(alg.selected_groups) >= 1
+
+
+def test_uniform_sampling_group_mode(setup):
+    X, _, _, groups, _ = setup
+    alg = bc.UniformSamplingCoreset(jnp.asarray(X), seed=3, groups=groups)
+    alg.build(4, X.shape[0])
+    w, p, i = alg.get()
+    assert len(alg.selected_groups) >= 1
+    got = set(i.tolist())
+    want = set(x for g in alg.selected_groups for x in groups[g])
+    assert got == want
+    np.testing.assert_allclose(w.sum(), X.shape[0], rtol=1e-9)
