@@ -3,10 +3,17 @@ from .api import (
     BetaBlackBoxProjector,
     BetaCoreset,
     BlackBoxProjector,
+    ContextualProjector,
     Coreset,
     HilbertCoreset,
     SparseVICoreset,
     UniformSamplingCoreset,
+)
+from .groups import (
+    GroupCoresetState,
+    group_ids_from_groups,
+    init_group_state,
+    make_group_incremental_builder,
 )
 from .bpsvi import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
@@ -17,7 +24,12 @@ __all__ = [
     "BetaBlackBoxProjector",
     "BetaCoreset",
     "BlackBoxProjector",
+    "ContextualProjector",
     "Coreset",
+    "GroupCoresetState",
+    "group_ids_from_groups",
+    "init_group_state",
+    "make_group_incremental_builder",
     "HilbertCoreset",
     "SparseVICoreset",
     "UniformSamplingCoreset",

@@ -68,6 +68,21 @@ class BetaBlackBoxProjector:
         )
 
 
+class ContextualProjector:
+    """Projector whose model/sampler depend on trainable context — e.g. the
+    neural-linear encoder parameters (the reference's ``nl=`` projector
+    kwarg, projector.py:20-21). ``model_factory``/``sampler_factory`` map a
+    traced ctx pytree to a ModelFns / sampler; set ``alg.ctx`` (e.g. to
+    ``nl.variables``) before each ``build``."""
+
+    contextual = True
+
+    def __init__(self, sampler_factory, projection_dimension: int, model_factory):
+        self.sampler = sampler_factory
+        self.projection_dimension = projection_dimension
+        self.model = model_factory
+
+
 class Coreset:
     """Base eager coreset (reference coreset/coreset.py:7-71)."""
 
@@ -184,10 +199,13 @@ class _IncrementalCoreset(Coreset):
         )
         self._cfg = cfg
         self.groups = groups
+        self.ctx = None  # traced context for contextual projectors
+        contextual = getattr(ll_projector, "contextual", False)
         if groups is None:
             self._builder = make_incremental_builder(self.data, ll_projector.model,
                                                      ll_projector.sampler, cfg,
-                                                     step_sizes=step_sizes)
+                                                     step_sizes=step_sizes,
+                                                     contextual=contextual)
         else:
             from ..ops.projection import Groups
             from .groups import init_group_state, make_group_incremental_builder
@@ -195,7 +213,8 @@ class _IncrementalCoreset(Coreset):
             self._groups_padded = Groups.from_lists(groups)
             self._builder = make_group_incremental_builder(
                 self.data, self._groups_padded, ll_projector.model,
-                ll_projector.sampler, cfg, step_sizes=step_sizes)
+                ll_projector.sampler, cfg, step_sizes=step_sizes,
+                contextual=contextual)
             self._gstate = init_group_state(
                 self.state, len(groups),
                 initialized=int(self.state.m) if initialized else 0)
@@ -214,10 +233,10 @@ class _IncrementalCoreset(Coreset):
                     f"{self.__class__.__name__}._build(): itrs + current size "
                     f"({self.size()} + {itrs}) exceeds desired size {sz}"
                 )
-            self.state = self._builder.build(self.keys(), self.state, int(itrs))
+            self.state = self._builder.build(self.keys(), self.state, int(itrs), self.ctx)
         else:
             self._gstate = self._gstate._replace(core=self.state)
-            self._gstate = self._builder(self.keys(), self._gstate, int(itrs))
+            self._gstate = self._builder(self.keys(), self._gstate, int(itrs), self.ctx)
             self.state = self._gstate.core
 
     def _ensure_capacity(self, sz: int) -> None:
@@ -227,7 +246,7 @@ class _IncrementalCoreset(Coreset):
 
     def _optimize(self) -> None:
         if self.groups is None:
-            self.state = self._builder.optimize(self.keys(), self.state)
+            self.state = self._builder.optimize(self.keys(), self.state, self.ctx)
 
 
 class SparseVICoreset(_IncrementalCoreset):

@@ -70,8 +70,11 @@ def make_group_incremental_builder(
     sampler: Callable,
     config: IncrementalConfig,
     step_sizes: Optional[jnp.ndarray] = None,
+    contextual: bool = False,
 ):
-    """Returns jitted ``build(key, gstate, itrs) -> gstate``."""
+    """Returns jitted ``build(key, gstate, itrs[, ctx]) -> gstate``. With
+    ``contextual=True``, ``model``/``sampler`` are ctx factories (see
+    incremental.IncrementalBuilder)."""
     N = data.shape[0]
     G = groups.n_groups
     L_max = groups.max_size
@@ -85,24 +88,30 @@ def make_group_incremental_builder(
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=dtype)
 
-    def _project(pts, samples, beta):
-        if config.use_beta:
-            return project_beta(model, pts, samples, beta)
-        return project_ll(model, pts, samples)
+    def _resolve(ctx):
+        if contextual:
+            return model(ctx), sampler(ctx)
+        return model, sampler
 
-    def _group_vecs(samples, beta):
+    def _project(mdl, pts, samples, beta):
+        if config.use_beta:
+            return project_beta(mdl, pts, samples, beta)
+        return project_ll(mdl, pts, samples)
+
+    def _group_vecs(mdl, samples, beta):
         """(G, S) group tangent vectors via one full projection + segment_sum."""
-        vecs = _project(data, samples, beta)  # (N, S)
+        vecs = _project(mdl, data, samples, beta)  # (N, S)
         return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
 
-    def _corevecs(st: CoresetState, samples, beta):
-        return _project(st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
+    def _corevecs(mdl, st: CoresetState, samples, beta):
+        return _project(mdl, st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
 
-    def _select(key, gst: GroupCoresetState) -> GroupCoresetState:
+    def _select(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
+        mdl, smp = _resolve(ctx)
         st = gst.core
         k_samp, k_sub = jax.random.split(key)
-        samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
-        gvecs_all = _group_vecs(samples, st.beta)
+        samples, aux = smp(k_samp, S, st.wts, st.pts, st.sampler_aux)
+        gvecs_all = _group_vecs(mdl, samples, st.beta)
         if n_sel is None:
             gvecs = gvecs_all
             cand_gidx = jnp.arange(G, dtype=jnp.int32)
@@ -111,7 +120,7 @@ def make_group_incremental_builder(
             cand_gidx = jax.random.randint(k_sub, (n_sel,), 0, G).astype(jnp.int32)
             gvecs = gvecs_all[cand_gidx]
             scaling = jnp.asarray(G / n_sel, dtype=dtype)
-        corevecs = _corevecs(st, samples, st.beta)
+        corevecs = _corevecs(mdl, st, samples, st.beta)
         resid = scaling * gvecs.sum(axis=0) - st.wts @ corevecs
 
         vn = jnp.sqrt(jnp.sum(gvecs * gvecs, axis=1))
@@ -147,19 +156,20 @@ def make_group_incremental_builder(
         return GroupCoresetState(core=st, selected=gst.selected.at[f].set(
             jnp.logical_or(gst.selected[f], add)), initialized=gst.initialized)
 
-    def _optimize(key, gst: GroupCoresetState) -> GroupCoresetState:
+    def _optimize(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
+        mdl, smp = _resolve(ctx)
         st = gst.core
 
         def grad_fn(w, aux, k):
             k_samp, k_sub = jax.random.split(k)
-            samples, aux = sampler(k_samp, S, w, st.pts, aux)
+            samples, aux = smp(k_samp, S, w, st.pts, aux)
             if n_opt is None:
-                vec_total = _group_vecs(samples, st.beta).sum(axis=0)
+                vec_total = _group_vecs(mdl, samples, st.beta).sum(axis=0)
                 scaling = jnp.asarray(1.0, dtype=dtype)
             else:
                 sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                vec_total = _project(data[sub_idcs], samples, st.beta).sum(axis=0)
-            corevecs = _corevecs(st, samples, st.beta)
+                vec_total = _project(mdl, data[sub_idcs], samples, st.beta).sum(axis=0)
+            corevecs = _corevecs(mdl, st, samples, st.beta)
             resid = scaling * vec_total - w @ corevecs
             return -(corevecs @ resid) / S, aux
 
@@ -167,11 +177,11 @@ def make_group_incremental_builder(
         return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
 
     @partial(jax.jit, static_argnums=2)
-    def build(key, gst: GroupCoresetState, itrs: int) -> GroupCoresetState:
+    def build(key, gst: GroupCoresetState, itrs: int, ctx=None) -> GroupCoresetState:
         def body(gst, k):
             k1, k2 = jax.random.split(k)
-            gst = _select(k1, gst)
-            gst = _optimize(k2, gst)
+            gst = _select(k1, gst, ctx)
+            gst = _optimize(k2, gst, ctx)
             return gst, None
 
         gst, _ = jax.lax.scan(body, gst, jax.random.split(key, itrs))

@@ -61,16 +61,20 @@ class IncrementalConfig:
 
 
 class IncrementalBuilder:
-    """Compiled entry points: ``build(key, state, itrs)`` runs itrs x
-    (select + optimize); ``optimize(key, state)`` runs one refinement pass
-    alone (the reference's post-build ``Coreset.optimize()``)."""
+    """Compiled entry points: ``build(key, state, itrs[, ctx])`` runs itrs x
+    (select + optimize); ``optimize(key, state[, ctx])`` runs one refinement
+    pass alone (the reference's post-build ``Coreset.optimize()``). ``ctx``
+    is an arbitrary traced pytree handed to model/sampler factories — e.g.
+    the neural-linear encoder parameters, which change between builds
+    without retracing (reference zellner_neural_linear/main.py:191-205
+    interleaves NN training with coreset iterations)."""
 
     def __init__(self, build_fn, optimize_fn):
         self.build = build_fn
         self.optimize = optimize_fn
 
-    def __call__(self, key, state, itrs):
-        return self.build(key, state, itrs)
+    def __call__(self, key, state, itrs, ctx=None):
+        return self.build(key, state, itrs, ctx)
 
 
 def make_incremental_builder(
@@ -79,10 +83,14 @@ def make_incremental_builder(
     sampler: Callable,
     config: IncrementalConfig,
     step_sizes: Optional[jnp.ndarray] = None,
+    contextual: bool = False,
 ) -> IncrementalBuilder:
     """Returns compiled ``IncrementalBuilder`` closed over the dataset,
     model bundle and sampler. ``step_sizes`` overrides the default
-    i0/(1+i) schedule (shape (opt_itrs,))."""
+    i0/(1+i) schedule (shape (opt_itrs,)). With ``contextual=True``,
+    ``model`` and ``sampler`` are factories ``ctx -> ModelFns`` /
+    ``ctx -> sampler_fn`` resolved at trace time from the traced ``ctx``
+    pytree passed to ``build`` (e.g. neural-linear encoder params)."""
     N = data.shape[0]
     S = config.projection_dim
     n_sel = None if config.n_subsample_select is None else min(N, config.n_subsample_select)
@@ -91,30 +99,37 @@ def make_incremental_builder(
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=data.dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=data.dtype)
 
-    def _project(pts, samples, beta):
-        if config.use_beta:
-            return project_beta(model, pts, samples, beta)
-        return project_ll(model, pts, samples)
+    def _resolve(ctx):
+        if contextual:
+            return model(ctx), sampler(ctx)
+        return model, sampler
 
-    def _tangent(key, w, st: CoresetState, beta, n_sub, aux):
+    def _project(mdl, pts, samples, beta):
+        if config.use_beta:
+            return project_beta(mdl, pts, samples, beta)
+        return project_ll(mdl, pts, samples)
+
+    def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx):
         """Posterior samples + centered projections of a data (sub)sample and
         of the coreset buffer (padding rows zeroed)."""
+        mdl, smp = _resolve(ctx)
+        _project_ = lambda pts, samples, beta: _project(mdl, pts, samples, beta)
         k_samp, k_sub = jax.random.split(key)
-        samples, aux = sampler(k_samp, S, w, st.pts, aux)
+        samples, aux = smp(k_samp, S, w, st.pts, aux)
         if n_sub is None:
-            vecs = _project(data, samples, beta)
+            vecs = _project_(data, samples, beta)
             scaling = jnp.asarray(1.0, dtype=data.dtype)
             sub_idcs = None
         else:
             sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
-            vecs = _project(data[sub_idcs], samples, beta)
-        corevecs = _project(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
+            vecs = _project_(data[sub_idcs], samples, beta)
+        corevecs = _project_(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
         return vecs, corevecs, scaling, sub_idcs, samples, aux
 
-    def _select(key, st: CoresetState) -> CoresetState:
+    def _select(key, st: CoresetState, ctx) -> CoresetState:
         """Reference bcores.py:74-90 / sparsevi.py:74-96."""
         vecs, corevecs, scaling, sub_idcs, _, aux = _tangent(
-            key, st.wts, st, st.beta, n_sel, st.sampler_aux
+            key, st.wts, st, st.beta, n_sel, st.sampler_aux, ctx
         )
         resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
         vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
@@ -137,12 +152,12 @@ def make_incremental_builder(
         m_new = jnp.where(add, st.m + 1, st.m)
         return st._replace(idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
 
-    def _optimize(key, st: CoresetState) -> CoresetState:
+    def _optimize(key, st: CoresetState, ctx) -> CoresetState:
         """Reference bcores.py:126-150 / sparsevi.py:128-136."""
         if not config.learn_beta:
 
             def grad_fn(w, aux, k):
-                vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux)
+                vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux, ctx)
                 resid = scaling * vecs.sum(axis=0) - w @ corevecs
                 return -(corevecs @ resid) / S, aux
 
@@ -158,17 +173,19 @@ def make_incremental_builder(
         beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
         mask_rows = lambda v: v * st.slot_mask[:, None].astype(data.dtype)
 
+        mdl, smp = _resolve(ctx)
+
         def grad_fn(x, aux, k):
             w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
             k_samp, k_sub = jax.random.split(k)
-            samples, aux = sampler(k_samp, S, w, st.pts, aux)
+            samples, aux = smp(k_samp, S, w, st.pts, aux)
             if n_opt is None:
-                vecs = project_beta(model, data, samples, beta)
+                vecs = project_beta(mdl, data, samples, beta)
                 scaling = jnp.asarray(1.0, dtype=data.dtype)
             else:
                 sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                vecs = project_beta(model, data[sub_idcs], samples, beta)
-            corevecs, betagrads = project_beta_with_grad(model, st.pts, samples, beta)
+                vecs = project_beta(mdl, data[sub_idcs], samples, beta)
+            corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
             corevecs, betagrads = mask_rows(corevecs), mask_rows(betagrads)
             resid = scaling * vecs.sum(axis=0) - w @ corevecs
             wgrad = -(corevecs @ resid) / S
@@ -180,15 +197,15 @@ def make_incremental_builder(
         return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
 
     @partial(jax.jit, static_argnums=2)
-    def build(key, st: CoresetState, itrs: int) -> CoresetState:
+    def build(key, st: CoresetState, itrs: int, ctx=None) -> CoresetState:
         def body(st, k):
             k1, k2 = jax.random.split(k)
-            st = _select(k1, st)
-            st = _optimize(k2, st)
+            st = _select(k1, st, ctx)
+            st = _optimize(k2, st, ctx)
             return st, None
 
         keys = jax.random.split(key, itrs)
         st, _ = jax.lax.scan(body, st, keys)
         return st
 
-    return IncrementalBuilder(build, jax.jit(lambda key, st: _optimize(key, st)))
+    return IncrementalBuilder(build, jax.jit(lambda key, st, ctx=None: _optimize(key, st, ctx)))

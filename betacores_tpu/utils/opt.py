@@ -58,6 +58,7 @@ def nn_adam(
         x, m1, m2, aux = carry
         lr, k, i = inp
         g, aux = grad_fn(x, aux, k)
+        g = g.astype(x.dtype)  # keep the scan carry dtype stable under mixed-precision callbacks
         m1 = b1 * m1 + (1.0 - b1) * g
         m2 = b2 * m2 + (1.0 - b2) * g * g
         t = i + 1.0
