@@ -14,6 +14,7 @@ from .coresets import (
     BetaBlackBoxProjector,
     BetaCoreset,
     BlackBoxProjector,
+    DiffPrivBatchPSVICoreset,
     HilbertCoreset,
     SparseVICoreset,
     UniformSamplingCoreset,

@@ -16,6 +16,7 @@ from .groups import (
     make_group_incremental_builder,
 )
 from .bpsvi import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
+from .dpbpsvi import DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon, make_dp_bpsvi_builder
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
 from .state import CoresetState, get, init_state, warm_start_state
 
@@ -36,6 +37,10 @@ __all__ = [
     "BPSVIConfig",
     "bpsvi_build_batch",
     "make_bpsvi_builder",
+    "DiffPrivBatchPSVICoreset",
+    "DPConfig",
+    "gaussian_rdp_epsilon",
+    "make_dp_bpsvi_builder",
     "IncrementalBuilder",
     "IncrementalConfig",
     "make_incremental_builder",

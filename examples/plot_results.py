@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Plot experiment results pickles (the reference's plot_kl.py / plot.py /
+group_plot.py consolidated): median+IQR KL / accuracy / NLL / RMSE vs
+coreset size across trials, per algorithm.
+
+Usage:
+  python3 examples/plot_results.py --kind gaussian --results-dir results --out kl.png
+  python3 examples/plot_results.py --kind logreg --results-dir results --out acc.png
+"""
+
+import argparse
+import glob
+import os
+import pickle
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from betacores_tpu.plotting import plot_curves
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kind", choices=["gaussian", "logreg", "neural_linear", "groups"],
+                    default="gaussian")
+    ap.add_argument("--results-dir", default="results")
+    ap.add_argument("--metric", default=None,
+                    help="gaussian: rklw|fklw; logreg: accs|plls; neural_linear: rmses|nlls")
+    ap.add_argument("--out", default="plot.png")
+    args = ap.parse_args()
+
+    curves = defaultdict(list)
+    if args.kind == "gaussian":
+        metric = args.metric or "rklw"
+        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            if isinstance(res, dict) and metric in res:
+                curves[res["alg"]].append(np.asarray(res[metric]))
+        ylabel, log_y = ("reverse KL" if metric == "rklw" else "forward KL"), True
+    elif args.kind == "logreg":
+        metric = args.metric or "accs"
+        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            if isinstance(res, dict) and metric in res and isinstance(res.get(metric), dict):
+                ms = sorted(res[metric])
+                curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
+        ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
+    elif args.kind == "neural_linear":
+        metric = args.metric or "rmses"
+        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            if isinstance(res, dict) and metric in res:
+                curves[res["args"]["alg"]].append(np.asarray(res[metric]))
+        ylabel, log_y = metric, False
+    else:
+        for path in glob.glob(os.path.join(args.results_dir, "group_results_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            curves[res["args"]["alg"]].append(np.asarray(res["accs"]))
+        ylabel, log_y = "accuracy", False
+
+    if not curves:
+        print("no results found"); return
+    # pad ragged trials to the shortest common length
+    for k in curves:
+        L = min(len(c) for c in curves[k])
+        curves[k] = np.stack([c[:L] for c in curves[k]])
+    fig, ax = plt.subplots(figsize=(6, 4))
+    plot_curves(ax, curves, ylabel=ylabel, log_y=log_y)
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=150)
+    print(f"saved {args.out} ({ {k: v.shape for k, v in curves.items()} })")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Cartesian experiment sweeps (replaces the reference's run.sh bash loops,
+e.g. examples/zellner_logreg/run.sh: alg x dataset x i0 x f_rate x graddiag
+x trial).
+
+Run everything:      python3 examples/run_sweep.py --exp logreg
+One grid point (cluster array jobs): --index K   (uses the linearize map)
+List the grid:       --list
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from betacores_tpu.config import linearize
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+GRIDS = {
+    # reference zellner_gaussian/run.sh
+    "gaussian": {
+        "script": "zellner_gaussian.py",
+        "grid": {"--alg": ["BCORES", "SVI", "BPSVI", "GIGAO", "GIGAR", "RAND"],
+                 "--trial": ["1", "2", "3"]},
+    },
+    # reference zellner_logreg/run.sh: f_rate in {0, 10, 20}%
+    "logreg": {
+        "script": "zellner_logreg.py",
+        "grid": {"--alg": ["BCORES", "SVI", "BPSVI", "RAND"],
+                 "--dataset": ["synth_lr", "phishing", "ds1"],
+                 "--f-rate": ["0.0", "0.1", "0.2"],
+                 "--trial": ["1", "2", "3"]},
+    },
+    # reference zellner_neural_linear/run.sh
+    "neural_linear": {
+        "script": "zellner_neural_linear.py",
+        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+                 "--f-rate": ["0.0", "0.1", "0.3"],
+                 "--trial": ["1", "2", "3"]},
+    },
+    # reference group_selection sweeps
+    "groups": {
+        "script": "group_selection.py",
+        "grid": {"--alg": ["BCORES", "DShapley", "RAND"],
+                 "--f-rate": ["0.1"],
+                 "--trial": ["0", "1", "2"]},
+    },
+    # beta sweep (reference logreg_plot.sh: beta in 0.01..0.9)
+    "beta_sweep": {
+        "script": "zellner_logreg.py",
+        "grid": {"--alg": ["BCORES"],
+                 "--beta": ["0.01", "0.05", "0.1", "0.3", "0.5", "0.7", "0.9"],
+                 "--f-rate": ["0.1", "0.3"],
+                 "--trial": ["1"]},
+    },
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", choices=sorted(GRIDS), required=True)
+    ap.add_argument("--index", type=int, default=None, help="run only grid point K")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--results-dir", default="results")
+    ap.add_argument("extra", nargs="*", help="extra args forwarded to the script")
+    args = ap.parse_args()
+
+    spec = GRIDS[args.exp]
+    configs = linearize(spec["grid"])
+    if args.list:
+        for i, c in enumerate(configs):
+            print(i, c)
+        return
+    todo = configs if args.index is None else [configs[args.index]]
+    for i, cfg in enumerate(todo):
+        cmd = [sys.executable, os.path.join(HERE, spec["script"]),
+               "--results-dir", args.results_dir]
+        for k, v in cfg.items():
+            cmd += [k, v]
+        cmd += list(args.extra)
+        print(f"[{i + 1}/{len(todo)}] {' '.join(cmd)}", flush=True)
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            print(f"FAILED (rc={r.returncode}): {cfg}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling, DP-BPSVI, plotting,
+sweep grids."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import betacores_tpu as bc
+from betacores_tpu.config import linearize
+from betacores_tpu.coresets import gaussian_rdp_epsilon, init_state
+from betacores_tpu.inference import fixed_sampler
+from betacores_tpu.models import gaussian as gmod
+from betacores_tpu.utils.checkpoint import config_tag, load_state, save_state
+from betacores_tpu.utils.profiling import Timings
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    st = init_state(16, 3, beta=0.25, dtype=jnp.float64)
+    st = st._replace(wts=st.wts.at[0].set(2.5), idcs=st.idcs.at[0].set(7),
+                     m=jnp.asarray(1, dtype=jnp.int32))
+    key = jax.random.key(5)
+    path = os.path.join(tmp_path, "ck")
+    save_state(path, st, key=key, extra={"alg": "BCORES"})
+    st2, key2, extra = load_state(path)
+    np.testing.assert_allclose(np.asarray(st2.wts), np.asarray(st.wts))
+    np.testing.assert_array_equal(np.asarray(st2.idcs), np.asarray(st.idcs))
+    assert int(st2.m) == 1 and float(st2.beta) == pytest.approx(0.25)
+    assert extra["alg"] == "BCORES"
+    # restored key generates the identical stream
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.normal(key2, (4,))),
+        np.asarray(jax.random.normal(key, (4,))))
+
+
+def test_config_tag_and_linearize():
+    assert config_tag({"alg": "BCORES", "f_rate": 0.1}) == "alg_BCORES_f_rate_0.1"
+    grid = linearize({"a": [1, 2], "b": ["x", "y", "z"]})
+    assert len(grid) == 6 and grid[0] == {"a": 1, "b": "x"}
+
+
+def test_timings(tmp_path):
+    t = Timings()
+    with t.section("projection"):
+        _ = jnp.ones(10).sum()
+    assert t.total("projection") > 0
+    t.save(os.path.join(tmp_path, "run"))
+    assert os.path.exists(os.path.join(tmp_path, "run_projection_time.npy"))
+
+
+def test_rdp_accountant_monotone():
+    e1 = gaussian_rdp_epsilon(100, 1.0, 1e-5)
+    e2 = gaussian_rdp_epsilon(400, 1.0, 1e-5)
+    e3 = gaussian_rdp_epsilon(100, 2.0, 1e-5)
+    assert e2 > e1 > e3 > 0
+
+
+def test_dp_bpsvi_build(rng):
+    d = 3
+    Sig = np.eye(d)
+    X = rng.normal(size=(200, d))
+    model = gmod.bundle(jnp.asarray(Sig), 0.0)
+    samples = jnp.asarray(rng.normal(size=(8, d)))
+    prj = bc.BlackBoxProjector(fixed_sampler(samples), 8, model.log_likelihood,
+                               model.grad_z_log_likelihood)
+    alg = bc.DiffPrivBatchPSVICoreset(jnp.asarray(X), prj, opt_itrs=30,
+                                      n_subsample_opt=64, noise_multiplier=1.0, seed=0)
+    alg.build(1, 6)
+    w, p = alg.get()
+    assert len(w) >= 1 and (w >= 0).all()
+    assert np.isfinite(p).all()
+    eps = alg.epsilon()
+    assert 0 < eps < 100
+    # pseudo-points must not be raw data rows (privacy of initialization)
+    dists = np.min(np.linalg.norm(p[:, None, :] - X[None, :, :], axis=-1), axis=1)
+    assert (dists > 1e-6).all()
+
+
+def test_plotting_helpers(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from betacores_tpu.plotting import median_iqr, plot_curves, plot_gaussian_ellipse
+
+    arr = np.random.default_rng(0).normal(size=(5, 10)) ** 2 + 0.1
+    med, lo, hi = median_iqr(arr)
+    assert (lo <= med).all() and (med <= hi).all()
+    fig, ax = plt.subplots()
+    plot_curves(ax, {"BCORES": arr, "RAND": arr * 2}, ylabel="kl")
+    plot_gaussian_ellipse(ax, np.zeros(2), np.eye(2))
+    fig.savefig(os.path.join(tmp_path, "p.png"))
