@@ -336,11 +336,17 @@ class HilbertCoreset(Coreset):
                 jax.random.randint(self.keys(), (n_subsample,), 0, self.data.shape[0])
             )
             x = self.data[sub_idcs]
-        vecs = np.asarray(center(ll_projector.model.log_likelihood(x, samples)))
-        nonzero = np.sqrt((vecs**2).sum(axis=1)) > 0.0
-        vecs = vecs[nonzero]
-        self._row_map = (sub_idcs[nonzero] if sub_idcs is not None else np.where(nonzero)[0])
-        self.snnls = snnls(jnp.asarray(vecs.T), jnp.asarray(vecs.sum(axis=0)))
+        # all on-device (fused projection for large N; only the small
+        # zero-row mask crosses to host — the (N, S) block never does)
+        from ..ops.projection import project_ll
+
+        vecs = jax.jit(project_ll, static_argnums=0)(ll_projector.model, x, samples)
+        nonzero = np.asarray(jnp.linalg.norm(vecs, axis=1) > 0.0)
+        keep = np.where(nonzero)[0]
+        if len(keep) != vecs.shape[0]:
+            vecs = vecs[jnp.asarray(keep)]
+        self._row_map = (sub_idcs[keep] if sub_idcs is not None else keep)
+        self.snnls = snnls(vecs.T, vecs.sum(axis=0))
 
     def reset(self):
         self.snnls.reset()
@@ -351,7 +357,8 @@ class HilbertCoreset(Coreset):
         keep = w > 0
         wts = w[keep]
         idcs = self._row_map[keep]
-        pts = np.asarray(self.data)[idcs]
+        # gather the selected rows on device; transfer only M rows, not the dataset
+        pts = np.asarray(self.data[jnp.asarray(idcs, dtype=jnp.int32)])
         cap = max(self.state.wts.shape[0], _round_capacity(len(wts)))
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
                                                 idcs, pts, beta=self._beta0,
@@ -412,7 +419,7 @@ class UniformSamplingCoreset(Coreset):
             idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
             cts = np.fromiter(self.cts.values(), dtype=np.float64)
         wts = N * cts / cts.sum()
-        pts = np.asarray(self.data)[idcs]
+        pts = np.asarray(self.data[jnp.asarray(idcs, dtype=jnp.int32)])
         self._ensure_capacity(len(idcs))
         cap = self.state.wts.shape[0]
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),

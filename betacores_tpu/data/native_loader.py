@@ -1,0 +1,117 @@
+"""ctypes bindings for the native C++ data loader (native/loader.cpp).
+
+Compiles lazily (``make`` in native/, cached as libbcloader.so) and falls
+back to numpy parsing when a toolchain is unavailable. Use
+``load_csv``/``load_svmlight`` for multi-GB text inputs — the native parser
+is multithreaded and ~an order of magnitude faster than np.genfromtxt
+(the reference parses these in pure Python: preproc_webspam.py,
+process_housing_prices.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libbcloader.so"))
+_lib = None
+_tried = False
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.bc_load_csv.restype = ctypes.POINTER(ctypes.c_float)
+    lib.bc_load_csv.argtypes = [ctypes.c_char_p, ctypes.c_char, ctypes.c_int,
+                                ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+                                ctypes.POINTER(ctypes.c_int64)]
+    lib.bc_load_svmlight.restype = ctypes.POINTER(ctypes.c_float)
+    lib.bc_load_svmlight.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.POINTER(ctypes.c_int64)]
+    lib.bc_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _to_array(lib, ptr, rows, cols) -> np.ndarray:
+    try:
+        arr = np.ctypeslib.as_array(ptr, shape=(rows.value, cols.value)).copy()
+    finally:
+        lib.bc_free(ptr)
+    return arr
+
+
+def load_csv(path: str, delimiter: str = ",", skip_header: int = 0,
+             n_threads: int = 0) -> np.ndarray:
+    """Dense float32 matrix from a numeric CSV."""
+    lib = _get_lib()
+    if lib is None:
+        return np.genfromtxt(path, delimiter=delimiter,
+                             skip_header=skip_header).astype(np.float32)
+    rows, cols = ctypes.c_int64(), ctypes.c_int64()
+    ptr = lib.bc_load_csv(path.encode(), delimiter.encode(), skip_header,
+                          n_threads, ctypes.byref(rows), ctypes.byref(cols))
+    if not ptr:
+        raise IOError(f"native CSV parse failed: {path}")
+    return _to_array(lib, ptr, rows, cols)
+
+
+def load_svmlight(path: str, n_features: int = 0,
+                  n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """(X, y) from svmlight/libsvm text (dense float32; 1-based indices)."""
+    lib = _get_lib()
+    if lib is None:
+        return _svmlight_numpy(path, n_features)
+    rows, cols = ctypes.c_int64(), ctypes.c_int64()
+    ptr = lib.bc_load_svmlight(path.encode(), n_features, n_threads,
+                               ctypes.byref(rows), ctypes.byref(cols))
+    if not ptr:
+        raise IOError(f"native svmlight parse failed: {path}")
+    m = _to_array(lib, ptr, rows, cols)
+    return m[:, 1:], m[:, 0]
+
+
+def _svmlight_numpy(path: str, n_features: int = 0):
+    rows = []
+    labels = []
+    maxf = n_features
+    with open(path) as f:
+        parsed = []
+        for line in f:
+            parts = line.split("#")[0].split()
+            if not parts:
+                continue
+            labels.append(float(parts[0]))
+            feats = {}
+            for tok in parts[1:]:
+                i, v = tok.split(":")
+                feats[int(i)] = float(v)
+                maxf = max(maxf, int(i))
+            parsed.append(feats)
+    X = np.zeros((len(parsed), maxf), dtype=np.float32)
+    for r, feats in enumerate(parsed):
+        for i, v in feats.items():
+            X[r, i - 1] = v
+    return X, np.asarray(labels, dtype=np.float32)

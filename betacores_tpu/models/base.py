@@ -45,6 +45,11 @@ class ModelFns(NamedTuple):
     beta_gradient: Optional[Callable] = None
     # (N, D), (S, d) -> (N, S, D): gradient w.r.t. the data point (BPSVI)
     grad_z_log_likelihood: Optional[Callable] = None
+    # optional single-HBM-pass Pallas projections returning CENTERED (N, S)
+    # matrices (ops/pallas_kernels.py); used by the projection engine for
+    # large row blocks
+    fused_ll_projection: Optional[Callable] = None      # (pts, thetas) -> (N, S)
+    fused_beta_projection: Optional[Callable] = None    # (pts, thetas, beta) -> (N, S)
 
 
 def beta_gradient_from_autodiff(beta_likelihood: Callable) -> Callable:

@@ -137,16 +137,29 @@ def gaussian_KL(mu0, Sig0, mu1, Sig1inv):
     return 0.5 * (t1 + t2 + t3 - mu0.shape[0])
 
 
-def bundle(Siginv, logdetSig) -> ModelFns:
-    """ModelFns closure over the fixed observation covariance."""
+def bundle(Siginv, logdetSig, fused: bool | None = None) -> ModelFns:
+    """ModelFns closure over the fixed observation covariance. ``fused=None``
+    auto-enables the single-pass Pallas projection kernels on TPU backends."""
     blik = partial(beta_likelihood, Siginv=Siginv, logdetSig=logdetSig)
 
     def _blik(pts, thetas, beta):
         return blik(pts, thetas, beta=beta)
 
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
+    fused_ll = fused_beta = None
+    if fused:
+        from ..ops.pallas_kernels import gaussian_projection_fused
+
+        fused_ll = lambda pts, th: gaussian_projection_fused(
+            pts, th, Siginv, float(logdetSig), use_beta=False)
+        fused_beta = lambda pts, th, b: gaussian_projection_fused(
+            pts, th, Siginv, float(logdetSig), beta=b, use_beta=True)
     return ModelFns(
         log_likelihood=lambda pts, thetas: log_likelihood(pts, thetas, Siginv, logdetSig),
         beta_likelihood=_blik,
         beta_gradient=beta_gradient_from_autodiff(_blik),
         grad_z_log_likelihood=lambda pts, thetas: grad_x_log_likelihood(pts, thetas, Siginv),
+        fused_ll_projection=fused_ll,
+        fused_beta_projection=fused_beta,
     )

@@ -128,10 +128,22 @@ def predictive_loglik(Zt, thetas):
     return jnp.mean(jax.scipy.special.logsumexp(ll, axis=1) - jnp.log(S))
 
 
-def bundle() -> ModelFns:
+def bundle(fused: bool | None = None) -> ModelFns:
+    """``fused=None`` auto-enables the single-pass Pallas projection kernels
+    on TPU backends (ops/pallas_kernels.py)."""
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
+    fused_ll = fused_beta = None
+    if fused:
+        from ..ops.pallas_kernels import logreg_projection_fused
+
+        fused_ll = lambda pts, th: logreg_projection_fused(pts, th, use_beta=False)
+        fused_beta = lambda pts, th, b: logreg_projection_fused(pts, th, beta=b, use_beta=True)
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=beta_likelihood,
         beta_gradient=beta_gradient_from_autodiff(beta_likelihood),
         grad_z_log_likelihood=grad_z_log_likelihood,
+        fused_ll_projection=fused_ll,
+        fused_beta_projection=fused_beta,
     )

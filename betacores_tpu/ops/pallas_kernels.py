@@ -1,0 +1,173 @@
+"""Pallas TPU kernels for the hot projection paths.
+
+The (N, S) centered-projection matrices are the framework's bandwidth-bound
+primitive (SURVEY.md section 2.5): under XLA, matmul -> likelihood transform
+-> row-mean -> subtract costs ~3 HBM round trips over the (N, S) block.
+These kernels fuse the whole pipeline per row tile — the Z-tile and theta^T
+stay in VMEM, the likelihood transform and the centering happen before the
+single write-back — one HBM pass.
+
+Used automatically by the model bundles for large N (ModelFns
+``fused_*_projection`` fields); every kernel has an XLA fallback and the
+test battery checks bit-level agreement within float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+# row-tile height; lane width handled by padding S to 128
+_TN = 4096
+
+
+def _interpret() -> bool:
+    """Interpreter mode off-TPU so the kernels (and their tests) run on the
+    virtual CPU mesh."""
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _softplus(m):
+    return jnp.maximum(m, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(m)))
+
+
+def _center_cols(vals, s_true: int, s_pad: int):
+    """Zero the padded columns and subtract the row mean over true columns."""
+    if s_pad != s_true:
+        col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+        vals = jnp.where(col < s_true, vals, 0.0)
+    mean = jnp.sum(vals, axis=1, keepdims=True) / s_true
+    return vals - mean
+
+
+def _logreg_kernel(beta_ref, z_ref, tht_ref, out_ref, *, use_beta: bool,
+                   s_true: int, s_pad: int):
+    m = -jnp.dot(z_ref[:], tht_ref[:], preferred_element_type=jnp.float32)
+    if not use_beta:
+        vals = -_softplus(m)
+    else:
+        beta = beta_ref[0]
+        sp, sn = _softplus(m), _softplus(-m)
+        vals = ((beta + 1.0) / beta * jnp.exp(-beta * sp)
+                - jnp.exp(-(beta + 1.0) * sp)
+                - jnp.exp(-(beta + 1.0) * sn))
+    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
+
+
+def _gaussian_kernel(beta_ref, xs_ref, tht_ref, xq_ref, thq_ref, out_ref, *,
+                     use_beta: bool, logdetSig: float, d: int,
+                     s_true: int, s_pad: int):
+    """d2 = x_quad + th_quad - 2 * (x Siginv) theta^T, then log-lik or
+    beta-lik transform. xs: (TN, D) = x @ Siginv; tht: (D, S) = theta^T;
+    xq: (TN, 1); thq: (1, S)."""
+    cross = jnp.dot(xs_ref[:], tht_ref[:], preferred_element_type=jnp.float32)
+    d2 = xq_ref[:] + thq_ref[:] - 2.0 * cross
+    if not use_beta:
+        vals = -0.5 * d * _LOG2PI - 0.5 * logdetSig - 0.5 * d2
+    else:
+        beta = beta_ref[0]
+        # (1+beta)^(-d/2-1) as exp((-d/2-1) log1p(beta)): Mosaic has no powf
+        # with a traced base
+        const = jnp.exp((-0.5 * d - 1.0) * jnp.log1p(beta))
+        vals = jnp.exp(-0.5 * beta * d2) / beta - const
+    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
+
+
+def _pad_rows(x, tn):
+    pad = (-x.shape[0]) % tn
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), dtype=x.dtype)])
+    return x, pad
+
+
+def _pad_cols(x, m):
+    pad = (-x.shape[1]) % m
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((x.shape[0], pad), dtype=x.dtype)], axis=1)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("use_beta",))
+def logreg_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray,
+                            beta=1.0, use_beta: bool = False) -> jnp.ndarray:
+    """Centered (N, S) logreg (beta-)log-likelihood projection, one HBM pass.
+    ``use_beta=False`` gives the plain log-likelihood; ``beta`` may be a
+    traced scalar (it changes under learn_beta)."""
+    N, D = z.shape
+    S = thetas.shape[0]
+    s_pad = _round_up(S, 128)
+    tht = _pad_cols(thetas.T.astype(jnp.float32), 128)  # (D, s_pad)
+    zp, pad = _pad_rows(z.astype(jnp.float32), _TN)
+    grid = (zp.shape[0] // _TN,)
+    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_logreg_kernel, use_beta=use_beta, s_true=S, s_pad=s_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((zp.shape[0], s_pad), z.dtype),
+        interpret=_interpret(),
+    )(beta_arr, zp, tht)
+    return out[:N, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("use_beta", "logdetSig"))
+def gaussian_projection_fused(x: jnp.ndarray, thetas: jnp.ndarray, Siginv: jnp.ndarray,
+                              logdetSig: float, beta=1.0,
+                              use_beta: bool = False) -> jnp.ndarray:
+    """Centered (N, S) Gaussian (beta-)log-likelihood projection, one HBM
+    pass over the big block (the small x@Siginv / quadratic precomputations
+    are O(N d) and O(S d))."""
+    N, d = x.shape
+    S = thetas.shape[0]
+    s_pad = _round_up(S, 128)
+    xs = (x @ Siginv).astype(jnp.float32)
+    xq = jnp.sum(xs * x, axis=1, keepdims=True).astype(jnp.float32)
+    thq = jnp.sum((thetas @ Siginv) * thetas, axis=1)[None, :].astype(jnp.float32)
+    tht = _pad_cols(thetas.T.astype(jnp.float32), 128)
+    thq = _pad_cols(thq, 128)
+    xs, pad = _pad_rows(xs, _TN)
+    xq, _ = _pad_rows(xq, _TN)
+    grid = (xs.shape[0] // _TN,)
+    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_gaussian_kernel, use_beta=use_beta, logdetSig=logdetSig,
+                          d=d, s_true=S, s_pad=s_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xs.shape[0], s_pad), x.dtype),
+        interpret=_interpret(),
+    )(beta_arr, xs, tht, xq, thq)
+    return out[:N, :S]
+
+
+# minimum rows for the fused path to beat plain XLA (below this, dispatch
+# overhead dominates and the XLA fusion is fine)
+FUSED_MIN_ROWS = 8192
+
+
+def maybe_fused(n_rows: int) -> bool:
+    return n_rows >= FUSED_MIN_ROWS

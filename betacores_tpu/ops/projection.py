@@ -32,13 +32,24 @@ def center(v: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return v - v.mean(axis=axis, keepdims=True)
 
 
+def _use_fused(model, field, n_rows) -> bool:
+    from .pallas_kernels import maybe_fused
+
+    return getattr(model, field, None) is not None and maybe_fused(n_rows)
+
+
 def project_ll(model, pts, samples):
-    """Centered (N, S) log-likelihood projection (reference projector.py:23-26)."""
+    """Centered (N, S) log-likelihood projection (reference projector.py:23-26).
+    Large row blocks route to the model's fused Pallas kernel when present."""
+    if _use_fused(model, "fused_ll_projection", pts.shape[0]):
+        return model.fused_ll_projection(pts, samples)
     return center(model.log_likelihood(pts, samples))
 
 
 def project_beta(model, pts, samples, beta):
     """Centered (N, S) beta-likelihood projection (reference projector.py:51-55)."""
+    if _use_fused(model, "fused_beta_projection", pts.shape[0]):
+        return model.fused_beta_projection(pts, samples, beta)
     return center(model.beta_likelihood(pts, samples, beta))
 
 

@@ -1,0 +1,62 @@
+"""Native C++ loader tests: build, parse CSV + svmlight, agree with numpy."""
+
+import os
+
+import numpy as np
+import pytest
+
+from betacores_tpu.data import native_loader as nl
+
+
+@pytest.fixture(scope="module")
+def built():
+    ok = nl.native_available()
+    if not ok:
+        pytest.skip("native toolchain unavailable")
+    return ok
+
+
+def test_csv_roundtrip(tmp_path, built, rng):
+    data = rng.normal(size=(500, 7)).astype(np.float32)
+    path = os.path.join(tmp_path, "t.csv")
+    np.savetxt(path, data, delimiter=",", header="a,b,c,d,e,f,g", comments="")
+    got = nl.load_csv(path, skip_header=1)
+    assert got.shape == data.shape
+    np.testing.assert_allclose(got, data, rtol=1e-5, atol=1e-6)
+
+
+def test_csv_scientific_notation(tmp_path, built):
+    path = os.path.join(tmp_path, "s.csv")
+    with open(path, "w") as f:
+        f.write("1e-3,2.5E+2,-inf\n-1.25e4,0.0,nan\n")
+    got = nl.load_csv(path)
+    assert got.shape == (2, 3)
+    np.testing.assert_allclose(got[0, :2], [1e-3, 250.0], rtol=1e-6)
+    assert np.isneginf(got[0, 2]) and np.isnan(got[1, 2])
+    np.testing.assert_allclose(got[1, 0], -12500.0, rtol=1e-6)
+
+
+def test_svmlight(tmp_path, built):
+    path = os.path.join(tmp_path, "t.svm")
+    with open(path, "w") as f:
+        f.write("+1 1:0.5 3:2.0\n")
+        f.write("-1 2:-1.5\n")
+        f.write("1 1:1.0 2:1.0 3:1.0 # comment\n")
+    X, y = nl.load_svmlight(path)
+    np.testing.assert_allclose(y, [1.0, -1.0, 1.0])
+    want = np.array([[0.5, 0.0, 2.0], [0.0, -1.5, 0.0], [1.0, 1.0, 1.0]], dtype=np.float32)
+    np.testing.assert_allclose(X, want)
+    # agrees with the pure-python fallback
+    X2, y2 = nl._svmlight_numpy(path)
+    np.testing.assert_allclose(X, X2)
+    np.testing.assert_allclose(y, y2)
+
+
+def test_multithreaded_equals_single(tmp_path, built, rng):
+    data = rng.normal(size=(4000, 5)).astype(np.float32)
+    path = os.path.join(tmp_path, "big.csv")
+    np.savetxt(path, data, delimiter=",")
+    a = nl.load_csv(path, n_threads=1)
+    b = nl.load_csv(path, n_threads=8)
+    np.testing.assert_allclose(a, b)
+    assert a.shape == data.shape
