@@ -18,6 +18,7 @@ from .groups import (
 from .bpsvi import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
 from .dpbpsvi import DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon, make_dp_bpsvi_builder
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
+from .psvi import PseudoSparseVICoreset, make_psvi_builder
 from .state import CoresetState, get, init_state, warm_start_state
 
 __all__ = [
@@ -44,6 +45,8 @@ __all__ = [
     "IncrementalBuilder",
     "IncrementalConfig",
     "make_incremental_builder",
+    "PseudoSparseVICoreset",
+    "make_psvi_builder",
     "CoresetState",
     "get",
     "init_state",

@@ -176,15 +176,15 @@ def make_group_incremental_builder(
         w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
         return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
 
-    @partial(jax.jit, static_argnums=2)
-    def build(key, gst: GroupCoresetState, itrs: int, ctx=None) -> GroupCoresetState:
-        def body(gst, k):
-            k1, k2 = jax.random.split(k)
+    @jax.jit
+    def build(key, gst: GroupCoresetState, itrs, ctx=None) -> GroupCoresetState:
+        # dynamic itrs: one compiled program for all build sizes
+        def body(i, gst):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             gst = _select(k1, gst, ctx)
             gst = _optimize(k2, gst, ctx)
-            return gst, None
+            return gst
 
-        gst, _ = jax.lax.scan(body, gst, jax.random.split(key, itrs))
-        return gst
+        return jax.lax.fori_loop(0, itrs, body, gst)
 
     return build

@@ -196,16 +196,20 @@ def make_incremental_builder(
         xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes)
         return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
 
-    @partial(jax.jit, static_argnums=2)
-    def build(key, st: CoresetState, itrs: int, ctx=None) -> CoresetState:
-        def body(st, k):
-            k1, k2 = jax.random.split(k)
+    @jax.jit
+    def build(key, st: CoresetState, itrs, ctx=None) -> CoresetState:
+        # itrs is a traced operand (fori_loop -> while_loop): one compiled
+        # program serves build(1, m) loops and one-shot build(M, M) alike —
+        # compilations through the TPU tunnel cost tens of seconds each.
+        # Per-iteration keys fold the loop counter into ``key``, so REPEATED
+        # calls must pass FRESH keys (the eager wrappers do) or the same
+        # subsample stream repeats.
+        def body(i, st):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             st = _select(k1, st, ctx)
             st = _optimize(k2, st, ctx)
-            return st, None
+            return st
 
-        keys = jax.random.split(key, itrs)
-        st, _ = jax.lax.scan(body, st, keys)
-        return st
+        return jax.lax.fori_loop(0, itrs, body, st)
 
     return IncrementalBuilder(build, jax.jit(lambda key, st, ctx=None: _optimize(key, st, ctx)))

@@ -37,12 +37,15 @@ class BuildState(NamedTuple):
 StepFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
-def build(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs: int,
+def build(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs,
           check_monotone: bool = True) -> BuildState:
     """Run ``itrs`` greedy iterations (reference snnls.py:31-79 loop).
 
     A failed iteration consumes an iteration slot, exactly like the
-    reference's try/except inside ``for i in range(itrs)``.
+    reference's try/except inside ``for i in range(itrs)``. ``itrs`` may be a
+    traced scalar: the loop lowers to a while_loop, so ONE compiled program
+    serves every requested iteration count (compilations through the TPU
+    tunnel cost tens of seconds — this matters more than unrolling).
     """
 
     def body(_, st: BuildState) -> BuildState:
@@ -104,9 +107,9 @@ class SparseNNLS:
         self._pre = self._precompute()
         self.w = jnp.zeros(A.shape[1], dtype=A.dtype)
         self.reached_numeric_limit = False
+        # itrs is a traced operand: one compilation serves all build sizes
         self._jit_build = jax.jit(
             lambda w0, itrs: build(self._step, self._error, w0, itrs, self.check_error_monotone),
-            static_argnums=1,
         )
         self._jit_optimize = jax.jit(lambda w: optimize(self.A, self.b, w, self.max_support))
 

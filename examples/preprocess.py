@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Dataset preprocessing (reference examples/data/preproc_*.py consolidated).
+
+Operates on locally present raw files (this environment has no network
+egress; the reference scripts download from UCI). Subcommands mirror the
+reference pipelines:
+
+  adult      ADULT income: encode, whiten, build demographic groups
+             (age x race x gender product, capped; 'vq' quality-split
+             variant) -> adult.npz + [vq_]groups_sensemake_adult.pk
+             (reference preproc_adult.py)
+  diabetes   Diabetes readmissions: encode + groups (preproc_diabetes.py)
+  phishing   One-hot + PCA(10) + intercept -> phishing.npz
+             (preproc_phishing.py)
+  webspam    svmlight -> subsample/PCA/offset -> webspam.npz
+             (preproc_webspam.py; uses the native C++ parser)
+  covtype    csv/npz -> binary task + options -> covtype.npz
+             (preproc_covtype.py)
+  mnist2     MNIST npz -> binary {-1,+1} task (convert_mnist_to_2class.py)
+
+Usage: python3 examples/preprocess.py <subcommand> --raw <file(s)> --out-dir data/
+"""
+
+import argparse
+import itertools
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from betacores_tpu.data.native_loader import load_csv, load_svmlight
+
+
+def pca_fit_transform(X: np.ndarray, n_components: int) -> np.ndarray:
+    """Numpy PCA (the reference uses sklearn.decomposition.PCA)."""
+    Xc = X - X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(Xc, full_matrices=False)
+    return Xc @ Vt[:n_components].T
+
+
+def one_hot(X: np.ndarray) -> np.ndarray:
+    cols = []
+    for j in range(X.shape[1]):
+        vals = np.unique(X[:, j])
+        cols.append((X[:, j][:, None] == vals[None, :]).astype(np.float64))
+    return np.hstack(cols)
+
+
+def add_intercept(X):
+    return np.c_[X, np.ones(X.shape[0])]
+
+
+def quality_split_groups(member_lists, cap: int = 100, n_quality: int = 3):
+    """The reference's 'vq' variant (preproc_adult.py:33-48): split each
+    demographic cell into n_quality consecutive slices of up to ``cap``."""
+    groups, tags = [], []
+    for q in range(n_quality):
+        for tag, ng in member_lists:
+            if len(ng) >= n_quality * cap:
+                sl = ng[q * cap:(q + 1) * cap]
+            else:
+                sl = ng[int(q * len(ng) / n_quality):int((q + 1) * len(ng) / n_quality)]
+            if sl:
+                groups.append(list(sl))
+                tags.append((q,) + tag)
+    return groups, tags
+
+
+def cmd_adult(args):
+    import pandas as pd
+
+    cols = ["age", "workclass", "fnlwgt", "education", "education-num",
+            "marital-status", "occupation", "relationship", "race", "sex",
+            "capital-gain", "capital-loss", "hours-per-week", "native-country", "income"]
+    df = pd.read_csv(args.raw[0], names=cols, skipinitialspace=True, comment="|")
+    df = df.replace("?", np.nan).dropna().reset_index(drop=True)
+    y = np.where(df["income"].str.contains(">50K"), 1.0, -1.0)
+    num = df[["age", "education-num", "capital-gain", "capital-loss", "hours-per-week"]].to_numpy(float)
+    num = (num - num.mean(0)) / (num.std(0) + 1e-12)
+    cat = one_hot(df[["workclass", "marital-status", "occupation", "race", "sex"]].to_numpy(str))
+    X = add_intercept(np.hstack([num, pca_fit_transform(cat, min(5, cat.shape[1]))]))
+    np.savez(os.path.join(args.out_dir, "adult.npz"), X=X, y=y, Xt=np.zeros(0), yt=np.zeros(0))
+
+    # demographic groups (reference preproc_adult.py:20-48)
+    ages = [(0, 25), (25, 30), (30, 35), (35, 40), (40, 45), (45, 55), (55, int(df["age"].max()))]
+    races = sorted(set(df["race"]) - {"Other", "Asian-Pac-Islander", "Amer-Indian-Eskimo"})
+    genders = sorted(set(df["sex"]))
+    cells = []
+    for a, r, g in itertools.product(ages, races, genders):
+        ng = df.index[(df["race"] == r) & (df["sex"] == g)
+                      & (a[0] < df["age"]) & (df["age"] <= a[1])].tolist()
+        cells.append((((a, r, g)), ng))
+    groups, tags = quality_split_groups(cells, cap=args.cap)
+    with open(os.path.join(args.out_dir, "vq_groups_sensemake_adult.pk"), "wb") as f:
+        pickle.dump((groups, tags), f)
+    print(f"adult: N={X.shape[0]} d={X.shape[1]} groups={len(groups)}")
+
+
+def cmd_diabetes(args):
+    import pandas as pd
+
+    df = pd.read_csv(args.raw[0]).replace("?", np.nan)
+    df = df.dropna(subset=["race", "gender", "age"]).reset_index(drop=True)
+    y = np.where(df["readmitted"].astype(str) != "NO", 1.0, -1.0)
+    num_cols = [c for c in ["time_in_hospital", "num_lab_procedures", "num_procedures",
+                            "num_medications", "number_outpatient", "number_emergency",
+                            "number_inpatient", "number_diagnoses"] if c in df]
+    num = df[num_cols].to_numpy(float)
+    num = (num - num.mean(0)) / (num.std(0) + 1e-12)
+    X = add_intercept(num)
+    np.savez(os.path.join(args.out_dir, "diabetes.npz"), X=X, y=y, Xt=np.zeros(0), yt=np.zeros(0))
+
+    cells = []
+    for a, r, g in itertools.product(sorted(set(df["age"])), sorted(set(df["race"])),
+                                     sorted(set(df["gender"]))):
+        ng = df.index[(df["race"] == r) & (df["gender"] == g) & (df["age"] == a)].tolist()
+        if len(ng) > 40:  # reference preproc_diabetes.py:18
+            cells.append((((a, r, g)), ng))
+    groups, tags = quality_split_groups(cells, cap=args.cap)
+    with open(os.path.join(args.out_dir, "vq_groups_sensemake_diabetes.pk"), "wb") as f:
+        pickle.dump((groups, tags), f)
+    print(f"diabetes: N={X.shape[0]} d={X.shape[1]} groups={len(groups)}")
+
+
+def cmd_phishing(args):
+    data = load_csv(args.raw[0], skip_header=1)
+    X, y = data[:, :-1], data[:, -1]
+    X = add_intercept(pca_fit_transform(one_hot(X), 10))
+    np.savez(os.path.join(args.out_dir, "phishing.npz"), X=X, y=y, Xt=np.zeros(0), yt=np.zeros(0))
+    print(f"phishing: N={X.shape[0]} d={X.shape[1]}")
+
+
+def cmd_webspam(args):
+    X, y = load_svmlight(args.raw[0])
+    if args.subsample and args.subsample < X.shape[0]:
+        idx = np.random.default_rng(0).choice(X.shape[0], args.subsample, replace=False)
+        X, y = X[idx], y[idx]
+    if args.pca:
+        X = pca_fit_transform(X, args.pca)
+    X = add_intercept(X)
+    y = np.where(y > 0, 1.0, -1.0)
+    np.savez(os.path.join(args.out_dir, "webspam.npz"), X=X, y=y, Xt=np.zeros(0), yt=np.zeros(0))
+    print(f"webspam: N={X.shape[0]} d={X.shape[1]}")
+
+
+def cmd_covtype(args):
+    data = load_csv(args.raw[0])
+    X, y = data[:, :-1], data[:, -1]
+    y = np.where(y == 2, 1.0, -1.0)  # majority class vs rest (binary task)
+    if args.subsample and args.subsample < X.shape[0]:
+        idx = np.random.default_rng(0).choice(X.shape[0], args.subsample, replace=False)
+        X, y = X[idx], y[idx]
+    if args.pca:
+        X = pca_fit_transform(X, args.pca)
+    X = add_intercept(X)
+    np.savez(os.path.join(args.out_dir, "covtype.npz"), X=X, y=y, Xt=np.zeros(0), yt=np.zeros(0))
+    print(f"covtype: N={X.shape[0]} d={X.shape[1]}")
+
+
+def cmd_mnist2(args):
+    data = np.load(args.raw[0])
+    X, y = data["X"], data["y"]
+    keep = (y == args.a) | (y == args.b)
+    X, y = X[keep], np.where(y[keep] == args.a, 1.0, -1.0)
+    np.savez(os.path.join(args.out_dir, "mnist2.npz"), X=add_intercept(X / 255.0), y=y,
+             Xt=np.zeros(0), yt=np.zeros(0))
+    print(f"mnist2 ({args.a} vs {args.b}): N={X.shape[0]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ["adult", "diabetes", "phishing", "webspam", "covtype", "mnist2"]:
+        p = sub.add_parser(name)
+        p.add_argument("--raw", nargs="+", required=True)
+        p.add_argument("--out-dir", default="data")
+        p.add_argument("--cap", type=int, default=100)
+        p.add_argument("--subsample", type=int, default=0)
+        p.add_argument("--pca", type=int, default=0)
+        if name == "mnist2":
+            p.add_argument("--a", type=int, default=3)
+            p.add_argument("--b", type=int, default=8)
+    args = ap.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    for f in args.raw:
+        if not os.path.exists(f):
+            sys.exit(f"raw file not found: {f} (no network egress; provide local files)")
+    globals()[f"cmd_{args.cmd}"](args)
+
+
+if __name__ == "__main__":
+    main()

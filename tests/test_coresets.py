@@ -232,3 +232,19 @@ class TestEndToEndGaussian:
         assert w.sum() == pytest.approx(self.Xclean.shape[0])
         kl_prior = self._rkl(np.zeros(1), np.zeros((1, self.d)))
         assert self._rkl(w, p) < kl_prior
+
+
+class TestPSVI:
+    def test_incremental_pseudo_coreset(self, rng):
+        from betacores_tpu.coresets import PseudoSparseVICoreset
+
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng, N=50, d=3, S=8)
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                   model.log_likelihood, model.grad_z_log_likelihood)
+        alg = PseudoSparseVICoreset(jnp.asarray(X), prj, opt_itrs=20, seed=0, max_size=16)
+        alg.build(4, 4)
+        w, p, i = alg.get()
+        assert 1 <= len(w) <= 4 and (w >= 0).all()
+        # pseudo-points should have moved off their initializing data rows
+        moved = np.linalg.norm(p - X[i], axis=1)
+        assert (moved > 1e-8).any()

@@ -1,0 +1,89 @@
+"""Determinism and jit/no-jit equivalence (SURVEY.md section 4 additions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import betacores_tpu as bc
+from betacores_tpu.coresets import IncrementalConfig, init_state, make_incremental_builder
+from betacores_tpu.inference import gaussian_conjugate_sampler
+from betacores_tpu.models import gaussian as gmod
+
+
+@pytest.fixture
+def problem(rng):
+    d = 3
+    Sig = 2.0 * np.eye(d)
+    Siginv = jnp.asarray(np.linalg.inv(Sig))
+    ld = float(np.linalg.slogdet(Sig)[1])
+    X = jnp.asarray(rng.normal(size=(120, d)))
+    model = gmod.bundle(Siginv, ld)
+    sampler = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), Siginv)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=32,
+                            n_subsample_opt=16, opt_itrs=10, i0=0.5)
+    return X, model, sampler, cfg
+
+
+def test_same_key_same_build(problem):
+    X, model, sampler, cfg = problem
+    b = make_incremental_builder(X, model, sampler, cfg)
+    st0 = init_state(16, X.shape[1], dtype=X.dtype)
+    s1 = b.build(jax.random.key(7), st0, 5)
+    s2 = b.build(jax.random.key(7), st0, 5)
+    np.testing.assert_array_equal(np.asarray(s1.idcs), np.asarray(s2.idcs))
+    np.testing.assert_allclose(np.asarray(s1.wts), np.asarray(s2.wts), rtol=0)
+
+
+def test_different_key_different_build(problem):
+    X, model, sampler, cfg = problem
+    b = make_incremental_builder(X, model, sampler, cfg)
+    st0 = init_state(16, X.shape[1], dtype=X.dtype)
+    s1 = b.build(jax.random.key(7), st0, 5)
+    s2 = b.build(jax.random.key(8), st0, 5)
+    assert not np.array_equal(np.asarray(s1.idcs), np.asarray(s2.idcs)) or \
+        not np.allclose(np.asarray(s1.wts), np.asarray(s2.wts))
+
+
+def test_jit_no_jit_equivalence(problem):
+    """The jitted build equals the same trace evaluated eagerly."""
+    X, model, sampler, cfg = problem
+    from betacores_tpu.coresets import incremental as inc
+
+    b = make_incremental_builder(X, model, sampler, cfg)
+    st0 = init_state(16, X.shape[1], dtype=X.dtype)
+    jitted = np.asarray(b.build(jax.random.key(3), st0, 3).wts)
+    with jax.disable_jit():
+        eager = np.asarray(b.build(jax.random.key(3), st0, 3).wts)
+    np.testing.assert_allclose(jitted, eager, rtol=1e-10, atol=1e-12)
+
+
+def test_dynamic_itrs_single_compilation(problem):
+    """itrs is a traced operand: different build sizes reuse one compiled
+    program (compilations through the TPU tunnel cost tens of seconds)."""
+    X, model, sampler, cfg = problem
+    b = make_incremental_builder(X, model, sampler, cfg)
+    st0 = init_state(16, X.shape[1], dtype=X.dtype)
+    _ = b.build(jax.random.key(0), st0, 1)
+    n0 = b.build._cache_size()
+    _ = b.build(jax.random.key(0), st0, 4)
+    _ = b.build(jax.random.key(0), st0, 9)
+    assert b.build._cache_size() == n0 == 1
+
+
+def test_eager_wrapper_seed_reproducibility(problem, rng):
+    """Two eager instances with the same seed produce identical coresets;
+    different seeds differ (replaces the reference's global np.random.seed
+    coupling, zellner_logreg/main.py:22)."""
+    X, model, sampler, cfg = problem
+    prj = bc.BlackBoxProjector(sampler, 16, model.log_likelihood)
+    mk = lambda seed: bc.SparseVICoreset(X, prj, opt_itrs=10, seed=seed,
+                                         n_subsample_select=32, n_subsample_opt=16)
+    a, b2 = mk(9), mk(9)
+    for m in range(1, 4):
+        a.build(1, m)
+        b2.build(1, m)
+    wa, pa, ia = a.get()
+    wb, pb, ib = b2.get()
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(wa, wb, rtol=0)
