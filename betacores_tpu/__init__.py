@@ -8,6 +8,13 @@ reference user can switch with minimal changes, while everything underneath
 is jit-compiled static-shape JAX.
 """
 
+from .utils.cache import enable_persistent_cache
+
+# Compilations dominate wall-clock on tunneled TPU backends (30s-3min per
+# distinct program); cache them across processes. Opt out with
+# BETACORES_NO_COMPILATION_CACHE=1.
+enable_persistent_cache()
+
 from . import coresets, inference, models, ops, snnls, utils
 from .coresets import (
     BatchPSVICoreset,

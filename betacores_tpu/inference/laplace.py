@@ -51,7 +51,9 @@ def newton_laplace(
         # Newton direction: solve (-H) p = g ; -H is SPD for concave targets.
         L = jnp.linalg.cholesky(-H)
         p = jax.scipy.linalg.cho_solve((L, True), g)
-        cands = mu[None, :] + _TS[:, None] * p[None, :]
+        # grid cast to the carry dtype: f64 _TS must not promote an f32 mu
+        # (scan carry type mismatch under enable_x64)
+        cands = mu[None, :] + jnp.asarray(_TS, dtype=mu.dtype)[:, None] * p[None, :]
         vals = jax.vmap(log_joint)(cands)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         best = jnp.argmax(vals)
@@ -79,7 +81,7 @@ def newton_laplace_diag(
         g = grad(mu)
         dh = diag_hess(mu)
         p = g / (-dh)
-        cands = mu[None, :] + _TS[:, None] * p[None, :]
+        cands = mu[None, :] + jnp.asarray(_TS, dtype=mu.dtype)[:, None] * p[None, :]
         vals = jax.vmap(log_joint)(cands)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         best = jnp.argmax(vals)

@@ -1,3 +1,4 @@
+from .cache import enable_persistent_cache
 from .errors import (
     TOL,
     NumericalPrecisionError,
@@ -12,6 +13,7 @@ from .opt import nn_adam, step_schedule
 from .prng import KeySequence, key_from_seed
 
 __all__ = [
+    "enable_persistent_cache",
     "TOL",
     "NumericalPrecisionError",
     "STATUS_NUMERIC_LIMIT",

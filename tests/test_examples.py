@@ -1,0 +1,115 @@
+"""Smoke tests for the runnable example drivers (reference L6:
+examples/zellner_*/main.py, group_selection.py, preproc_*.py, run.sh).
+
+Each driver runs in-process with a tiny configuration on the CPU mesh; the
+assertions are that it completes and writes its config-encoded results
+artifact (reference pickle pattern, zellner_logreg/main.py:235-238).
+"""
+
+import os
+import pickle
+import runpy
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(ROOT, "examples")
+
+
+def _run(script, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [script] + argv)
+    runpy.run_path(os.path.join(EXAMPLES, script), run_name="__main__")
+
+
+def _pickles(d):
+    return [f for f in os.listdir(d) if f.endswith(".pk")]
+
+
+def test_zellner_gaussian(tmp_path, monkeypatch):
+    _run("zellner_gaussian.py",
+         ["--alg", "BCORES", "--trial", "1", "--M", "3", "--N", "200", "--d", "4",
+          "--proj-dim", "8", "--opt-itrs", "5", "--n-subsample-opt", "50",
+          "--n-subsample-select", "100", "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    res = pickle.load(open(tmp_path / f, "rb"))
+    rklw = np.asarray(res["rklw"])
+    assert rklw.shape[0] >= 4 and np.isfinite(rklw[1:4]).all()
+
+
+def test_zellner_logreg(tmp_path, monkeypatch):
+    _run("zellner_logreg.py",
+         ["--alg", "BCORES", "--dataset", "synth_lr_tiny_missing", "--M", "3",
+          "--proj-dim", "8", "--opt-itrs", "5", "--n-subsample-opt", "50",
+          "--n-subsample-select", "100", "--eval-every", "2",
+          "--mcmc-samples", "20", "--mcmc-warmup", "20",
+          "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    res = pickle.load(open(tmp_path / f, "rb"))
+    accs = res["accs"]
+    assert accs and all(np.isfinite(v) for v in accs.values())
+
+
+def test_zellner_neural_linear(tmp_path, monkeypatch):
+    _run("zellner_neural_linear.py",
+         ["--alg", "BCORES", "--M", "2", "--N", "200", "--D", "4",
+          "--batch-size", "10", "--init-size", "10", "--out-features", "8",
+          "--proj-dim", "8", "--opt-itrs", "5", "--n-subsample-opt", "50",
+          "--nn-epochs", "3", "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    res = pickle.load(open(tmp_path / f, "rb"))
+    rmses = np.asarray(res["rmses"], dtype=float)
+    assert np.isfinite(rmses).all()
+
+
+def test_group_selection(tmp_path, monkeypatch):
+    _run("group_selection.py",
+         ["--alg", "BCORES", "--M", "2", "--proj-dim", "8", "--opt-itrs", "5",
+          "--n-subsample-opt", "100", "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    res = pickle.load(open(tmp_path / f, "rb"))
+    assert len(res["order"]) >= 1 and np.isfinite(res["accs"]).all()
+
+
+def test_run_sweep_list(capsys, monkeypatch):
+    _run("run_sweep.py", ["--exp", "logreg", "--list"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "BCORES" in out
+
+
+def test_preprocess_covtype_and_mnist2(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "cov.csv"
+    data = np.c_[rng.normal(size=(50, 5)), rng.integers(1, 4, size=50)]
+    np.savetxt(raw, data, delimiter=",")
+    _run("preprocess.py",
+         ["covtype", "--raw", str(raw), "--out-dir", str(tmp_path), "--pca", "3"],
+         monkeypatch)
+    d = np.load(tmp_path / "covtype.npz")
+    assert d["X"].shape == (50, 4) and set(np.unique(d["y"])) <= {-1.0, 1.0}
+
+    np.savez(tmp_path / "mnist.npz", X=rng.integers(0, 255, size=(40, 16)),
+             y=rng.integers(0, 10, size=40))
+    _run("preprocess.py",
+         ["mnist2", "--raw", str(tmp_path / "mnist.npz"), "--out-dir", str(tmp_path)],
+         monkeypatch)
+    d = np.load(tmp_path / "mnist2.npz")
+    assert d["X"].shape[1] == 17
+
+
+def test_plot_results_gaussian(tmp_path, monkeypatch):
+    # two fake trials of the gaussian results schema
+    for t in (1, 2):
+        with open(tmp_path / f"results_BCORES_{t}.pk", "wb") as f:
+            pickle.dump({"alg": "BCORES", "trial": t,
+                         "rklw": [3.0, 2.0, 1.0 + 0.1 * t],
+                         "fklw": [3.0, 2.0, 1.0]}, f)
+    out = tmp_path / "plot.png"
+    _run("plot_results.py",
+         ["--kind", "gaussian", "--results-dir", str(tmp_path), "--out", str(out)],
+         monkeypatch)
+    assert out.exists() and out.stat().st_size > 0
