@@ -43,9 +43,12 @@ class BlackBoxProjector:
     ``sampler(key, n, wts, pts, aux) -> (samples, aux)``."""
 
     def __init__(self, sampler, projection_dimension: int, loglikelihood,
-                 grad_loglikelihood=None):
+                 grad_loglikelihood=None, theta_dim: int = None):
         self.sampler = sampler
         self.projection_dimension = projection_dimension
+        # parameter dimension when != data row dim (e.g. rows z = [x, y] with
+        # a Laplace sampler whose warm-start mode is d = D - 1)
+        self.theta_dim = theta_dim
         self.model = ModelFns(
             log_likelihood=loglikelihood,
             grad_z_log_likelihood=grad_loglikelihood,
@@ -56,9 +59,10 @@ class BetaBlackBoxProjector:
     """Beta-divergence projector bundle (reference projector.py:39-66)."""
 
     def __init__(self, sampler, projection_dimension: int, beta_likelihood,
-                 loglikelihood, beta_gradient=None):
+                 loglikelihood, beta_gradient=None, theta_dim: int = None):
         self.sampler = sampler
         self.projection_dimension = projection_dimension
+        self.theta_dim = theta_dim
         if beta_gradient is None:
             beta_gradient = beta_gradient_from_autodiff(beta_likelihood)
         self.model = ModelFns(
@@ -107,7 +111,8 @@ class Coreset:
             self.initialized = 0
 
     def _init_aux(self):
-        return jnp.zeros(self.data.shape[1], dtype=jnp.asarray(self.data).dtype)
+        td = getattr(getattr(self, "projector", None), "theta_dim", None)
+        return jnp.zeros(td or self.data.shape[1], dtype=jnp.asarray(self.data).dtype)
 
     # --- reference API ---
     def reset(self):
@@ -184,8 +189,8 @@ class _IncrementalCoreset(Coreset):
         if groups is not None and not max_size:
             # group appends add up to max-group-size slots per iteration
             max_size = sum(len(g) for g in groups)
+        self.projector = ll_projector  # before super(): _init_aux reads theta_dim
         super().__init__(data, seed=seed, max_size=max_size, beta=beta, **kw)
-        self.projector = ll_projector
         if learn_beta is not None:
             self._learn_beta = learn_beta
         step_sizes = jnp.asarray(_steps_to_i0(step_sched, opt_itrs), dtype=self.data.dtype)
@@ -278,8 +283,8 @@ class BatchPSVICoreset(Coreset):
     def __init__(self, data, ll_projector, opt_itrs: int = 100, n_subsample_opt=None,
                  step_sched: Callable = lambda m: (lambda i: 1.0 / (1.0 + i)),
                  seed: int = 0, **kw):
+        self.projector = ll_projector  # before super(): _init_aux reads theta_dim
         super().__init__(data, seed=seed, **kw)
-        self.projector = ll_projector
         self.opt_itrs = opt_itrs
         self.n_subsample_opt = n_subsample_opt
         self.step_sched = step_sched
@@ -319,6 +324,7 @@ class HilbertCoreset(Coreset):
     (spec: reference coreset/hilbert.py)."""
 
     def __init__(self, data, ll_projector, n_subsample=None, snnls=GIGA, seed: int = 0, **kw):
+        self.projector = ll_projector  # before super(): _init_aux reads theta_dim
         super().__init__(data, seed=seed, **kw)
         key = self.keys()
         d = self.data.shape[1]

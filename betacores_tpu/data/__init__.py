@@ -1,5 +1,6 @@
 from .perturb import perturb_groups, perturb_logreg, perturb_regression
-from .synthetic import gen_synthetic_gaussian, gen_synthetic_linreg, gen_synthetic_logreg
+from .synthetic import (gen_synthetic_gaussian, gen_synthetic_linreg,
+                        gen_synthetic_logreg, gen_synthetic_poisson)
 
 __all__ = [
     "perturb_groups",
@@ -8,4 +9,5 @@ __all__ = [
     "gen_synthetic_gaussian",
     "gen_synthetic_linreg",
     "gen_synthetic_logreg",
+    "gen_synthetic_poisson",
 ]

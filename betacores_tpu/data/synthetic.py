@@ -55,3 +55,17 @@ def gen_synthetic_linreg(key: jax.Array, N: int = 2000, D: int = 40,
     X = X.at[:, -1].set(1.0)
     y = X @ w + noise_std * jax.random.normal(ke, (N,), dtype=dtype)
     return X, y[:, None], w
+
+
+def gen_synthetic_poisson(key: jax.Array, N: int = 2000, d: int = 5,
+                          theta_scale: float = 0.5, dtype=jnp.float32):
+    """Poisson-regression synthetic matching the reference's Stan model
+    (stan_code.py:22-42): X with intercept column, rate f = softplus(X th),
+    counts y ~ Poisson(f). Returns (X, y, Z=[X, y], theta_true)."""
+    kt, kx, ky = jax.random.split(key, 3)
+    th = theta_scale * jax.random.normal(kt, (d,), dtype=dtype)
+    X = jax.random.normal(kx, (N, d), dtype=dtype)
+    X = X.at[:, -1].set(1.0)
+    f = jax.nn.softplus(X @ th)
+    y = jax.random.poisson(ky, f).astype(dtype)
+    return X, y, jnp.concatenate([X, y[:, None]], axis=1), th

@@ -6,6 +6,7 @@ from .samplers import (
     gaussian_conjugate_sampler,
     linreg_conjugate_sampler,
     logreg_laplace_sampler,
+    poisson_laplace_sampler,
     prior_gaussian_sampler,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "gaussian_conjugate_sampler",
     "linreg_conjugate_sampler",
     "logreg_laplace_sampler",
+    "poisson_laplace_sampler",
     "prior_gaussian_sampler",
 ]

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..models import gaussian as gauss_model
 from ..models import linreg as linreg_model
 from ..models import logreg as logreg_model
+from ..models import poisson as poisson_model
 from .laplace import newton_laplace, newton_laplace_diag, sample_laplace
 
 SamplerFn = Callable  # (key, n, wts, pts, aux) -> (samples, aux)
@@ -67,6 +68,27 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bo
             lap = newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
         else:
             h = lambda th: logreg_model.hess_th_log_joint(pts, th, wts)
+            lap = newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
+        return sample_laplace(key, lap, n), lap.mu
+
+    return sampler
+
+
+def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
+                            warm_start: bool = True) -> SamplerFn:
+    """Laplace sampler for Poisson regression (softplus link). Newton uses
+    the expected (Fisher) Hessian — globally negative definite — so this is
+    Fisher scoring, the standard GLM fit (models/poisson.py docstring)."""
+
+    def sampler(key, n, wts, pts, aux):
+        mu_ws = aux if warm_start else jnp.zeros_like(aux)
+        lj = lambda th: poisson_model.log_joint(pts, th, wts)
+        g = lambda th: poisson_model.grad_th_log_joint(pts, th, wts)
+        if diag:
+            dh = lambda th: poisson_model.diag_hess_th_log_joint(pts, th, wts)
+            lap = newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
+        else:
+            h = lambda th: poisson_model.hess_th_log_joint(pts, th, wts)
             lap = newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
         return sample_laplace(key, lap, n), lap.mu
 

@@ -1,5 +1,5 @@
-from . import gaussian, linreg, logreg, neural_linear
+from . import gaussian, linreg, logreg, neural_linear, poisson
 from .base import ModelFns, beta_gradient_from_autodiff
 
-__all__ = ["gaussian", "linreg", "logreg", "neural_linear", "ModelFns",
-           "beta_gradient_from_autodiff"]
+__all__ = ["gaussian", "linreg", "logreg", "neural_linear", "poisson",
+           "ModelFns", "beta_gradient_from_autodiff"]

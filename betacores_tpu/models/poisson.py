@@ -1,0 +1,161 @@
+"""Bayesian Poisson regression (counts) with softplus link.
+
+Spec: the reference's Poisson Stan program (examples/common/stan_code.py:22-42)
+used by its MCMC helpers (examples/common/mcmc.py, mcmc_noXt.py) on the
+packaged count datasets (synth_poiss / biketrips / airportdelays npz):
+
+    y_n ~ Poisson(f_n),   f_n = -log_inv_logit(-(x_n . th)) = softplus(x_n . th)
+    th  ~ N(0, I)
+
+(the Stan program's separate intercept ``theta0`` corresponds to the intercept
+column the preprocessing appends to x; here it is folded into th).
+
+Data rows follow the linreg convention z_n = [x_n, y_n] (counts stored as
+floats in the last column), so the coreset machinery sees one (N, D) array.
+
+The reference never implements a beta-likelihood for Poisson (its robust
+experiments are logreg/gaussian/neurlinr only). We provide one — the
+density-power surrogate
+
+    f_beta(z, th) = (beta+1)/beta * p(y|th)^beta - sum_k p(k|th)^(beta+1)
+
+with the mass-sum term evaluated by a static-length truncated sum over
+k = 0..K (Poisson mass beyond a few sd above the rate is negligible; K is a
+bundle-time constant so shapes stay static under jit).
+
+Laplace support: the exact log-joint Hessian of a softplus-link Poisson GLM
+is not globally negative definite, so ``hess_th_log_joint`` returns the
+*expected* Hessian (negative Fisher information − prior precision), which is
+negative definite everywhere — Newton becomes Fisher scoring, the standard
+GLM fit, and stays compatible with the Cholesky-based
+``inference.laplace.newton_laplace``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .base import ModelFns, beta_gradient_from_autodiff
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def _split(z):
+    """(N, D) rows [x, y] -> x: (N, D-1), y: (N,)."""
+    return z[..., :-1], z[..., -1]
+
+
+def _rate(x, th):
+    """(N, S) Poisson rates f = softplus(x . th), and eta for reuse."""
+    eta = x @ th.T
+    return jax.nn.softplus(eta), eta
+
+
+def log_likelihood(z, th):
+    """(N, S): y log f - f - lgamma(y+1), f = softplus(x.th)."""
+    x, y = _split(z)
+    f, _ = _rate(x, th)
+    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
+    return y[:, None] * jnp.log(f) - f - gammaln(y + 1.0)[:, None]
+
+
+def beta_likelihood(z, th, beta, k_max: int = 64):
+    """(N, S) density-power surrogate, positive convention:
+        (beta+1)/beta p(y|f)^beta - sum_{k=0..k_max} p(k|f)^(beta+1).
+    The truncated mass sum is exact to machine precision once
+    k_max >> max rate (Poisson tails are sub-exponential)."""
+    x, y = _split(z)
+    f, _ = _rate(x, th)
+    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
+    logf = jnp.log(f)
+    ll = y[:, None] * logf - f - gammaln(y + 1.0)[:, None]        # (N, S)
+    ks = jnp.arange(k_max + 1, dtype=z.dtype)                     # (K+1,)
+    # log p(k | f): (N, S, K+1)
+    ll_k = (ks[None, None, :] * logf[:, :, None]
+            - f[:, :, None] - gammaln(ks + 1.0)[None, None, :])
+    mass = jnp.exp(jax.scipy.special.logsumexp((beta + 1.0) * ll_k, axis=-1))
+    return (beta + 1.0) / beta * jnp.exp(beta * ll) - mass
+
+
+def grad_z_log_likelihood(z, th):
+    """(N, S, D) gradient w.r.t. the data row z = [x, y] (BPSVI pseudo-point
+    updates; counts relaxed to continuous y):
+        d/dx = (y/f - 1) sigmoid(eta) th,   d/dy = log f - digamma(y+1)."""
+    x, y = _split(z)
+    f, eta = _rate(x, th)
+    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
+    s = jax.nn.sigmoid(eta)                                       # f' = sigmoid
+    gx = ((y[:, None] / f - 1.0) * s)[:, :, None] * th[None, :, :]  # (N, S, d)
+    gy = jnp.log(f) - jax.scipy.special.digamma(y + 1.0)[:, None]   # (N, S)
+    return jnp.concatenate([gx, gy[:, :, None]], axis=-1)
+
+
+# --- single-theta weighted joint (Laplace / HMC target) ---------------------
+
+
+def log_prior(th):
+    return -0.5 * th.shape[-1] * _LOG2PI - 0.5 * jnp.sum(th * th, axis=-1)
+
+
+def log_joint(z, th, wts):
+    """Weighted log joint for a single th (d,). Matches the weighted
+    extension of the reference Stan program (stan_code.py:36-41)."""
+    x, y = _split(z)
+    eta = x @ th
+    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
+    ll = y * jnp.log(f) - f - gammaln(y + 1.0)
+    return jnp.sum(wts * ll) + log_prior(th)
+
+
+def grad_th_log_joint(z, th, wts):
+    """(d,): sum_n w_n (y_n/f_n - 1) sigmoid(eta_n) x_n - th."""
+    x, y = _split(z)
+    eta = x @ th
+    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
+    c = wts * (y / f - 1.0) * jax.nn.sigmoid(eta)
+    return c @ x - th
+
+
+def hess_th_log_joint(z, th, wts):
+    """(d, d) expected Hessian (Fisher scoring): -I - sum w_n s_n^2/f_n x x^T,
+    negative definite for all th (see module docstring)."""
+    x, y = _split(z)
+    eta = x @ th
+    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
+    s = jax.nn.sigmoid(eta)
+    c = wts * s * s / f
+    d = th.shape[-1]
+    return -jnp.eye(d, dtype=th.dtype) - (c[:, None] * x).T @ x
+
+
+def diag_hess_th_log_joint(z, th, wts):
+    x, y = _split(z)
+    eta = x @ th
+    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
+    s = jax.nn.sigmoid(eta)
+    c = wts * s * s / f
+    return -jnp.ones_like(th) - c @ (x * x)
+
+
+# --- prediction --------------------------------------------------------------
+
+
+def predictive_loglik(Zt, thetas):
+    """Mean posterior-predictive log-likelihood: mean_n log mean_s p(z_n|th_s)."""
+    ll = log_likelihood(Zt, thetas)
+    S = thetas.shape[0]
+    return jnp.mean(jax.scipy.special.logsumexp(ll, axis=1) - jnp.log(S))
+
+
+def bundle(k_max: int = 64) -> ModelFns:
+    return ModelFns(
+        log_likelihood=log_likelihood,
+        beta_likelihood=lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max),
+        beta_gradient=beta_gradient_from_autodiff(
+            lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max)),
+        grad_z_log_likelihood=grad_z_log_likelihood,
+    )
