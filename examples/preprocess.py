@@ -170,10 +170,63 @@ def cmd_mnist2(args):
     print(f"mnist2 ({args.a} vs {args.b}): N={X.shape[0]}")
 
 
+def postcode_to_int(code: str) -> int:
+    """Reference's digit-concatenation postcode tag
+    (process_housing_prices.py:17): per character, letters map to
+    ord-97 >= 0 else digits map to ord-48, concatenated as a decimal string."""
+    out = []
+    for a in code.replace(" ", ""):
+        v = ord(a.lower()) - 97
+        out.append(str(v) if v >= 0 else str(ord(a.lower()) - 48))
+    return int("".join(out))
+
+
+def cmd_housing(args):
+    """UK price-paid x GB postcode geocoding join -> (lat, lon, price) rows
+    (reference process_housing_prices.py; its O(N) python merge loop becomes
+    a vectorized sorted searchsorted join). --raw <pp-YYYY.csv> <GB_FULL.txt>."""
+    pp_path, geo_path = args.raw[0], args.raw[1]
+    # GB_FULL.txt: tab-separated, postal_code is column 1, lat/lon cols 9/10
+    geo_codes, geo_lat, geo_lon = [], [], []
+    with open(geo_path) as fh:
+        next(fh)  # header
+        for line in fh:
+            t = line.rstrip("\n").split("\t")
+            try:
+                geo_codes.append(postcode_to_int(t[1]))
+                geo_lat.append(float(t[9]))
+                geo_lon.append(float(t[10]))
+            except (ValueError, IndexError):
+                continue
+    geo_codes = np.asarray(geo_codes, dtype=np.int64)
+    order = np.argsort(geo_codes)
+    geo_codes = geo_codes[order]
+    geo_ll = np.c_[np.asarray(geo_lat), np.asarray(geo_lon)][order]
+
+    codes, prices = [], []
+    with open(pp_path) as fh:
+        for line in fh:
+            t = [s.strip(' "') for s in line.split(",")]
+            try:
+                codes.append(postcode_to_int(t[3]))
+                prices.append(float(t[1]))
+            except (ValueError, IndexError):
+                continue
+    codes = np.asarray(codes, dtype=np.int64)
+    prices = np.asarray(prices)
+    pos = np.searchsorted(geo_codes, codes)
+    pos = np.clip(pos, 0, len(geo_codes) - 1)
+    hit = geo_codes[pos] == codes
+    out = np.c_[geo_ll[pos[hit]], prices[hit]]
+    np.save(os.path.join(args.out_dir, "prices2018.npy"), out)
+    print(f"housing: {out.shape[0]}/{len(codes)} entries geocoded")
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ["adult", "diabetes", "phishing", "webspam", "covtype", "mnist2"]:
+    for name in ["adult", "diabetes", "phishing", "webspam", "covtype", "mnist2",
+                 "housing"]:
         p = sub.add_parser(name)
         p.add_argument("--raw", nargs="+", required=True)
         p.add_argument("--out-dir", default="data")

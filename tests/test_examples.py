@@ -101,6 +101,26 @@ def test_preprocess_covtype_and_mnist2(tmp_path, monkeypatch):
     assert d["X"].shape[1] == 17
 
 
+def test_preprocess_housing(tmp_path, monkeypatch):
+    # GB_FULL.txt: tab-separated geocoding rows (postal_code col 1, lat 9, lon 10)
+    geo = tmp_path / "GB_FULL.txt"
+    rows = ["\t".join(["GB", code, "x", "x", "x", "x", "x", "x", "x",
+                       str(lat), str(lon), "1"])
+            for code, lat, lon in [("AB1 0AA", 57.1, -2.2), ("ZZ9 9ZZ", 50.0, 0.1)]]
+    geo.write_text("header\n" + "\n".join(rows) + "\n")
+    # price-paid csv: price col 1, postcode col 3
+    pp = tmp_path / "pp-2018.csv"
+    pp.write_text('"id","100000","2018","AB1 0AA","x"\n'
+                  '"id","250000","2018","ZZ9 9ZZ","x"\n'
+                  '"id","50000","2018","NO1 1NO","x"\n')
+    _run("preprocess.py",
+         ["housing", "--raw", str(pp), str(geo), "--out-dir", str(tmp_path)],
+         monkeypatch)
+    out = np.load(tmp_path / "prices2018.npy")
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(sorted(out[:, 2]), [100000.0, 250000.0])
+
+
 def test_plot_results_gaussian(tmp_path, monkeypatch):
     # two fake trials of the gaussian results schema
     for t in (1, 2):
