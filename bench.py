@@ -42,17 +42,33 @@ def main():
     )
     model = logreg.bundle()
     sampler = logreg_laplace_sampler()
-    builder = make_incremental_builder(Z, model, sampler, cfg)
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        # multi-chip: row-shard N over the mesh's data axis (the BASELINE
+        # v5e-8 configuration); state replicated, distributed argmax.
+        from betacores_tpu.parallel import (auto_mesh_shape, make_mesh,
+                                            make_sharded_incremental_builder,
+                                            shard_data)
+
+        mesh = make_mesh(*auto_mesh_shape(n_dev))
+        Zs, n_true = shard_data(Z, mesh)
+        builder_fn = make_sharded_incremental_builder(Zs, n_true, model,
+                                                      sampler, cfg, mesh)
+        build = lambda key, st, itrs: builder_fn(key, st, itrs)
+        print(f"sharded build over mesh {dict(mesh.shape)}", file=sys.stderr)
+    else:
+        builder = make_incremental_builder(Z, model, sampler, cfg)
+        build = builder.build
     st0 = init_state(128, d, beta=0.1, dtype=jnp.float32)
 
     # compile (cached for subsequent runs)
     t0 = time.perf_counter()
-    st = jax.block_until_ready(builder.build(k2, st0, M))
+    st = jax.block_until_ready(build(k2, st0, M))
     t_first = time.perf_counter() - t0
 
     # timed run (compile excluded)
     t0 = time.perf_counter()
-    st = jax.block_until_ready(builder.build(k2, st0, M))
+    st = jax.block_until_ready(build(k2, st0, M))
     t_build = time.perf_counter() - t0
 
     n_sel = int(st.m)

@@ -58,5 +58,28 @@ def enable_persistent_cache(cache_dir: str | None = None,
                           min_compile_time_secs)
     except Exception:  # unsupported jax version / read-only fs: run without
         return None
+    _prune(cache_dir, max_bytes=float(os.environ.get(
+        "BETACORES_COMPILATION_CACHE_MAX_GB", "10")) * 1e9)
     _enabled_dir = cache_dir
     return cache_dir
+
+
+def _prune(cache_dir: str, max_bytes: float) -> None:
+    """LRU-evict oldest entries past the size cap (serialized TPU
+    executables for large builds run >200 MB each; JAX has no built-in
+    eviction)."""
+    try:
+        entries = []
+        with os.scandir(cache_dir) as it:
+            for e in it:
+                if e.is_file():
+                    st = e.stat()
+                    entries.append((st.st_mtime, st.st_size, e.path))
+        total = sum(sz for _, sz, _ in entries)
+        for _, sz, path in sorted(entries):
+            if total <= max_bytes:
+                break
+            os.remove(path)
+            total -= sz
+    except OSError:
+        pass
