@@ -92,6 +92,18 @@ class Coreset:
 
     def __init__(self, data, *, seed: int = 0, max_size: int = 0,
                  wts=None, idcs=None, pts=None, beta: float = 0.5):
+        # reference contract: garbage input raises ValueError (reference
+        # tests/test_snnls/test_sampling.py:100-123). Validate metadata only
+        # — no device->host transfer for on-device arrays.
+        if not isinstance(data, jnp.ndarray):
+            try:
+                data = np.asarray(data)
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"coreset data must be a numeric array: {e}") from None
+        if data.dtype.kind not in "fiu":
+            raise ValueError(f"coreset data must be numeric, got dtype {data.dtype}")
+        if data.ndim != 2 or data.shape[0] < 1 or data.shape[1] < 1:
+            raise ValueError(f"coreset data must be (N, D) with N,D >= 1, got {data.shape}")
         self.data = jnp.asarray(data)
         self.log = get_logger(self.__class__.__name__)
         self.keys = KeySequence(seed)

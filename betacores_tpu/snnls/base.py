@@ -96,8 +96,14 @@ class SparseNNLS:
     check_error_monotone = True
 
     def __init__(self, A, b, max_support: int | None = None):
-        A = jnp.asarray(A)
-        b = jnp.asarray(b)
+        try:
+            A = jnp.asarray(A)
+            b = jnp.asarray(b)
+        except (TypeError, ValueError) as e:
+            # reference contract: garbage input raises ValueError
+            raise ValueError(f"A, b must be numeric arrays: {e}") from None
+        if A.dtype.kind not in "fiu" or b.dtype.kind not in "fiu":
+            raise ValueError(f"A, b must be numeric, got {A.dtype}, {b.dtype}")
         if A.ndim != 2 or b.ndim != 1 or A.shape[0] != b.shape[0]:
             raise ValueError("A must be (D, N) and b (D,)")
         self.A = A

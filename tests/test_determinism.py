@@ -87,3 +87,24 @@ def test_eager_wrapper_seed_reproducibility(problem, rng):
     wb, pb, ib = b2.get()
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(wa, wb, rtol=0)
+
+
+class TestInputValidation:
+    """Reference contract: garbage constructor input raises ValueError
+    (reference tests/test_snnls/test_sampling.py:100-123)."""
+
+    BAD = ["fdas", np.array(["fdsa", "asdf"]), np.zeros((0, 3)), np.zeros(5)]
+
+    def test_coreset_classes_reject_garbage(self):
+        for bad in self.BAD:
+            for cls in (bc.UniformSamplingCoreset,):
+                with pytest.raises(ValueError):
+                    cls(bad, seed=0)
+
+    def test_snnls_rejects_garbage(self):
+        from betacores_tpu.snnls import GIGA
+        for bad in ("fdas", np.array(["a", "b"]), np.zeros(4)):
+            with pytest.raises(ValueError):
+                GIGA(bad, np.ones(3))
+        with pytest.raises(ValueError):
+            GIGA(np.ones((3, 5)), np.ones(4))  # shape mismatch
