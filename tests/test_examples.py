@@ -133,3 +133,28 @@ def test_plot_results_gaussian(tmp_path, monkeypatch):
          ["--kind", "gaussian", "--results-dir", str(tmp_path), "--out", str(out)],
          monkeypatch)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_results_logreg_and_groups(tmp_path, monkeypatch):
+    for t in (1, 2):
+        with open(tmp_path / f"results_lr_{t}.pk", "wb") as f:
+            pickle.dump({"args": {"alg": "BCORES"},
+                         "accs": {1: 0.6, 5: 0.7, 10: 0.72 + 0.01 * t},
+                         "plls": {1: -0.9, 5: -0.7, 10: -0.6}}, f)
+    out = tmp_path / "lr.png"
+    _run("plot_results.py",
+         ["--kind", "logreg", "--results-dir", str(tmp_path), "--out", str(out)],
+         monkeypatch)
+    assert out.exists() and out.stat().st_size > 0
+
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    for t in (1, 2):
+        with open(gdir / f"group_results_x_{t}.pk", "wb") as f:
+            pickle.dump({"args": {"alg": "DSHAPLEY"},
+                         "accs": np.array([0.5, 0.6, 0.65 + 0.01 * t])}, f)
+    out2 = tmp_path / "g.png"
+    _run("plot_results.py",
+         ["--kind", "groups", "--results-dir", str(gdir), "--out", str(out2)],
+         monkeypatch)
+    assert out2.exists() and out2.stat().st_size > 0
