@@ -265,6 +265,28 @@ class _IncrementalCoreset(Coreset):
         if self.groups is None:
             self.state = self._builder.optimize(self.keys(), self.state, self.ctx)
 
+    def build_trace(self, itrs: int):
+        """Run ``itrs`` incremental iterations as ONE device program,
+        returning per-iteration compact coresets
+        ``[(wts_m, pts_m, idcs_m, beta_m)] * itrs`` — what a
+        ``for m: build(1, m); get()`` loop produces, without its hundreds
+        of per-size host round trips (they dominate wall-clock through
+        tunneled TPU backends). Advances this coreset to the final size."""
+        if self.groups is not None:
+            raise NotImplementedError("build_trace: point mode only")
+        self._ensure_capacity(int(self.state.m) + itrs)
+        st, (W, I, B) = self._builder.build_trace(self.keys(), self.state,
+                                                  int(itrs), self.ctx)
+        self.state = st
+        W, I, B = np.asarray(W), np.asarray(I), np.asarray(B)
+        # one padded gather for every iteration's points: (itrs, cap, d)
+        P = np.asarray(self.data[jnp.asarray(np.maximum(I, 0))])
+        out = []
+        for m in range(itrs):
+            keep = W[m] > 0
+            out.append((W[m][keep], P[m][keep], I[m][keep], float(B[m])))
+        return out
+
 
 class SparseVICoreset(_IncrementalCoreset):
     """Sparse variational-inference coreset (Campbell & Beronov 2019).
@@ -375,9 +397,14 @@ class HilbertCoreset(Coreset):
         keep = w > 0
         wts = w[keep]
         idcs = self._row_map[keep]
-        # gather the selected rows on device; transfer only M rows, not the dataset
-        pts = np.asarray(self.data[jnp.asarray(idcs, dtype=jnp.int32)])
         cap = max(self.state.wts.shape[0], _round_capacity(len(wts)))
+        # gather the selected rows on device with a capacity-padded index
+        # vector: per-m index shapes would force one tunnel recompile per
+        # coreset size (measured 1000s+ over an M=200 build loop; padded
+        # shapes take the handful of power-of-two capacities instead)
+        pad_idcs = np.zeros(cap, dtype=np.int32)
+        pad_idcs[: len(idcs)] = idcs
+        pts = np.asarray(self.data[jnp.asarray(pad_idcs)])[: len(idcs)]
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())
@@ -401,19 +428,41 @@ class HilbertCoreset(Coreset):
 
 class UniformSamplingCoreset(Coreset):
     """Uniform-sampling baseline (spec: reference coreset/sampling.py):
-    iid uniform draws with multiplicity counts, w = N * cts / sum(cts)."""
+    iid uniform draws with multiplicity counts, w = N * cts / sum(cts).
+
+    Selection is pure host-side bookkeeping; the device-side ``state``
+    pytree is materialized lazily on first read after a build. A
+    ``for m: build(1, m); get()`` driver loop therefore pays one device
+    round trip per *read*, not several per build call (tunnel round trips
+    dominate such loops)."""
 
     def __init__(self, data, seed: int = 0, groups=None, **kw):
+        self._dirty = False
         super().__init__(data, seed=seed, **kw)
         self.cts: dict[int, int] = {}
         self.groups = groups
         self.selected_groups: list[int] = []
         self._rng = np.random.default_rng(seed)
 
+    @property
+    def state(self):
+        if self._dirty:
+            self._dirty = False
+            self._sync_device_state()
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
+
     def reset(self):
         self.cts = {}
         self.selected_groups = []
+        self._dirty = False
         super().reset()
+
+    def size(self) -> int:
+        return len(self.cts) if (self.cts or self._dirty) else super().size()
 
     def _build(self, itrs: int, sz: int) -> None:
         N = self.data.shape[0]
@@ -422,8 +471,6 @@ class UniformSamplingCoreset(Coreset):
                 raise ValueError("UniformSamplingCoreset._build(): size overrun")
             for f in self._rng.integers(0, N, size=itrs):
                 self.cts[int(f)] = self.cts.get(int(f), 0) + 1
-            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-            cts = np.fromiter(self.cts.values(), dtype=np.float64)
         else:
             # group mode (reference sampling.py:37-52): draw groups; append
             # every member of each new group once
@@ -432,14 +479,21 @@ class UniformSamplingCoreset(Coreset):
                     self.selected_groups.append(int(g))
                     for f in self.groups[int(g)]:
                         self.cts[int(f)] = self.cts.get(int(f), 0) + 1
-            if not self.cts:
-                return
-            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-            cts = np.fromiter(self.cts.values(), dtype=np.float64)
+        if self.cts:
+            self._dirty = True
+
+    def _sync_device_state(self) -> None:
+        N = self.data.shape[0]
+        idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+        cts = np.fromiter(self.cts.values(), dtype=np.float64)
         wts = N * cts / cts.sum()
-        pts = np.asarray(self.data[jnp.asarray(idcs, dtype=jnp.int32)])
         self._ensure_capacity(len(idcs))
-        cap = self.state.wts.shape[0]
+        cap = self._state.wts.shape[0]
+        # capacity-padded gather: per-size index shapes would recompile per
+        # build call through the tunnel (see HilbertCoreset._sync_state)
+        pad_idcs = np.zeros(cap, dtype=np.int32)
+        pad_idcs[: len(idcs)] = idcs
+        pts = np.asarray(self.data[jnp.asarray(pad_idcs)])[: len(idcs)]
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())

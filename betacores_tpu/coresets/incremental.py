@@ -69,9 +69,16 @@ class IncrementalBuilder:
     without retracing (reference zellner_neural_linear/main.py:191-205
     interleaves NN training with coreset iterations)."""
 
-    def __init__(self, build_fn, optimize_fn):
+    def __init__(self, build_fn, optimize_fn, build_trace_fn=None):
         self.build = build_fn
         self.optimize = optimize_fn
+        # build_trace(key, state, itrs, ctx=None) -> (state, (wts, idcs,
+        # beta) per iteration): the whole incremental loop as ONE device
+        # program, recording each size's coreset — replaces per-m
+        # ``build(1, m); get()`` driver loops whose host round trips
+        # dominate wall-clock on tunneled backends. itrs is static (output
+        # shape); the key stream matches ``build(key, st, itrs)``.
+        self.build_trace = build_trace_fn
 
     def __call__(self, key, state, itrs, ctx=None):
         return self.build(key, state, itrs, ctx)
@@ -212,4 +219,17 @@ def make_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
-    return IncrementalBuilder(build, jax.jit(lambda key, st, ctx=None: _optimize(key, st, ctx)))
+    @partial(jax.jit, static_argnums=2)
+    def build_trace(key, st: CoresetState, itrs: int, ctx=None):
+        def body(st, i):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            st = _select(k1, st, ctx)
+            st = _optimize(k2, st, ctx)
+            return st, (st.wts, st.idcs, st.beta)
+
+        st, per_itr = jax.lax.scan(body, st, jnp.arange(itrs))
+        return st, per_itr
+
+    return IncrementalBuilder(build,
+                              jax.jit(lambda key, st, ctx=None: _optimize(key, st, ctx)),
+                              build_trace)

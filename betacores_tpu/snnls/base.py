@@ -37,6 +37,28 @@ class BuildState(NamedTuple):
 StepFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
+def _iterate(st: BuildState, step_fn: StepFn, error_fn: Callable,
+             check_monotone: bool) -> BuildState:
+    """One guarded greedy iteration: select/reweight with monotone-error
+    check, revert-once retry, latch (reference snnls.py:31-79)."""
+
+    def active(st: BuildState) -> BuildState:
+        had_support = jnp.any(st.w > 0)
+        prev_err = error_fn(st.w)
+        w_new, ok = step_fn(st.w)
+        mono_fail = jnp.logical_and(
+            jnp.asarray(check_monotone), jnp.logical_and(had_support, error_fn(w_new) > prev_err)
+        )
+        fail = jnp.logical_or(jnp.logical_not(ok), mono_fail)
+        return BuildState(
+            w=jnp.where(fail, st.w, w_new),
+            retried=jnp.logical_and(fail, jnp.logical_not(st.retried)),
+            latched=jnp.logical_or(st.latched, jnp.logical_and(fail, st.retried)),
+        )
+
+    return jax.lax.cond(st.latched, lambda s: s, active, st)
+
+
 def build(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs,
           check_monotone: bool = True) -> BuildState:
     """Run ``itrs`` greedy iterations (reference snnls.py:31-79 loop).
@@ -49,24 +71,29 @@ def build(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs,
     """
 
     def body(_, st: BuildState) -> BuildState:
-        def active(st: BuildState) -> BuildState:
-            had_support = jnp.any(st.w > 0)
-            prev_err = error_fn(st.w)
-            w_new, ok = step_fn(st.w)
-            mono_fail = jnp.logical_and(
-                jnp.asarray(check_monotone), jnp.logical_and(had_support, error_fn(w_new) > prev_err)
-            )
-            fail = jnp.logical_or(jnp.logical_not(ok), mono_fail)
-            return BuildState(
-                w=jnp.where(fail, st.w, w_new),
-                retried=jnp.logical_and(fail, jnp.logical_not(st.retried)),
-                latched=jnp.logical_or(st.latched, jnp.logical_and(fail, st.retried)),
-            )
-
-        return jax.lax.cond(st.latched, lambda s: s, active, st)
+        return _iterate(st, step_fn, error_fn, check_monotone)
 
     st0 = BuildState(w=w0, retried=jnp.asarray(False), latched=jnp.asarray(False))
     return jax.lax.fori_loop(0, itrs, body, st0)
+
+
+def build_trace(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs: int,
+                check_monotone: bool = True) -> Tuple[jnp.ndarray, BuildState]:
+    """Like :func:`build` but records the weight vector after every
+    iteration, returning ((itrs, N) weights, final state) — ONE device
+    program for a whole incremental build loop. Eliminates the per-size
+    host<->device round trips of ``for m: build(1, m); get()`` driver loops,
+    which dominate wall-clock through a tunneled backend (measured 778s ->
+    <1s for an M=200 Hilbert build at N~6000). ``itrs`` is static (output
+    shape)."""
+
+    def body(st: BuildState, _):
+        st = _iterate(st, step_fn, error_fn, check_monotone)
+        return st, st.w
+
+    st0 = BuildState(w=w0, retried=jnp.asarray(False), latched=jnp.asarray(False))
+    st, ws = jax.lax.scan(body, st0, None, length=itrs)
+    return ws, st
 
 
 def optimize(A: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, max_support: int,
@@ -157,6 +184,20 @@ class SparseNNLS:
             self.log.warning(
                 "numeric limit reached: size=%d error=%g", self.size(), self.error()
             )
+
+    def build_trace(self, itrs: int) -> jnp.ndarray:
+        """Run ``itrs`` iterations recording the weight vector after each:
+        returns an on-device (itrs, N) array whose row m-1 equals the
+        weights after ``build`` of m total iterations. Advances this
+        solver's state to the final iteration."""
+        ws, st = jax.jit(
+            lambda w0: build_trace(self._step, self._error, w0, int(itrs),
+                                   self.check_error_monotone)
+        )(self.w)
+        self.w = st.w
+        if bool(st.latched):
+            self.reached_numeric_limit = True
+        return ws
 
     def optimize(self) -> None:
         w_new, rolled_back = self._jit_optimize(self.w)

@@ -117,14 +117,26 @@ def main():
             keep = wm > 0
             w.append(wm[keep])
             p.append(np.asarray(pts_b[m - 1])[keep])
-    else:
+    elif args.alg in ("GIGAO", "GIGAR"):
+        # one on-device program records the weights after EVERY greedy
+        # iteration; a per-m build(1, m)/get() loop pays hundreds of tunnel
+        # round trips instead (measured 778s -> seconds at M=200)
+        Wtr = np.asarray(alg.snnls.build_trace(args.M))
+        data_np = np.asarray(alg.data)
         for m in range(1, args.M + 1):
-            alg.build(1, m)
-            got = alg.get()
-            w.append(got[0])
-            p.append(got[1])
+            wm = Wtr[m - 1]
+            keep = wm > 0
+            w.append(wm[keep])
+            p.append(data_np[alg._row_map[keep]])
+        alg._sync_state()
+    else:
+        # one device program records every size's coreset (build_trace);
+        # a per-m build(1, m)/get() loop pays per-size tunnel round trips
+        for wm, pm, im, bm in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
             if args.alg == "BCORES":
-                betas.append(got[3])
+                betas.append(bm)
     build_time = time.perf_counter() - t0
 
     # KL evaluation per coreset size (reference main.py:157-167).

@@ -248,3 +248,22 @@ class TestPSVI:
         # pseudo-points should have moved off their initializing data rows
         moved = np.linalg.norm(p - X[i], axis=1)
         assert (moved > 1e-8).any()
+
+
+class TestBuildTrace:
+    def test_trace_matches_one_shot_build(self, rng):
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng, N=60, d=3, S=8)
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)),
+                                   samples.shape[0], model.log_likelihood)
+        a1 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=10, seed=0, max_size=16)
+        a2 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=10, seed=0, max_size=16)
+        trace = a1.build_trace(5)
+        a2.build(5, 5)  # same KeySequence position: identical key stream
+        w2, p2, i2 = a2.get()
+        wl, pl, il, _ = trace[-1]
+        np.testing.assert_allclose(wl, w2, rtol=1e-10)
+        np.testing.assert_array_equal(il, i2)
+        assert len(trace) == 5
+        # per-iteration sizes are non-decreasing and <= m
+        for m, (wm, pm, im, _) in enumerate(trace, start=1):
+            assert 1 <= len(wm) <= m

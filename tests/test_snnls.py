@@ -173,3 +173,17 @@ def test_input_validation():
         snnls.GIGA(np.zeros((3, 2)), np.ones(3))  # zero columns
     with pytest.raises(ValueError):
         snnls.GIGA(np.ones((3, 2)), np.ones(4))  # shape mismatch
+
+
+def test_build_trace_matches_sequential_builds(rng):
+    from betacores_tpu.snnls import GIGA
+
+    A = jnp.asarray(rng.normal(size=(10, 40)))
+    b = jnp.asarray(np.asarray(A).sum(axis=1))
+    seq = GIGA(A, b)
+    tr = GIGA(A, b)
+    ws = np.asarray(tr.build_trace(6))
+    for m in range(1, 7):
+        seq.build(1)
+        np.testing.assert_allclose(ws[m - 1], seq.weights(), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(tr.weights(), seq.weights(), rtol=1e-12)
