@@ -120,12 +120,17 @@ def main():
             keep = wm > 0
             w.append(wm[keep])
             p.append(np.asarray(pts_b[m - 1])[keep])
-    else:
+    elif args.alg == "RAND":
         for m in range(1, args.M + 1):
             alg.build(1, m)
             got = alg.get()
             w.append(got[0])
             p.append(got[1])
+    else:
+        # one device program records every size (see zellner_gaussian.py)
+        for wm, pm, im, bm in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
     build_time = time.perf_counter() - t0
     print(f"build: {build_time:.1f}s")
 
@@ -133,9 +138,15 @@ def main():
     eval_ms = list(range(0, args.M + 1, args.eval_every))
     accs, plls, mcmc_times = {}, {}, {}
     cfg = HMCConfig(n_samples=args.mcmc_samples, n_warmup=args.mcmc_warmup, L_max=32)
+    # zero-weight pad every coreset to one static shape: zero-weight rows
+    # are inert in the weighted log-density, and per-size shapes would
+    # recompile the HMC program for every evaluated m
+    eval_cap = max(len(np.atleast_1d(w[m])) for m in eval_ms)
     for m in eval_ms:
-        wm = jnp.asarray(np.atleast_1d(w[m]), dtype=jnp.float32)
-        pm = jnp.asarray(np.atleast_2d(p[m]), dtype=jnp.float32)
+        wm_c = np.atleast_1d(w[m]).astype(np.float32)
+        pm_c = np.atleast_2d(p[m]).astype(np.float32)
+        wm = jnp.asarray(np.pad(wm_c, (0, eval_cap - len(wm_c))))
+        pm = jnp.asarray(np.pad(pm_c, ((0, eval_cap - len(wm_c)), (0, 0))))
         logprob = hmc.weighted_logreg_logprob(pm, wm)
         t1 = time.perf_counter()
         samples, stats = hmc.hmc_sample(jax.random.key(args.trial * 100 + m), logprob,
