@@ -63,21 +63,32 @@ def log_likelihood(z, th):
     return y[:, None] * jnp.log(f) - f - gammaln(y + 1.0)[:, None]
 
 
-def beta_likelihood(z, th, beta, k_max: int = 64):
+def beta_likelihood(z, th, beta, k_max: int = 64, gaussian_mass: bool = False):
     """(N, S) density-power surrogate, positive convention:
         (beta+1)/beta p(y|f)^beta - sum_{k=0..k_max} p(k|f)^(beta+1).
     The truncated mass sum is exact to machine precision once
-    k_max >> max rate (Poisson tails are sub-exponential)."""
+    k_max >> max rate (Poisson tails are sub-exponential).
+
+    ``gaussian_mass=True`` replaces the O(k_max) sum with the closed form
+    under the Poisson ~ N(f, f) approximation,
+        sum_k p(k)^(b+1) ~ integral N(y; f, f)^(b+1) dy
+                         = (2 pi f)^(-b/2) (1+b)^(-1/2),
+    accurate for rates f >~ 10 — use it for large-count datasets where an
+    exact grid over 0..max(y) would dominate the projection cost."""
     x, y = _split(z)
     f, _ = _rate(x, th)
     f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
     logf = jnp.log(f)
     ll = y[:, None] * logf - f - gammaln(y + 1.0)[:, None]        # (N, S)
-    ks = jnp.arange(k_max + 1, dtype=z.dtype)                     # (K+1,)
-    # log p(k | f): (N, S, K+1)
-    ll_k = (ks[None, None, :] * logf[:, :, None]
-            - f[:, :, None] - gammaln(ks + 1.0)[None, None, :])
-    mass = jnp.exp(jax.scipy.special.logsumexp((beta + 1.0) * ll_k, axis=-1))
+    if gaussian_mass:
+        mass = jnp.exp(-0.5 * beta * (jnp.log(2.0 * jnp.pi) + logf)
+                       - 0.5 * jnp.log1p(beta))
+    else:
+        ks = jnp.arange(k_max + 1, dtype=z.dtype)                 # (K+1,)
+        # log p(k | f): (N, S, K+1)
+        ll_k = (ks[None, None, :] * logf[:, :, None]
+                - f[:, :, None] - gammaln(ks + 1.0)[None, None, :])
+        mass = jnp.exp(jax.scipy.special.logsumexp((beta + 1.0) * ll_k, axis=-1))
     return (beta + 1.0) / beta * jnp.exp(beta * ll) - mass
 
 
@@ -151,11 +162,12 @@ def predictive_loglik(Zt, thetas):
     return jnp.mean(jax.scipy.special.logsumexp(ll, axis=1) - jnp.log(S))
 
 
-def bundle(k_max: int = 64) -> ModelFns:
+def bundle(k_max: int = 64, gaussian_mass: bool = False) -> ModelFns:
+    blik = lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max,
+                                            gaussian_mass=gaussian_mass)
     return ModelFns(
         log_likelihood=log_likelihood,
-        beta_likelihood=lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max),
-        beta_gradient=beta_gradient_from_autodiff(
-            lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max)),
+        beta_likelihood=blik,
+        beta_gradient=beta_gradient_from_autodiff(blik),
         grad_z_log_likelihood=grad_z_log_likelihood,
     )

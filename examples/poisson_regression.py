@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Poisson-regression coreset experiment on count data.
+
+The reference ships Poisson support only as a Stan program + datasets
+(stan_code.py:22-42; synth_poiss / biketrips / airportdelays npz) with no
+runnable driver. This driver completes the family: load a count dataset,
+inject gross count corruption at rate ``--f-rate`` (the Poisson analogue of
+the logreg label flips), build {BCORES, SVI, RAND, PRIOR} coresets with the
+Fisher-scoring Laplace sampler, and evaluate each size's weighted posterior
+by test-set predictive log-likelihood.
+
+Usage: python3 examples/poisson_regression.py --alg BCORES --dataset biketrips
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import betacores_tpu as bc
+from betacores_tpu.data import gen_synthetic_poisson
+from betacores_tpu.data.loaders import load_npz, reference_dataset_path
+from betacores_tpu.inference import poisson_laplace_sampler
+from betacores_tpu.models import poisson
+
+ALGS = ["BCORES", "SVI", "RAND", "PRIOR"]
+
+
+def load_dataset(name: str, trial: int):
+    path = reference_dataset_path(name)
+    if path is not None:
+        data = np.load(path, allow_pickle=True)
+        X, y = np.asarray(data["X"], float), np.asarray(data["y"], float).reshape(-1)
+        Xt, yt = np.asarray(data["Xt"], float), np.asarray(data["yt"], float).reshape(-1)
+        # standardize features, append intercept (reference preproc pattern)
+        mu, sd = X.mean(0), X.std(0) + 1e-8
+        X, Xt = (X - mu) / sd, (Xt - mu) / sd
+        X = np.c_[X, np.ones(len(X))]
+        Xt = np.c_[Xt, np.ones(len(Xt))]
+        return (a.astype(np.float32) for a in (X, y, Xt, yt))
+    k1, k2 = jax.random.split(jax.random.key(trial + 3))
+    X, y, _, _ = gen_synthetic_poisson(k1, N=2000, d=6)
+    Xt, yt, _, _ = gen_synthetic_poisson(k2, N=400, d=6)
+    return np.asarray(X), np.asarray(y), np.asarray(Xt), np.asarray(yt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alg", choices=ALGS, default="BCORES")
+    ap.add_argument("--dataset", default="biketrips")
+    ap.add_argument("--trial", type=int, default=1)
+    ap.add_argument("--f-rate", type=float, default=0.1)
+    ap.add_argument("--corrupt-shift", type=float, default=50.0)
+    ap.add_argument("--M", type=int, default=50)
+    ap.add_argument("--proj-dim", type=int, default=100)
+    ap.add_argument("--opt-itrs", type=int, default=300)
+    ap.add_argument("--n-subsample-opt", type=int, default=200)
+    ap.add_argument("--n-subsample-select", type=int, default=500)
+    ap.add_argument("--beta", type=float, default=0.3)
+    ap.add_argument("--i0", type=float, default=1.0)
+    ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--results-dir", default="results")
+    args = ap.parse_args()
+
+    X, y, Xt, yt = load_dataset(args.dataset, args.trial)
+    rng = np.random.default_rng(args.trial)
+    n_bad = int(args.f_rate * len(y))
+    bad = rng.choice(len(y), size=n_bad, replace=False)
+    y = np.asarray(y, dtype=np.float32).copy()
+    y[bad] += args.corrupt_shift  # gross count corruption
+    Z = jnp.asarray(np.c_[X, y], dtype=jnp.float32)
+    Zt = jnp.asarray(np.c_[Xt, yt], dtype=jnp.float32)
+    d = X.shape[1]
+    print(f"dataset {args.dataset}: N={len(y)} d={d}, corrupted {n_bad}")
+
+    # Gaussian-approx mass term: count datasets run rates >> 10 where an
+    # exact 0..max(y) grid would dominate the projection cost
+    model = poisson.bundle(gaussian_mass=float(np.max(y)) > 30.0,
+                           k_max=int(min(np.max(y) * 2 + 20, 128)))
+    sampler = poisson_laplace_sampler()
+    sched = lambda i: args.i0 / (1.0 + i)
+    common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
+                  n_subsample_select=args.n_subsample_select, step_sched=sched,
+                  seed=args.trial, max_size=args.M)
+    prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, model.beta_likelihood,
+                                     model.log_likelihood, model.beta_gradient,
+                                     theta_dim=d)
+    prj = bc.BlackBoxProjector(sampler, args.proj_dim, model.log_likelihood,
+                               theta_dim=d)
+    algs = {
+        "BCORES": lambda: bc.BetaCoreset(Z, prj_b, beta=args.beta, learn_beta=False, **common),
+        "SVI": lambda: bc.SparseVICoreset(Z, prj, **common),
+        "RAND": lambda: bc.UniformSamplingCoreset(Z, seed=args.trial),
+        "PRIOR": lambda: None,
+    }
+    alg = algs[args.alg]()
+
+    t0 = time.perf_counter()
+    w = [np.zeros(1)]
+    p = [np.zeros((1, d + 1), dtype=np.float32)]
+    if args.alg == "PRIOR":
+        for m in range(1, args.M + 1):
+            w.append(np.zeros(1))
+            p.append(np.zeros((1, d + 1), dtype=np.float32))
+    elif args.alg == "RAND":
+        for m in range(1, args.M + 1):
+            alg.build(1, m)
+            got = alg.get()
+            w.append(got[0])
+            p.append(got[1])
+    else:
+        for wm, pm, im, bm in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
+    build_time = time.perf_counter() - t0
+    print(f"build: {build_time:.1f}s")
+
+    # evaluation: Laplace posterior of each size's weighted coreset ->
+    # test predictive log-likelihood (static shapes: zero-weight padded)
+    eval_ms = list(range(0, args.M + 1, args.eval_every))
+    cap = max(len(np.atleast_1d(w[m])) for m in eval_ms)
+
+    @jax.jit
+    def eval_fn(key, wm, pm):
+        samples, _ = sampler(key, 256, wm, pm, jnp.zeros(d, dtype=jnp.float32))
+        return poisson.predictive_loglik(Zt, samples)
+
+    plls = {}
+    for m in eval_ms:
+        wm_c = np.atleast_1d(w[m]).astype(np.float32)
+        pm_c = np.atleast_2d(p[m]).astype(np.float32)
+        wm = jnp.asarray(np.pad(wm_c, (0, cap - len(wm_c))))
+        pm = jnp.asarray(np.pad(pm_c, ((0, cap - len(wm_c)), (0, 0))))
+        plls[m] = float(eval_fn(jax.random.key(args.trial * 100 + m), wm, pm))
+        print(f"m={m:4d} pll={plls[m]:.4f}")
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}"
+    out = os.path.join(args.results_dir, f"results_poiss_{tag}.pk")
+    with open(out, "wb") as fh:
+        pickle.dump({"args": vars(args), "w": w, "p": p, "plls": plls,
+                     "build_time_s": build_time}, fh)
+    print(f"saved -> {out}")
+
+
+if __name__ == "__main__":
+    main()

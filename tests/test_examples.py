@@ -158,3 +158,15 @@ def test_plot_results_logreg_and_groups(tmp_path, monkeypatch):
          ["--kind", "groups", "--results-dir", str(gdir), "--out", str(out2)],
          monkeypatch)
     assert out2.exists() and out2.stat().st_size > 0
+
+
+def test_poisson_regression_driver(tmp_path, monkeypatch):
+    _run("poisson_regression.py",
+         ["--alg", "BCORES", "--dataset", "synth_missing", "--M", "3",
+          "--proj-dim", "8", "--opt-itrs", "5", "--n-subsample-opt", "50",
+          "--n-subsample-select", "100", "--eval-every", "2",
+          "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = [f for f in os.listdir(tmp_path) if f.endswith(".pk")]
+    res = pickle.load(open(tmp_path / f, "rb"))
+    assert res["plls"] and all(np.isfinite(v) for v in res["plls"].values())

@@ -130,3 +130,20 @@ def test_bcores_poisson_end_to_end(rng):
     err_core = np.linalg.norm(mu_core - np.asarray(th_true))
     err_bad = np.linalg.norm(mu_bad - np.asarray(th_true))
     assert err_core < err_bad, (err_core, err_bad)
+
+
+def test_gaussian_mass_matches_exact_for_large_rates(rng):
+    # rates >= ~15: the closed-form Gaussian-approx mass term should agree
+    # with the exact truncated sum to ~1%
+    d = 3
+    X = np.abs(rng.normal(size=(40, d))) + 2.0   # eta = X.th >= ~6 -> f >= 6
+    th = np.ones((4, d))
+    y = rng.poisson(10.0, size=40).astype(float)
+    Z = jnp.asarray(np.c_[X, y])
+    ths = jnp.asarray(th)
+    beta = 0.4
+    exact = np.asarray(poisson.beta_likelihood(Z, ths, beta, k_max=256))
+    approx = np.asarray(poisson.beta_likelihood(Z, ths, beta, gaussian_mass=True))
+    # compare the mass terms via the difference from the shared p^beta term
+    pb = (beta + 1.0) / beta * np.exp(beta * np.asarray(poisson.log_likelihood(Z, ths)))
+    np.testing.assert_allclose(pb - approx, pb - exact, rtol=2e-2)
