@@ -1,12 +1,14 @@
 from .base import BuildState, SparseNNLS, build, optimize
 from .frankwolfe import FrankWolfe, fw_precompute, fw_step
 from .giga import GIGA, giga_precompute, giga_step
+from .lar import LAR, lar_step
 from .nnls import nnls_fista, nnls_on_support
 from .orthopursuit import OrthoPursuit, omp_step
 from .sampling import ImportanceSampling, UniformSampling, sampling_build
 
 __all__ = [
     "BuildState",
+    "LAR",
     "SparseNNLS",
     "build",
     "optimize",

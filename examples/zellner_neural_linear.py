@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--opt-itrs", type=int, default=500)
     ap.add_argument("--n-subsample-opt", type=int, default=1000)
     ap.add_argument("--i0", type=float, default=0.1)
-    ap.add_argument("--beta", type=float, default=0.2)
+    ap.add_argument("--beta", type=float, default=0.5)
     ap.add_argument("--f-rate", type=float, default=0.1)
     ap.add_argument("--nn-epochs", type=int, default=200)
     ap.add_argument("--initial-lr", type=float, default=1e-2)

@@ -187,3 +187,41 @@ def test_build_trace_matches_sequential_builds(rng):
         seq.build(1)
         np.testing.assert_allclose(ws[m - 1], seq.weights(), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(tr.weights(), seq.weights(), rtol=1e-12)
+
+
+class TestLAR:
+    """Working least-angle solver (dead in the reference, lar.py:9)."""
+
+    def test_converges_to_exact_solution(self, rng):
+        from betacores_tpu.snnls import LAR
+
+        A = jnp.asarray(rng.normal(size=(8, 30)))
+        b = jnp.asarray(np.asarray(A).sum(axis=1))
+        alg = LAR(A, b)
+        alg.build(40)
+        assert alg.error() < 1e-5 * float(jnp.linalg.norm(b))
+        assert (alg.weights() >= 0).all()
+
+    def test_support_grows_at_most_one_per_iteration(self, rng):
+        from betacores_tpu.snnls import LAR
+
+        A = jnp.asarray(rng.normal(size=(6, 20)))
+        b = jnp.asarray(np.abs(np.asarray(A)) @ np.ones(20))
+        alg = LAR(A, b)
+        sizes = []
+        for _ in range(8):
+            alg.build(1)
+            sizes.append(alg.size())
+        assert all(s2 - s1 <= 1 for s1, s2 in zip(sizes, sizes[1:]))
+        # idempotent once converged
+        e1 = alg.error()
+        alg.build(5)
+        assert alg.error() <= e1 + 1e-10
+
+    def test_rejects_zero_columns(self, rng):
+        from betacores_tpu.snnls import LAR
+
+        A = np.asarray(rng.normal(size=(5, 10)))
+        A[:, 3] = 0.0
+        with pytest.raises(ValueError):
+            LAR(jnp.asarray(A), jnp.ones(5))
