@@ -116,101 +116,111 @@ def make_incremental_builder(
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
 
-    def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx):
-        """Posterior samples + centered projections of a data (sub)sample and
-        of the coreset buffer (padding rows zeroed)."""
-        mdl, smp = _resolve(ctx)
-        _project_ = lambda pts, samples, beta: _project(mdl, pts, samples, beta)
-        k_samp, k_sub = jax.random.split(key)
-        samples, aux = smp(k_samp, S, w, st.pts, aux)
-        if n_sub is None:
-            vecs = _project_(data, samples, beta)
-            scaling = jnp.asarray(1.0, dtype=data.dtype)
-            sub_idcs = None
-        else:
-            sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
-            vecs = _project_(data[sub_idcs], samples, beta)
-        corevecs = _project_(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
-        return vecs, corevecs, scaling, sub_idcs, samples, aux
-
-    def _select(key, st: CoresetState, ctx) -> CoresetState:
-        """Reference bcores.py:74-90 / sparsevi.py:74-96."""
-        vecs, corevecs, scaling, sub_idcs, _, aux = _tangent(
-            key, st.wts, st, st.beta, n_sel, st.sampler_aux, ctx
-        )
-        resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
-        vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
-        vn = jnp.where(vn > 0, vn, jnp.inf)  # zero projections score 0 (reference NaNs)
-        corrs = (vecs @ resid) / vn / S
-        cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
-        cn = jnp.where(cn > 0, cn, jnp.inf)
-        corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
-
-        fcand = jnp.argmax(corrs)
-        f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
-        take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
-        already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
-        M_max = st.wts.shape[0]
-        add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
-
-        slot = jnp.minimum(st.m, M_max - 1)
-        idcs_new = jnp.where(add, st.idcs.at[slot].set(f), st.idcs)
-        pts_new = jnp.where(add, st.pts.at[slot].set(data[f]), st.pts)
-        m_new = jnp.where(add, st.m + 1, st.m)
-        return st._replace(idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
-
-    def _optimize(key, st: CoresetState, ctx) -> CoresetState:
-        """Reference bcores.py:126-150 / sparsevi.py:128-136."""
-        if not config.learn_beta:
-
-            def grad_fn(w, aux, k):
-                vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux, ctx)
-                resid = scaling * vecs.sum(axis=0) - w @ corevecs
-                return -(corevecs @ resid) / S, aux
-
-            w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
-            return st._replace(wts=w_new, sampler_aux=aux)
-
-        # learn_beta: joint (w, beta) refinement, all coordinates projected
-        # to >= 0 (reference partial_nn_opt over arange, bcores.py:136-139).
-        # beta is additionally clamped to a positive floor: the
-        # beta-likelihood has a 1/beta pole at 0, and Adam's sign-normalized
-        # steps would otherwise walk beta onto it (the reference's >= 0
-        # projection alone would NaN the same way).
-        beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
-        mask_rows = lambda v: v * st.slot_mask[:, None].astype(data.dtype)
-
-        mdl, smp = _resolve(ctx)
-
-        def grad_fn(x, aux, k):
-            w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
-            k_samp, k_sub = jax.random.split(k)
+    def _bind(data):
+        # ``data`` is a jit argument of the entry points below, NOT a
+        # closure constant: a closed-over dataset is embedded into the
+        # compiled program (an N x D constant -> multi-hundred-MB HLO,
+        # minutes of compile through the TPU tunnel, and a cache entry
+        # per dataset); as a parameter the program is dataset-independent.
+        def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx):
+            """Posterior samples + centered projections of a data (sub)sample and
+            of the coreset buffer (padding rows zeroed)."""
+            mdl, smp = _resolve(ctx)
+            _project_ = lambda pts, samples, beta: _project(mdl, pts, samples, beta)
+            k_samp, k_sub = jax.random.split(key)
             samples, aux = smp(k_samp, S, w, st.pts, aux)
-            if n_opt is None:
-                vecs = project_beta(mdl, data, samples, beta)
+            if n_sub is None:
+                vecs = _project_(data, samples, beta)
                 scaling = jnp.asarray(1.0, dtype=data.dtype)
+                sub_idcs = None
             else:
-                sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                vecs = project_beta(mdl, data[sub_idcs], samples, beta)
-            corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
-            corevecs, betagrads = mask_rows(corevecs), mask_rows(betagrads)
-            resid = scaling * vecs.sum(axis=0) - w @ corevecs
-            wgrad = -(corevecs @ resid) / S
-            betagrad = -config.beta_grad_scale * (w @ (betagrads @ resid)) / S
-            return jnp.concatenate([wgrad, betagrad[None]]), aux
+                sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
+                vecs = _project_(data[sub_idcs], samples, beta)
+            corevecs = _project_(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
+            return vecs, corevecs, scaling, sub_idcs, samples, aux
 
-        x0 = jnp.concatenate([st.wts, st.beta[None]])
-        xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes)
-        return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
+        def _select(key, st: CoresetState, ctx) -> CoresetState:
+            """Reference bcores.py:74-90 / sparsevi.py:74-96."""
+            vecs, corevecs, scaling, sub_idcs, _, aux = _tangent(
+                key, st.wts, st, st.beta, n_sel, st.sampler_aux, ctx
+            )
+            resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
+            vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+            vn = jnp.where(vn > 0, vn, jnp.inf)  # zero projections score 0 (reference NaNs)
+            corrs = (vecs @ resid) / vn / S
+            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+            cn = jnp.where(cn > 0, cn, jnp.inf)
+            corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+
+            fcand = jnp.argmax(corrs)
+            f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+            take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
+            already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
+            M_max = st.wts.shape[0]
+            add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+
+            slot = jnp.minimum(st.m, M_max - 1)
+            idcs_new = jnp.where(add, st.idcs.at[slot].set(f), st.idcs)
+            pts_new = jnp.where(add, st.pts.at[slot].set(data[f]), st.pts)
+            m_new = jnp.where(add, st.m + 1, st.m)
+            return st._replace(idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
+
+        def _optimize(key, st: CoresetState, ctx) -> CoresetState:
+            """Reference bcores.py:126-150 / sparsevi.py:128-136."""
+            if not config.learn_beta:
+
+                def grad_fn(w, aux, k):
+                    vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux, ctx)
+                    resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                    return -(corevecs @ resid) / S, aux
+
+                w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
+                return st._replace(wts=w_new, sampler_aux=aux)
+
+            # learn_beta: joint (w, beta) refinement, all coordinates projected
+            # to >= 0 (reference partial_nn_opt over arange, bcores.py:136-139).
+            # beta is additionally clamped to a positive floor: the
+            # beta-likelihood has a 1/beta pole at 0, and Adam's sign-normalized
+            # steps would otherwise walk beta onto it (the reference's >= 0
+            # projection alone would NaN the same way).
+            beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
+            mask_rows = lambda v: v * st.slot_mask[:, None].astype(data.dtype)
+
+            mdl, smp = _resolve(ctx)
+
+            def grad_fn(x, aux, k):
+                w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
+                k_samp, k_sub = jax.random.split(k)
+                samples, aux = smp(k_samp, S, w, st.pts, aux)
+                if n_opt is None:
+                    vecs = project_beta(mdl, data, samples, beta)
+                    scaling = jnp.asarray(1.0, dtype=data.dtype)
+                else:
+                    sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                    vecs = project_beta(mdl, data[sub_idcs], samples, beta)
+                corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
+                corevecs, betagrads = mask_rows(corevecs), mask_rows(betagrads)
+                resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                wgrad = -(corevecs @ resid) / S
+                betagrad = -config.beta_grad_scale * (w @ (betagrads @ resid)) / S
+                return jnp.concatenate([wgrad, betagrad[None]]), aux
+
+            x0 = jnp.concatenate([st.wts, st.beta[None]])
+            xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes)
+            return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
+
+        return _select, _optimize
 
     @jax.jit
-    def build(key, st: CoresetState, itrs, ctx=None) -> CoresetState:
+    def _build_d(data, key, st: CoresetState, itrs, ctx=None) -> CoresetState:
         # itrs is a traced operand (fori_loop -> while_loop): one compiled
         # program serves build(1, m) loops and one-shot build(M, M) alike —
         # compilations through the TPU tunnel cost tens of seconds each.
         # Per-iteration keys fold the loop counter into ``key``, so REPEATED
         # calls must pass FRESH keys (the eager wrappers do) or the same
         # subsample stream repeats.
+        _select, _optimize = _bind(data)
+
         def body(i, st):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             st = _select(k1, st, ctx)
@@ -219,8 +229,10 @@ def make_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
-    @partial(jax.jit, static_argnums=2)
-    def build_trace(key, st: CoresetState, itrs: int, ctx=None):
+    @partial(jax.jit, static_argnums=3)
+    def _build_trace_d(data, key, st: CoresetState, itrs: int, ctx=None):
+        _select, _optimize = _bind(data)
+
         def body(st, i):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             st = _select(k1, st, ctx)
@@ -230,6 +242,14 @@ def make_incremental_builder(
         st, per_itr = jax.lax.scan(body, st, jnp.arange(itrs))
         return st, per_itr
 
-    return IncrementalBuilder(build,
-                              jax.jit(lambda key, st, ctx=None: _optimize(key, st, ctx)),
-                              build_trace)
+    @jax.jit
+    def _optimize_d(data, key, st: CoresetState, ctx=None) -> CoresetState:
+        return _bind(data)[1](key, st, ctx)
+
+    build = lambda key, st, itrs, ctx=None: _build_d(data, key, st, itrs, ctx)
+    build._cache_size = _build_d._cache_size  # test/introspection passthrough
+    return IncrementalBuilder(
+        build,
+        lambda key, st, ctx=None: _optimize_d(data, key, st, ctx),
+        lambda key, st, itrs, ctx=None: _build_trace_d(data, key, st, int(itrs), ctx),
+    )

@@ -48,6 +48,15 @@ GRIDS = {
                  "--f-rate": ["0.1"],
                  "--trial": ["0", "1", "2"]},
     },
+    # Poisson count-data experiment (datasets from the reference's Stan
+    # Poisson program; no reference driver existed)
+    "poisson": {
+        "script": "poisson_regression.py",
+        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+                 "--dataset": ["synth_poiss", "biketrips", "airportdelays"],
+                 "--f-rate": ["0.0", "0.1"],
+                 "--trial": ["1", "2", "3"]},
+    },
     # beta sweep (reference logreg_plot.sh: beta in 0.01..0.9)
     "beta_sweep": {
         "script": "zellner_logreg.py",
