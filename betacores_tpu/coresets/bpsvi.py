@@ -50,7 +50,9 @@ def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSV
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=data.dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=data.dtype)
 
-    def _build(key, sz: int, aux0, size_mask=None):
+    def _build(data, key, sz: int, aux0, size_mask=None):
+        # data is a jit ARGUMENT: closed-over datasets embed into the HLO
+        # (see incremental.py _bind)
         active = jnp.ones(sz, dtype=bool) if size_mask is None else size_mask
         n_active = jnp.sum(active).astype(data.dtype)
         k_init, k_opt = jax.random.split(key)
@@ -84,7 +86,8 @@ def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSV
         pts = xf[sz:].reshape(sz, D)
         return wts, pts, init_idcs
 
-    return jax.jit(_build, static_argnums=1)
+    _jit = jax.jit(_build, static_argnums=2)
+    return lambda key, sz, aux0, size_mask=None: _jit(data, key, sz, aux0, size_mask)
 
 
 def bpsvi_build_batch(builder: Callable, key: jax.Array, sizes, max_size: int, aux0) -> Tuple:

@@ -98,87 +98,94 @@ def make_group_incremental_builder(
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
 
-    def _group_vecs(mdl, samples, beta):
-        """(G, S) group tangent vectors via one full projection + segment_sum."""
-        vecs = _project(mdl, data, samples, beta)  # (N, S)
-        return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
+    def _bind(data, gid):
+        # data/gid are jit ARGUMENTS of the entry point below — a
+        # closed-over dataset embeds into the HLO (see incremental._bind)
+        def _group_vecs(mdl, samples, beta):
+            """(G, S) group tangent vectors via one full projection + segment_sum."""
+            vecs = _project(mdl, data, samples, beta)  # (N, S)
+            return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
 
-    def _corevecs(mdl, st: CoresetState, samples, beta):
-        return _project(mdl, st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
+        def _corevecs(mdl, st: CoresetState, samples, beta):
+            return _project(mdl, st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
 
-    def _select(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
-        mdl, smp = _resolve(ctx)
-        st = gst.core
-        k_samp, k_sub = jax.random.split(key)
-        samples, aux = smp(k_samp, S, st.wts, st.pts, st.sampler_aux)
-        gvecs_all = _group_vecs(mdl, samples, st.beta)
-        if n_sel is None:
-            gvecs = gvecs_all
-            cand_gidx = jnp.arange(G, dtype=jnp.int32)
-            scaling = jnp.asarray(1.0, dtype=dtype)
-        else:
-            cand_gidx = jax.random.randint(k_sub, (n_sel,), 0, G).astype(jnp.int32)
-            gvecs = gvecs_all[cand_gidx]
-            scaling = jnp.asarray(G / n_sel, dtype=dtype)
-        corevecs = _corevecs(mdl, st, samples, st.beta)
-        resid = scaling * gvecs.sum(axis=0) - st.wts @ corevecs
-
-        vn = jnp.sqrt(jnp.sum(gvecs * gvecs, axis=1))
-        vn = jnp.where(vn > 0, vn, jnp.inf)
-        corrs = (gvecs @ resid) / vn / S
-        cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
-        cn = jnp.where(cn > 0, cn, jnp.inf)
-        slot_ids = jnp.arange(st.wts.shape[0])
-        compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
-        corecorrs = jnp.where(compare_mask,
-                              jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
-
-        best = jnp.argmax(corrs)
-        f = cand_gidx[best]
-        take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
-        fresh = jnp.logical_not(gst.selected[f])
-        M_max = st.wts.shape[0]
-        size_f = group_sizes[f]
-        room = st.m + size_f <= M_max
-        add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
-
-        members = groups.members[f]                      # (L_max,) padded -1
-        j = jnp.arange(L_max)
-        pos = st.m + j
-        valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
-        pos_safe = jnp.where(valid, pos, M_max)          # out-of-range -> dropped
-        mem_safe = jnp.maximum(members, 0)
-        idcs_new = st.idcs.at[pos_safe].set(members, mode="drop")
-        pts_new = st.pts.at[pos_safe].set(data[mem_safe], mode="drop")
-        wts_new = st.wts.at[pos_safe].set(jnp.zeros(L_max, dtype=dtype), mode="drop")
-        m_new = jnp.where(add, st.m + size_f, st.m)
-        st = st._replace(wts=wts_new, idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
-        return GroupCoresetState(core=st, selected=gst.selected.at[f].set(
-            jnp.logical_or(gst.selected[f], add)), initialized=gst.initialized)
-
-    def _optimize(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
-        mdl, smp = _resolve(ctx)
-        st = gst.core
-
-        def grad_fn(w, aux, k):
-            k_samp, k_sub = jax.random.split(k)
-            samples, aux = smp(k_samp, S, w, st.pts, aux)
-            if n_opt is None:
-                vec_total = _group_vecs(mdl, samples, st.beta).sum(axis=0)
+        def _select(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
+            mdl, smp = _resolve(ctx)
+            st = gst.core
+            k_samp, k_sub = jax.random.split(key)
+            samples, aux = smp(k_samp, S, st.wts, st.pts, st.sampler_aux)
+            gvecs_all = _group_vecs(mdl, samples, st.beta)
+            if n_sel is None:
+                gvecs = gvecs_all
+                cand_gidx = jnp.arange(G, dtype=jnp.int32)
                 scaling = jnp.asarray(1.0, dtype=dtype)
             else:
-                sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                vec_total = _project(mdl, data[sub_idcs], samples, st.beta).sum(axis=0)
+                cand_gidx = jax.random.randint(k_sub, (n_sel,), 0, G).astype(jnp.int32)
+                gvecs = gvecs_all[cand_gidx]
+                scaling = jnp.asarray(G / n_sel, dtype=dtype)
             corevecs = _corevecs(mdl, st, samples, st.beta)
-            resid = scaling * vec_total - w @ corevecs
-            return -(corevecs @ resid) / S, aux
+            resid = scaling * gvecs.sum(axis=0) - st.wts @ corevecs
 
-        w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
-        return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
+            vn = jnp.sqrt(jnp.sum(gvecs * gvecs, axis=1))
+            vn = jnp.where(vn > 0, vn, jnp.inf)
+            corrs = (gvecs @ resid) / vn / S
+            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+            cn = jnp.where(cn > 0, cn, jnp.inf)
+            slot_ids = jnp.arange(st.wts.shape[0])
+            compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
+            corecorrs = jnp.where(compare_mask,
+                                  jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+
+            best = jnp.argmax(corrs)
+            f = cand_gidx[best]
+            take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
+            fresh = jnp.logical_not(gst.selected[f])
+            M_max = st.wts.shape[0]
+            size_f = group_sizes[f]
+            room = st.m + size_f <= M_max
+            add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+
+            members = groups.members[f]                      # (L_max,) padded -1
+            j = jnp.arange(L_max)
+            pos = st.m + j
+            valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
+            pos_safe = jnp.where(valid, pos, M_max)          # out-of-range -> dropped
+            mem_safe = jnp.maximum(members, 0)
+            idcs_new = st.idcs.at[pos_safe].set(members, mode="drop")
+            pts_new = st.pts.at[pos_safe].set(data[mem_safe], mode="drop")
+            wts_new = st.wts.at[pos_safe].set(jnp.zeros(L_max, dtype=dtype), mode="drop")
+            m_new = jnp.where(add, st.m + size_f, st.m)
+            st = st._replace(wts=wts_new, idcs=idcs_new, pts=pts_new, m=m_new, sampler_aux=aux)
+            return GroupCoresetState(core=st, selected=gst.selected.at[f].set(
+                jnp.logical_or(gst.selected[f], add)), initialized=gst.initialized)
+
+        def _optimize(key, gst: GroupCoresetState, ctx) -> GroupCoresetState:
+            mdl, smp = _resolve(ctx)
+            st = gst.core
+
+            def grad_fn(w, aux, k):
+                k_samp, k_sub = jax.random.split(k)
+                samples, aux = smp(k_samp, S, w, st.pts, aux)
+                if n_opt is None:
+                    vec_total = _group_vecs(mdl, samples, st.beta).sum(axis=0)
+                    scaling = jnp.asarray(1.0, dtype=dtype)
+                else:
+                    sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                    vec_total = _project(mdl, data[sub_idcs], samples, st.beta).sum(axis=0)
+                corevecs = _corevecs(mdl, st, samples, st.beta)
+                resid = scaling * vec_total - w @ corevecs
+                return -(corevecs @ resid) / S, aux
+
+            w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
+            return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
+
+        return _select, _optimize
 
     @jax.jit
-    def build(key, gst: GroupCoresetState, itrs, ctx=None) -> GroupCoresetState:
+    def _build_d(data, gid, key, gst: GroupCoresetState, itrs, ctx=None) -> GroupCoresetState:
         # dynamic itrs: one compiled program for all build sizes
+        _select, _optimize = _bind(data, gid)
+
         def body(i, gst):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             gst = _select(k1, gst, ctx)
@@ -187,4 +194,4 @@ def make_group_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, gst)
 
-    return build
+    return lambda key, gst, itrs, ctx=None: _build_d(data, gid, key, gst, itrs, ctx)

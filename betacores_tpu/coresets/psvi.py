@@ -39,65 +39,72 @@ def make_psvi_builder(data: jnp.ndarray, model, sampler: Callable,
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=dtype)
 
-    def _select(key, st: CoresetState) -> CoresetState:
-        k_samp, k_sub = jax.random.split(key)
-        samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
-        if n_sel is None:
-            vecs = project_ll(model, data, samples)
-            scaling = jnp.asarray(1.0, dtype=dtype)
-            sub_idcs = None
-        else:
-            sub_idcs, scaling = draw_subsample(k_sub, N, n_sel)
-            vecs = project_ll(model, data[sub_idcs], samples)
-        corevecs = project_ll(model, st.pts, samples) * st.slot_mask[:, None].astype(dtype)
-        resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
-        vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
-        vn = jnp.where(vn > 0, vn, jnp.inf)
-        corrs = (vecs @ resid) / vn / S
-        fcand = jnp.argmax(corrs)
-        f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
-        M_max = st.wts.shape[0]
-        add = st.m < M_max
-        slot = jnp.minimum(st.m, M_max - 1)
-        return st._replace(
-            idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),
-            pts=jnp.where(add, st.pts.at[slot].set(data[f]), st.pts),
-            m=jnp.where(add, st.m + 1, st.m),
-            sampler_aux=aux,
-        )
-
-    def _optimize(key, st: CoresetState) -> CoresetState:
-        M_max = st.wts.shape[0]
-        act = st.slot_mask.astype(dtype)
-
-        def grad_fn(x, aux, k):
-            w = x[:M_max] * act
-            p = x[M_max:].reshape(M_max, D)
-            k_samp, k_sub = jax.random.split(k)
-            samples, aux = sampler(k_samp, S, w, p, aux)
-            if n_opt is None:
+    def _bind(data):
+        # data is a jit ARGUMENT (see incremental._bind: closed-over
+        # datasets embed into the HLO)
+        def _select(key, st: CoresetState) -> CoresetState:
+            k_samp, k_sub = jax.random.split(key)
+            samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
+            if n_sel is None:
                 vecs = project_ll(model, data, samples)
                 scaling = jnp.asarray(1.0, dtype=dtype)
+                sub_idcs = None
             else:
-                sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                sub_idcs, scaling = draw_subsample(k_sub, N, n_sel)
                 vecs = project_ll(model, data[sub_idcs], samples)
-            corevecs, pgrads = project_ll_with_grad(model, p, samples)
-            corevecs = corevecs * act[:, None]
-            resid = scaling * vecs.sum(axis=0) - w @ corevecs
-            wgrad = -(corevecs @ resid) / S * act
-            ugrad = -jnp.einsum("i,isd,s->id", w, pgrads, resid) / S * act[:, None]
-            return jnp.concatenate([wgrad, ugrad.reshape(-1)]), aux
+            corevecs = project_ll(model, st.pts, samples) * st.slot_mask[:, None].astype(dtype)
+            resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
+            vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+            vn = jnp.where(vn > 0, vn, jnp.inf)
+            corrs = (vecs @ resid) / vn / S
+            fcand = jnp.argmax(corrs)
+            f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+            M_max = st.wts.shape[0]
+            add = st.m < M_max
+            slot = jnp.minimum(st.m, M_max - 1)
+            return st._replace(
+                idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),
+                pts=jnp.where(add, st.pts.at[slot].set(data[f]), st.pts),
+                m=jnp.where(add, st.m + 1, st.m),
+                sampler_aux=aux,
+            )
 
-        nn_mask = jnp.concatenate([jnp.ones(M_max, dtype=bool),
-                                   jnp.zeros(M_max * D, dtype=bool)])
-        x0 = jnp.concatenate([st.wts, st.pts.reshape(-1)])
-        xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes, nn_mask=nn_mask)
-        return st._replace(wts=xf[:M_max] * act, pts=xf[M_max:].reshape(M_max, D),
-                           sampler_aux=aux)
+        def _optimize(key, st: CoresetState) -> CoresetState:
+            M_max = st.wts.shape[0]
+            act = st.slot_mask.astype(dtype)
+
+            def grad_fn(x, aux, k):
+                w = x[:M_max] * act
+                p = x[M_max:].reshape(M_max, D)
+                k_samp, k_sub = jax.random.split(k)
+                samples, aux = sampler(k_samp, S, w, p, aux)
+                if n_opt is None:
+                    vecs = project_ll(model, data, samples)
+                    scaling = jnp.asarray(1.0, dtype=dtype)
+                else:
+                    sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+                    vecs = project_ll(model, data[sub_idcs], samples)
+                corevecs, pgrads = project_ll_with_grad(model, p, samples)
+                corevecs = corevecs * act[:, None]
+                resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                wgrad = -(corevecs @ resid) / S * act
+                ugrad = -jnp.einsum("i,isd,s->id", w, pgrads, resid) / S * act[:, None]
+                return jnp.concatenate([wgrad, ugrad.reshape(-1)]), aux
+
+            nn_mask = jnp.concatenate([jnp.ones(M_max, dtype=bool),
+                                       jnp.zeros(M_max * D, dtype=bool)])
+            x0 = jnp.concatenate([st.wts, st.pts.reshape(-1)])
+            xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes, nn_mask=nn_mask)
+            return st._replace(wts=xf[:M_max] * act, pts=xf[M_max:].reshape(M_max, D),
+                               sampler_aux=aux)
+
+        return _select, _optimize
 
     @jax.jit
-    def build(key, st: CoresetState, itrs) -> CoresetState:
+    def _build_d(data, key, st: CoresetState, itrs) -> CoresetState:
         # dynamic itrs: one compiled program for all build sizes
+        _select, _optimize = _bind(data)
+
         def body(i, st):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
             st = _select(k1, st)
@@ -106,6 +113,7 @@ def make_psvi_builder(data: jnp.ndarray, model, sampler: Callable,
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
+    build = lambda key, st, itrs: _build_d(data, key, st, itrs)
     return build
 
 

@@ -180,14 +180,16 @@ def make_sharded_incremental_builder(
 
     state_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
 
-    @partial(jax.jit, static_argnums=2)
-    def build(key, st: CoresetState, itrs: int) -> CoresetState:
+    @partial(jax.jit, static_argnums=3)
+    def _build_d(data, key, st: CoresetState, itrs: int) -> CoresetState:
+        # data is a jit ARGUMENT: a closed-over dataset embeds into the HLO
+        # (see coresets/incremental.py _bind)
         return jax.shard_map(
             lambda d, k, s: _build_local(d, k, s, itrs),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(), state_spec),
             out_specs=state_spec,
             check_vma=False,
-        )(data_sharded, key, st)
+        )(data, key, st)
 
-    return build
+    return lambda key, st, itrs: _build_d(data_sharded, key, st, int(itrs))

@@ -140,17 +140,31 @@ class SparseNNLS:
         self._pre = self._precompute()
         self.w = jnp.zeros(A.shape[1], dtype=A.dtype)
         self.reached_numeric_limit = False
-        # itrs is a traced operand: one compilation serves all build sizes
+        # pre/A/b are jit ARGUMENTS: closed-over matrices embed into the
+        # compiled program as constants (an N-column A -> huge HLO, slow
+        # tunnel compiles, one cache entry per dataset). itrs stays a traced
+        # operand so one compilation serves all build sizes.
         self._jit_build = jax.jit(
-            lambda w0, itrs: build(self._step, self._error, w0, itrs, self.check_error_monotone),
+            lambda pre, A, b, w0, itrs: build(
+                lambda w: self._step_pre(pre, w),
+                lambda w: jnp.linalg.norm(A @ w - b),
+                w0, itrs, self.check_error_monotone),
         )
-        self._jit_optimize = jax.jit(lambda w: optimize(self.A, self.b, w, self.max_support))
+        self._jit_trace = jax.jit(
+            lambda pre, A, b, w0, itrs: build_trace(
+                lambda w: self._step_pre(pre, w),
+                lambda w: jnp.linalg.norm(A @ w - b),
+                w0, itrs, self.check_error_monotone),
+            static_argnums=4,
+        )
+        self._jit_optimize = jax.jit(lambda A, b, w: optimize(A, b, w, self.max_support))
 
     # --- subclass hooks ---
     def _precompute(self):
         return None
 
-    def _step(self, w):
+    def _step_pre(self, pre, w):
+        """One select+reweight step from the (traced) precompute pytree."""
         raise NotImplementedError
 
     # --- shared ---
@@ -177,7 +191,7 @@ class SparseNNLS:
         if self.A.size == 0:
             self.log.warning("no data; returning")
             return
-        st = self._jit_build(self.w, int(itrs))
+        st = self._jit_build(self._pre, self.A, self.b, self.w, int(itrs))
         self.w = st.w
         if bool(st.latched):
             self.reached_numeric_limit = True
@@ -190,17 +204,14 @@ class SparseNNLS:
         returns an on-device (itrs, N) array whose row m-1 equals the
         weights after ``build`` of m total iterations. Advances this
         solver's state to the final iteration."""
-        ws, st = jax.jit(
-            lambda w0: build_trace(self._step, self._error, w0, int(itrs),
-                                   self.check_error_monotone)
-        )(self.w)
+        ws, st = self._jit_trace(self._pre, self.A, self.b, self.w, int(itrs))
         self.w = st.w
         if bool(st.latched):
             self.reached_numeric_limit = True
         return ws
 
     def optimize(self) -> None:
-        w_new, rolled_back = self._jit_optimize(self.w)
+        w_new, rolled_back = self._jit_optimize(self.A, self.b, self.w)
         self.w = w_new
         if bool(rolled_back):
             self.reached_numeric_limit = True

@@ -61,5 +61,5 @@ class FrankWolfe(SparseNNLS):
             raise ValueError("FrankWolfe: A must not have any zero columns")
         return fw_precompute(self.A, self.b)
 
-    def _step(self, w):
-        return fw_step(self._pre, w)
+    def _step_pre(self, pre, w):
+        return fw_step(pre, w)

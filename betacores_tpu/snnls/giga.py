@@ -87,5 +87,5 @@ class GIGA(SparseNNLS):
             raise errors.NumericalPrecisionError("GIGA: norm of b must be > 0")
         return giga_precompute(self.A, self.b)
 
-    def _step(self, w):
-        return giga_step(self._pre, w)
+    def _step_pre(self, pre, w):
+        return giga_step(pre, w)

@@ -121,5 +121,5 @@ class LAR(SparseNNLS):
             raise ValueError("LAR: norm of b must be > 0 (reference lar.py:21)")
         return LARPre(A=self.A, An=self.A / norms, b=self.b)
 
-    def _step(self, w):
-        return lar_step(self._pre, w, self.max_support)
+    def _step_pre(self, pre, w):
+        return lar_step(pre, w, self.max_support)

@@ -45,5 +45,5 @@ class OrthoPursuit(SparseNNLS):
             raise ValueError("OrthoPursuit: A must not have any zero columns")
         return OMPPre(A=self.A, An=self.A / norms[None, :], b=self.b)
 
-    def _step(self, w):
-        return omp_step(self._pre, w, self.max_support)
+    def _step_pre(self, pre, w):
+        return omp_step(pre, w, self.max_support)
