@@ -1,5 +1,6 @@
 from . import hmc
-from .hmc import HMCConfig, hmc_sample, run_chains, weighted_logreg_logprob
+from .hmc import (HMCConfig, hmc_sample, hmc_sample_weighted_logreg, run_chains,
+                  weighted_logreg_logprob)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
     fixed_sampler,
@@ -14,6 +15,7 @@ __all__ = [
     "hmc",
     "HMCConfig",
     "hmc_sample",
+    "hmc_sample_weighted_logreg",
     "run_chains",
     "weighted_logreg_logprob",
     "LaplaceApprox",

@@ -186,3 +186,15 @@ def weighted_logreg_logprob(Z, w):
     from ..models import logreg
 
     return lambda th: logreg.log_joint(Z, th, w)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def hmc_sample_weighted_logreg(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
+    """Jitted weighted-logreg HMC with the coreset (Z, w) as ARGUMENTS:
+    one compiled program serves every same-shape coreset (zero-weight rows
+    are inert, so pad sizes to one capacity). A closure-based
+    ``hmc_sample(key, weighted_logreg_logprob(Z, w), ...)`` re-traces per
+    coreset."""
+    from ..models import logreg
+
+    return hmc_sample(key, lambda th: logreg.log_joint(Z, th, w), theta0, config)

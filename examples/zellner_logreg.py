@@ -147,10 +147,10 @@ def main():
         pm_c = np.atleast_2d(p[m]).astype(np.float32)
         wm = jnp.asarray(np.pad(wm_c, (0, eval_cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, eval_cap - len(wm_c)), (0, 0))))
-        logprob = hmc.weighted_logreg_logprob(pm, wm)
         t1 = time.perf_counter()
-        samples, stats = hmc.hmc_sample(jax.random.key(args.trial * 100 + m), logprob,
-                                        jnp.zeros(D, dtype=jnp.float32), cfg)
+        samples, stats = hmc.hmc_sample_weighted_logreg(
+            jax.random.key(args.trial * 100 + m), pm, wm,
+            jnp.zeros(D, dtype=jnp.float32), cfg)
         samples = jax.block_until_ready(samples)
         mcmc_times[m] = time.perf_counter() - t1
         accs[m] = float(compute_accuracy(Xt, Yt, samples))
