@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.projection import (
-    center,
     draw_subsample,
     project_beta,
     project_beta_with_grad,
@@ -122,9 +121,12 @@ def make_incremental_builder(
         # compiled program (an N x D constant -> multi-hundred-MB HLO,
         # minutes of compile through the TPU tunnel, and a cache entry
         # per dataset); as a parameter the program is dataset-independent.
-        def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx):
+        def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx,
+                     with_beta_grad: bool = False):
             """Posterior samples + centered projections of a data (sub)sample and
-            of the coreset buffer (padding rows zeroed)."""
+            of the coreset buffer (padding rows zeroed). ``with_beta_grad``
+            additionally returns d/d(beta) of the coreset projections
+            (learn-beta path); None otherwise."""
             mdl, smp = _resolve(ctx)
             _project_ = lambda pts, samples, beta: _project(mdl, pts, samples, beta)
             k_samp, k_sub = jax.random.split(key)
@@ -136,12 +138,17 @@ def make_incremental_builder(
             else:
                 sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
                 vecs = _project_(data[sub_idcs], samples, beta)
-            corevecs = _project_(st.pts, samples, beta) * st.slot_mask[:, None].astype(data.dtype)
-            return vecs, corevecs, scaling, sub_idcs, samples, aux
+            mask = st.slot_mask[:, None].astype(data.dtype)
+            if with_beta_grad:
+                corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
+                corevecs, betagrads = corevecs * mask, betagrads * mask
+            else:
+                corevecs, betagrads = _project_(st.pts, samples, beta) * mask, None
+            return vecs, corevecs, scaling, sub_idcs, samples, aux, betagrads
 
         def _select(key, st: CoresetState, ctx) -> CoresetState:
             """Reference bcores.py:74-90 / sparsevi.py:74-96."""
-            vecs, corevecs, scaling, sub_idcs, _, aux = _tangent(
+            vecs, corevecs, scaling, sub_idcs, _, aux, _ = _tangent(
                 key, st.wts, st, st.beta, n_sel, st.sampler_aux, ctx
             )
             resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
@@ -170,7 +177,8 @@ def make_incremental_builder(
             if not config.learn_beta:
 
                 def grad_fn(w, aux, k):
-                    vecs, corevecs, scaling, _, _, aux = _tangent(k, w, st, st.beta, n_opt, aux, ctx)
+                    vecs, corevecs, scaling, _, _, aux, _ = _tangent(
+                        k, w, st, st.beta, n_opt, aux, ctx)
                     resid = scaling * vecs.sum(axis=0) - w @ corevecs
                     return -(corevecs @ resid) / S, aux
 
@@ -184,22 +192,11 @@ def make_incremental_builder(
             # steps would otherwise walk beta onto it (the reference's >= 0
             # projection alone would NaN the same way).
             beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
-            mask_rows = lambda v: v * st.slot_mask[:, None].astype(data.dtype)
-
-            mdl, smp = _resolve(ctx)
 
             def grad_fn(x, aux, k):
                 w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
-                k_samp, k_sub = jax.random.split(k)
-                samples, aux = smp(k_samp, S, w, st.pts, aux)
-                if n_opt is None:
-                    vecs = project_beta(mdl, data, samples, beta)
-                    scaling = jnp.asarray(1.0, dtype=data.dtype)
-                else:
-                    sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                    vecs = project_beta(mdl, data[sub_idcs], samples, beta)
-                corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
-                corevecs, betagrads = mask_rows(corevecs), mask_rows(betagrads)
+                vecs, corevecs, scaling, _, _, aux, betagrads = _tangent(
+                    k, w, st, beta, n_opt, aux, ctx, with_beta_grad=True)
                 resid = scaling * vecs.sum(axis=0) - w @ corevecs
                 wgrad = -(corevecs @ resid) / S
                 betagrad = -config.beta_grad_scale * (w @ (betagrads @ resid)) / S

@@ -11,7 +11,6 @@ selected points' locations (pseudo-points), i.e. BPSVI's joint update
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -30,6 +29,9 @@ def make_psvi_builder(data: jnp.ndarray, model, sampler: Callable,
     ``model.grad_z_log_likelihood``."""
     if model.grad_z_log_likelihood is None:
         raise ValueError("PSVI needs model.grad_z_log_likelihood")
+    if config.use_beta or config.learn_beta:
+        raise ValueError("PSVI is KL-projection only; use_beta/learn_beta "
+                         "are not supported (pass a plain BlackBoxProjector)")
     N, D = data.shape
     S = config.projection_dim
     n_sel = None if config.n_subsample_select is None else min(N, config.n_subsample_select)
@@ -57,10 +59,21 @@ def make_psvi_builder(data: jnp.ndarray, model, sampler: Callable,
             vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
             vn = jnp.where(vn > 0, vn, jnp.inf)
             corrs = (vecs @ resid) / vn / S
+            # SparseVI guards (incremental.py _select): only add when a new
+            # point beats every current slot's correlation, and never
+            # re-append an already-selected initializer row (pseudo-points
+            # drift after selection, but a duplicate initialization gives
+            # identical gradients forever)
+            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+            cn = jnp.where(cn > 0, cn, jnp.inf)
+            corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
             fcand = jnp.argmax(corrs)
             f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+            take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
+            already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
             M_max = st.wts.shape[0]
-            add = st.m < M_max
+            add = jnp.logical_and(take_new,
+                                  jnp.logical_and(jnp.logical_not(already), st.m < M_max))
             slot = jnp.minimum(st.m, M_max - 1)
             return st._replace(
                 idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),

@@ -55,12 +55,26 @@ def _rate(x, th):
     return jax.nn.softplus(eta), eta
 
 
+def _log_softplus(eta):
+    """log(softplus(eta)), stable for all eta: for eta << 0,
+    softplus(eta) ~ exp(eta) underflows f32 near eta < -88 (log of the
+    clamped value poisons y*log f); there log softplus(eta) -> eta."""
+    sp = jax.nn.softplus(eta)
+    return jnp.where(eta < -30.0, eta, jnp.log(jnp.maximum(sp, jnp.finfo(eta.dtype).tiny)))
+
+
+def _sig_over_f(eta):
+    """sigmoid(eta)/softplus(eta), stable for all eta: naive y/f overflows
+    to inf when softplus underflows, but the ratio -> 1 as eta -> -inf
+    (both ~ exp(eta)). Computed as exp(log sigmoid - log softplus)."""
+    return jnp.exp(jax.nn.log_sigmoid(eta) - _log_softplus(eta))
+
+
 def log_likelihood(z, th):
     """(N, S): y log f - f - lgamma(y+1), f = softplus(x.th)."""
     x, y = _split(z)
-    f, _ = _rate(x, th)
-    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
-    return y[:, None] * jnp.log(f) - f - gammaln(y + 1.0)[:, None]
+    f, eta = _rate(x, th)
+    return y[:, None] * _log_softplus(eta) - f - gammaln(y + 1.0)[:, None]
 
 
 def beta_likelihood(z, th, beta, k_max: int = 64, gaussian_mass: bool = False):
@@ -76,9 +90,8 @@ def beta_likelihood(z, th, beta, k_max: int = 64, gaussian_mass: bool = False):
     accurate for rates f >~ 10 — use it for large-count datasets where an
     exact grid over 0..max(y) would dominate the projection cost."""
     x, y = _split(z)
-    f, _ = _rate(x, th)
-    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
-    logf = jnp.log(f)
+    f, eta = _rate(x, th)
+    logf = _log_softplus(eta)
     ll = y[:, None] * logf - f - gammaln(y + 1.0)[:, None]        # (N, S)
     if gaussian_mass:
         mass = jnp.exp(-0.5 * beta * (jnp.log(2.0 * jnp.pi) + logf)
@@ -98,10 +111,10 @@ def grad_z_log_likelihood(z, th):
         d/dx = (y/f - 1) sigmoid(eta) th,   d/dy = log f - digamma(y+1)."""
     x, y = _split(z)
     f, eta = _rate(x, th)
-    f = jnp.maximum(f, jnp.finfo(f.dtype).tiny)
     s = jax.nn.sigmoid(eta)                                       # f' = sigmoid
-    gx = ((y[:, None] / f - 1.0) * s)[:, :, None] * th[None, :, :]  # (N, S, d)
-    gy = jnp.log(f) - jax.scipy.special.digamma(y + 1.0)[:, None]   # (N, S)
+    # y s / f via the stable ratio: naive y/f overflows when f underflows
+    gx = (y[:, None] * _sig_over_f(eta) - s)[:, :, None] * th[None, :, :]
+    gy = _log_softplus(eta) - jax.scipy.special.digamma(y + 1.0)[:, None]
     return jnp.concatenate([gx, gy[:, :, None]], axis=-1)
 
 
@@ -117,8 +130,8 @@ def log_joint(z, th, wts):
     extension of the reference Stan program (stan_code.py:36-41)."""
     x, y = _split(z)
     eta = x @ th
-    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
-    ll = y * jnp.log(f) - f - gammaln(y + 1.0)
+    f = jax.nn.softplus(eta)
+    ll = y * _log_softplus(eta) - f - gammaln(y + 1.0)
     return jnp.sum(wts * ll) + log_prior(th)
 
 
@@ -126,8 +139,7 @@ def grad_th_log_joint(z, th, wts):
     """(d,): sum_n w_n (y_n/f_n - 1) sigmoid(eta_n) x_n - th."""
     x, y = _split(z)
     eta = x @ th
-    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
-    c = wts * (y / f - 1.0) * jax.nn.sigmoid(eta)
+    c = wts * (y * _sig_over_f(eta) - jax.nn.sigmoid(eta))
     return c @ x - th
 
 
@@ -136,9 +148,8 @@ def hess_th_log_joint(z, th, wts):
     negative definite for all th (see module docstring)."""
     x, y = _split(z)
     eta = x @ th
-    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
     s = jax.nn.sigmoid(eta)
-    c = wts * s * s / f
+    c = wts * s * _sig_over_f(eta)
     d = th.shape[-1]
     return -jnp.eye(d, dtype=th.dtype) - (c[:, None] * x).T @ x
 
@@ -146,9 +157,8 @@ def hess_th_log_joint(z, th, wts):
 def diag_hess_th_log_joint(z, th, wts):
     x, y = _split(z)
     eta = x @ th
-    f = jnp.maximum(jax.nn.softplus(eta), jnp.finfo(eta.dtype).tiny)
     s = jax.nn.sigmoid(eta)
-    c = wts * s * s / f
+    c = wts * s * _sig_over_f(eta)
     return -jnp.ones_like(th) - c @ (x * x)
 
 

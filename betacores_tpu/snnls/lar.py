@@ -101,8 +101,11 @@ def lar_step(pre: LARPre, w: jnp.ndarray, max_support: int,
     # already at the restricted optimum with no events left: the path has
     # terminated (reference lar.py:66-70 latches here) — signal failure so
     # the build loop's retry/latch contract stops iterating
+    # dtype-aware: the restricted FISTA re-solve reproduces w_opt only to
+    # ~sqrt(machine eps) relative accuracy (1e-12 would never fire in f32)
+    lat_tol = jnp.sqrt(jnp.finfo(w.dtype).eps)
     already_opt = jnp.logical_and(converged,
-                                  jnp.max(jnp.abs(w - w_opt)) <= eps * (1.0 + jnp.max(w_opt)))
+                                  jnp.max(jnp.abs(w - w_opt)) <= lat_tol * (1.0 + jnp.max(w_opt)))
     ok = jnp.logical_and(jnp.isfinite(jnp.sum(w_new)), jnp.logical_not(already_opt))
     return w_new, ok
 

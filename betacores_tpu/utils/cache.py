@@ -32,8 +32,8 @@ def enable_persistent_cache(cache_dir: str | None = None,
     global _enabled_dir
     if os.environ.get("BETACORES_NO_COMPILATION_CACHE"):
         return None
-    if _enabled_dir is not None:
-        return _enabled_dir
+    if _enabled_dir is not None and (cache_dir is None or cache_dir == _enabled_dir):
+        return _enabled_dir  # idempotent; an explicit NEW dir re-points the cache
     try:
         import jax
 
@@ -58,16 +58,20 @@ def enable_persistent_cache(cache_dir: str | None = None,
                           min_compile_time_secs)
     except Exception:  # unsupported jax version / read-only fs: run without
         return None
-    _prune(cache_dir, max_bytes=float(os.environ.get(
-        "BETACORES_COMPILATION_CACHE_MAX_GB", "10")) * 1e9)
+    try:
+        max_gb = float(os.environ.get("BETACORES_COMPILATION_CACHE_MAX_GB", "10"))
+    except ValueError:
+        max_gb = 10.0  # malformed env must not abort package import
+    _prune(cache_dir, max_bytes=max_gb * 1e9)
     _enabled_dir = cache_dir
     return cache_dir
 
 
 def _prune(cache_dir: str, max_bytes: float) -> None:
-    """LRU-evict oldest entries past the size cap (serialized TPU
-    executables for large builds run >200 MB each; JAX has no built-in
-    eviction)."""
+    """Evict oldest-WRITTEN entries past the size cap (JAX has no built-in
+    eviction). Note this is FIFO by write time, not true LRU: JAX cache
+    hits do not touch mtime, so a hot old entry can be evicted — acceptable
+    because post-closure-fix entries are MB-scale and recompiles are ~3s."""
     try:
         entries = []
         with os.scandir(cache_dir) as it:

@@ -129,6 +129,12 @@ def main():
             w.append(wm[keep])
             p.append(data_np[alg._row_map[keep]])
         alg._sync_state()
+    elif args.alg == "RAND":
+        for m in range(1, args.M + 1):
+            alg.build(1, m)
+            got = alg.get()
+            w.append(got[0])
+            p.append(got[1])
     else:
         # one device program records every size's coreset (build_trace);
         # a per-m build(1, m)/get() loop pays per-size tunnel round trips

@@ -108,3 +108,18 @@ class TestInputValidation:
                 GIGA(bad, np.ones(3))
         with pytest.raises(ValueError):
             GIGA(np.ones((3, 5)), np.ones(4))  # shape mismatch
+
+
+def test_builds_do_not_mutate_input(problem):
+    """Reference invariant: construction/builds leave the input data intact
+    (reference tests/test_snnls/test_sampling.py:65-66)."""
+    X, model, sampler, cfg = problem
+    X0 = np.asarray(X).copy()
+    prj = bc.BlackBoxProjector(sampler, 16, model.log_likelihood)
+    alg = bc.SparseVICoreset(X, prj, opt_itrs=5, seed=0, max_size=8)
+    alg.build(3, 3)
+    np.testing.assert_array_equal(np.asarray(X), X0)
+    alg2 = bc.UniformSamplingCoreset(X, seed=0)
+    alg2.build(3, 3)
+    alg2.get()
+    np.testing.assert_array_equal(np.asarray(X), X0)

@@ -12,6 +12,7 @@ import runpy
 import sys
 
 import numpy as np
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(ROOT, "examples")
@@ -26,9 +27,10 @@ def _pickles(d):
     return [f for f in os.listdir(d) if f.endswith(".pk")]
 
 
-def test_zellner_gaussian(tmp_path, monkeypatch):
+@pytest.mark.parametrize("alg", ["BCORES", "SVI", "GIGAO", "RAND", "PRIOR"])
+def test_zellner_gaussian(tmp_path, monkeypatch, alg):
     _run("zellner_gaussian.py",
-         ["--alg", "BCORES", "--trial", "1", "--M", "3", "--N", "200", "--d", "4",
+         ["--alg", alg, "--trial", "1", "--M", "3", "--N", "200", "--d", "4",
           "--proj-dim", "8", "--opt-itrs", "5", "--n-subsample-opt", "50",
           "--n-subsample-select", "100", "--results-dir", str(tmp_path)],
          monkeypatch)

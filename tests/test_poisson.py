@@ -147,3 +147,26 @@ def test_gaussian_mass_matches_exact_for_large_rates(rng):
     # compare the mass terms via the difference from the shared p^beta term
     pb = (beta + 1.0) / beta * np.exp(beta * np.asarray(poisson.log_likelihood(Z, ths)))
     np.testing.assert_allclose(pb - approx, pb - exact, rtol=2e-2)
+
+
+def test_extreme_eta_stability_f32():
+    """Underflowing rates (eta << 0) must not overflow y/f to inf in f32
+    (the stable sigmoid/softplus ratio -> 1 as eta -> -inf)."""
+    d = 2
+    x = jnp.asarray([[-50.0, 1.0], [50.0, 1.0]], dtype=jnp.float32)
+    y = jnp.asarray([7.0, 3.0], dtype=jnp.float32)
+    Z = jnp.concatenate([x, y[:, None]], axis=1)
+    th = jnp.asarray([3.0, 0.0], dtype=jnp.float32)   # eta = -150, +150
+    wts = jnp.ones(2, dtype=jnp.float32)
+    for fn in (poisson.log_joint, poisson.grad_th_log_joint,
+               poisson.hess_th_log_joint, poisson.diag_hess_th_log_joint):
+        v = np.asarray(fn(Z, th, wts))
+        assert np.isfinite(v).all(), (fn.__name__, v)
+    ll = np.asarray(poisson.log_likelihood(Z, th[None, :].astype(jnp.float32)))
+    assert np.isfinite(ll).all()
+    g = np.asarray(poisson.grad_z_log_likelihood(Z, th[None, :]))
+    assert np.isfinite(g).all()
+    # ratio limit: at eta=-150, y*s/f -> y, so grad coefficient -> y - s ~ y
+    c = float((y[0] * jnp.exp(jax.nn.log_sigmoid(jnp.float32(-150.0))
+                              - (-150.0))))
+    assert abs(c - 7.0) < 1e-3
