@@ -482,6 +482,31 @@ class UniformSamplingCoreset(Coreset):
         if self.cts:
             self._dirty = True
 
+    def build_trace(self, itrs: int):
+        """Per-iteration compact coresets [(wts, pts, idcs)] * itrs — the
+        output of a ``for m: build(1, m); get()`` loop (same host RNG
+        stream) with ONE device gather at the end instead of per-size
+        round trips. Point mode only."""
+        if self.groups is not None:
+            raise NotImplementedError("build_trace: point mode only")
+        N = self.data.shape[0]
+        snaps = []
+        for f in self._rng.integers(0, N, size=itrs):
+            self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+            cts = np.fromiter(self.cts.values(), dtype=np.float64)
+            snaps.append((idcs, N * cts / cts.sum()))
+        self._dirty = True
+        all_idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+        row_of = {int(i): r for r, i in enumerate(all_idcs)}
+        cap = _round_capacity(len(all_idcs))
+        pad = np.zeros(cap, dtype=np.int32)
+        pad[: len(all_idcs)] = all_idcs
+        P = np.asarray(self.data[jnp.asarray(pad)])[: len(all_idcs)]
+        dtype = np.asarray(P).dtype
+        return [(wts.astype(dtype), P[[row_of[int(i)] for i in idcs]], idcs)
+                for idcs, wts in snaps]
+
     def _sync_device_state(self) -> None:
         N = self.data.shape[0]
         idcs = np.fromiter(self.cts.keys(), dtype=np.int64)

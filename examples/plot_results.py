@@ -29,13 +29,29 @@ from betacores_tpu.plotting import plot_curves
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--kind", choices=["gaussian", "logreg", "neural_linear", "groups"],
+    ap.add_argument("--kind", choices=["gaussian", "logreg", "neural_linear", "groups",
+                                       "housing"],
                     default="gaussian")
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--metric", default=None,
                     help="gaussian: rklw|fklw; logreg: accs|plls; neural_linear: rmses|nlls")
     ap.add_argument("--out", default="plot.png")
     args = ap.parse_args()
+
+    if args.kind == "housing":
+        # lat/lon scatter colored by log price (reference
+        # examples/data/plot_housing_prices.py; bokeh -> matplotlib)
+        data = np.load(os.path.join(args.results_dir, "prices2018.npy"))
+        data = data[np.argsort(data[:, 2])]
+        logp = np.log(data[:, 2])
+        c = ((logp - logp.min()) / max(logp.max() - logp.min(), 1e-12)) ** 3
+        fig, ax = plt.subplots(figsize=(6, 7))
+        ax.scatter(data[:, 1], data[:, 0], c=c, cmap="coolwarm", s=2,
+                   alpha=0.05, linewidths=0)
+        ax.set_xlabel("longitude"); ax.set_ylabel("latitude")
+        fig.tight_layout(); fig.savefig(args.out, dpi=150)
+        print(f"saved {args.out} ({data.shape[0]} sales)")
+        return
 
     curves = defaultdict(list)
     if args.kind == "gaussian":

@@ -130,11 +130,9 @@ def main():
             p.append(data_np[alg._row_map[keep]])
         alg._sync_state()
     elif args.alg == "RAND":
-        for m in range(1, args.M + 1):
-            alg.build(1, m)
-            got = alg.get()
-            w.append(got[0])
-            p.append(got[1])
+        for wm, pm, im in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
     else:
         # one device program records every size's coreset (build_trace);
         # a per-m build(1, m)/get() loop pays per-size tunnel round trips

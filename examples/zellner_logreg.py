@@ -121,11 +121,9 @@ def main():
             w.append(wm[keep])
             p.append(np.asarray(pts_b[m - 1])[keep])
     elif args.alg == "RAND":
-        for m in range(1, args.M + 1):
-            alg.build(1, m)
-            got = alg.get()
-            w.append(got[0])
-            p.append(got[1])
+        for wm, pm, im in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
     else:
         # one device program records every size (see zellner_gaussian.py)
         for wm, pm, im, bm in alg.build_trace(args.M):

@@ -172,3 +172,15 @@ def test_poisson_regression_driver(tmp_path, monkeypatch):
     (f,) = [f for f in os.listdir(tmp_path) if f.endswith(".pk")]
     res = pickle.load(open(tmp_path / f, "rb"))
     assert res["plls"] and all(np.isfinite(v) for v in res["plls"].values())
+
+
+def test_plot_results_housing(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    pts = np.c_[rng.uniform(50, 58, 200), rng.uniform(-5, 1, 200),
+                rng.uniform(5e4, 2e6, 200)]
+    np.save(tmp_path / "prices2018.npy", pts)
+    out = tmp_path / "housing.png"
+    _run("plot_results.py",
+         ["--kind", "housing", "--results-dir", str(tmp_path), "--out", str(out)],
+         monkeypatch)
+    assert out.exists() and out.stat().st_size > 0
