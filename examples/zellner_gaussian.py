@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--n-subsample-select", type=int, default=1000)
     ap.add_argument("--i0", type=float, default=0.1)
     ap.add_argument("--beta", type=float, default=0.1)
+    ap.add_argument("--learn-beta", action="store_true",
+                    help="jointly optimize beta by gradient (the reference's "
+                         "dead learn_beta path, working here)")
     ap.add_argument("--pihat-noise", type=float, default=0.75)
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
@@ -84,7 +87,8 @@ def main():
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
                   seed=args.trial, max_size=args.M)
     algs = {
-        "BCORES": lambda: bc.BetaCoreset(Xc, prj_bw, beta=args.beta, learn_beta=False, **common),
+        "BCORES": lambda: bc.BetaCoreset(Xc, prj_bw, beta=args.beta,
+                                         learn_beta=args.learn_beta, **common),
         "SVI": lambda: bc.SparseVICoreset(Xc, prj_w, **common),
         "BPSVI": lambda: bc.BatchPSVICoreset(Xc, prj_w, opt_itrs=args.opt_itrs,
                                              n_subsample_opt=args.n_subsample_opt,
