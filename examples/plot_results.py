@@ -30,7 +30,7 @@ from betacores_tpu.plotting import plot_curves
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", choices=["gaussian", "logreg", "neural_linear", "groups",
-                                       "housing"],
+                                       "housing", "poisson"],
                     default="gaussian")
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--metric", default=None,
@@ -71,6 +71,15 @@ def main():
                 ms = sorted(res[metric])
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
+    elif args.kind == "poisson":
+        metric = args.metric or "plls"
+        for path in glob.glob(os.path.join(args.results_dir, "results_poiss_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            if isinstance(res, dict) and isinstance(res.get(metric), dict):
+                ms = sorted(res[metric])
+                curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
+        ylabel, log_y = "test predictive LL", False
     elif args.kind == "neural_linear":
         metric = args.metric or "rmses"
         for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):

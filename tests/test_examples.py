@@ -184,3 +184,15 @@ def test_plot_results_housing(tmp_path, monkeypatch):
          ["--kind", "housing", "--results-dir", str(tmp_path), "--out", str(out)],
          monkeypatch)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_results_poisson(tmp_path, monkeypatch):
+    for t in (1, 2):
+        with open(tmp_path / f"results_poiss_x_{t}.pk", "wb") as f:
+            pickle.dump({"args": {"alg": "BCORES"},
+                         "plls": {0: -3.0, 5: -2.0, 10: -1.5 - 0.1 * t}}, f)
+    out = tmp_path / "p.png"
+    _run("plot_results.py",
+         ["--kind", "poisson", "--results-dir", str(tmp_path), "--out", str(out)],
+         monkeypatch)
+    assert out.exists() and out.stat().st_size > 0
