@@ -79,7 +79,10 @@ def make_group_incremental_builder(
     G = groups.n_groups
     L_max = groups.max_size
     S = config.projection_dim
-    n_sel = None if config.n_subsample_select is None else min(G, config.n_subsample_select)
+    # reference draws n_subsample_select group CANDIDATES with replacement
+    # (bcores.py:91-98) — deliberately not clamped to G, so a candidate set
+    # larger than G covers every group w.h.p.
+    n_sel = config.n_subsample_select
     n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
     dtype = data.dtype
     gid = group_ids_from_groups(groups, N)
@@ -136,11 +139,20 @@ def make_group_incremental_builder(
             corecorrs = jnp.where(compare_mask,
                                   jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
 
+            # groups too large for the remaining static capacity are masked
+            # OUT of the argmax (not merely rejected after winning): a
+            # rejected winner would win every subsequent iteration and
+            # permanently block smaller groups that fit — a stall the
+            # reference, which grows arrays unboundedly, cannot hit.
+            # Already-selected groups keep the reference's semantics
+            # (winning is a no-op iteration, bcores.py:91-98).
+            M_max = st.wts.shape[0]
+            fits = group_sizes[cand_gidx] + st.m <= M_max
+            corrs = jnp.where(fits, corrs, -jnp.inf)
             best = jnp.argmax(corrs)
             f = cand_gidx[best]
             take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
             fresh = jnp.logical_not(gst.selected[f])
-            M_max = st.wts.shape[0]
             size_f = group_sizes[f]
             room = st.m + size_f <= M_max
             add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))

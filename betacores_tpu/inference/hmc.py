@@ -43,14 +43,23 @@ class HMCConfig(NamedTuple):
 
 
 def _leapfrog_trajectory(key, logprob_and_grad, theta, eps, L, L_max, inv_mass):
-    """Run up to L_max leapfrog steps (first L active), multinomially
-    sampling one state from the trajectory under exp(-H). Returns
-    (theta_new, accept_stat)."""
+    """Multinomial HMC over a length-L trajectory CONTAINING the current
+    state at a uniformly random offset: draw j ~ U{0..L}, integrate j steps
+    backward (negated momentum) and L-j steps forward from the seed, then
+    sample one of the L+1 states with weight exp(-H). The uniform offset is
+    what makes the proposal exactly invariant — a forward-only trajectory
+    pins the current state at position 0 and the multinomial normalizers of
+    the forward/reverse moves differ, biasing the stationary distribution
+    (Neal's windowed HMC / Betancourt's multinomial scheme). One masked scan
+    of L_max leapfrog steps: the backward phase runs first, then the
+    integrator resets to the seed and runs forward, so compute is unchanged.
+    Returns (theta_new, accept_stat)."""
     d = theta.shape[0]
-    k_mom, k_sel = jax.random.split(key)
+    k_mom, k_sel, k_off = jax.random.split(key, 3)
     p0 = jax.random.normal(k_mom, (d,), dtype=theta.dtype) / jnp.sqrt(inv_mass)
     lp0, g0 = logprob_and_grad(theta)
     H0 = -lp0 + 0.5 * jnp.sum(inv_mass * p0 * p0)
+    j = jax.random.randint(k_off, (), 0, L + 1)  # backward steps
 
     sel_keys = jax.random.split(k_sel, L_max)
 
@@ -58,6 +67,12 @@ def _leapfrog_trajectory(key, logprob_and_grad, theta, eps, L, L_max, inv_mass):
         th, p, g, chosen_th, logw_tot, acc_sum = carry
         k, i = inp
         active = i < L
+        # phase boundary: reset the integrator to the seed with forward
+        # momentum (backward phase i < j integrates from (theta, -p0))
+        reset = i == j
+        th = jnp.where(reset, theta, th)
+        p = jnp.where(reset, p0, p)
+        g = jnp.where(reset, g0, g)
         # leapfrog
         p_half = p + 0.5 * eps * g
         th_new = th + eps * inv_mass * p_half
@@ -79,7 +94,7 @@ def _leapfrog_trajectory(key, logprob_and_grad, theta, eps, L, L_max, inv_mass):
         return (th, p, g, chosen_th, logw_new_tot, acc_sum), None
 
     # logw of the initial state is 0 == -(H0 - H0); it seeds the reservoir
-    init = (theta, p0, g0, theta, jnp.asarray(0.0, theta.dtype), jnp.asarray(0.0, theta.dtype))
+    init = (theta, -p0, g0, theta, jnp.asarray(0.0, theta.dtype), jnp.asarray(0.0, theta.dtype))
     carry, _ = jax.lax.scan(step, init, (sel_keys, jnp.arange(L_max)))
     chosen_th, acc_sum = carry[3], carry[5]
     accept_stat = acc_sum / jnp.maximum(L.astype(theta.dtype), 1.0)

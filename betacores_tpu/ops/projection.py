@@ -95,7 +95,15 @@ class Groups(NamedTuple):
         G = len(group_lists)
         L = max(len(g) for g in group_lists)
         m = -np.ones((G, L), dtype=np.int32)
+        seen = set()
         for i, g in enumerate(group_lists):
+            dup = seen.intersection(g)
+            if dup:
+                # the segment-sum group projections (and Shapley prefix
+                # masks) assign each point to exactly one group; overlap
+                # would silently drop members from all but one group
+                raise ValueError(f"groups must be disjoint; shared points {sorted(dup)[:5]}...")
+            seen.update(int(x) for x in g)
             m[i, : len(g)] = np.asarray(g, dtype=np.int32)
         sizes = np.asarray([len(g) for g in group_lists], dtype=np.int32)
         return Groups(members=jnp.asarray(m), sizes=jnp.asarray(sizes))

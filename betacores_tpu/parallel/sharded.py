@@ -27,7 +27,6 @@ driver's ``dryrun_multichip`` validate it without multi-chip hardware.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -36,7 +35,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..coresets.incremental import IncrementalConfig
 from ..coresets.state import CoresetState
-from ..utils.opt import step_schedule
+from ..utils.opt import nn_adam, step_schedule
 from .mesh import DATA_AXIS, SAMP_AXIS
 
 
@@ -57,8 +56,12 @@ def make_sharded_incremental_builder(
     if config.n_subsample_select is None or config.n_subsample_opt is None:
         raise ValueError("sharded builder requires n_subsample_select/opt")
 
+    if DATA_AXIS not in mesh.shape or SAMP_AXIS not in mesh.shape:
+        raise ValueError(
+            f"mesh must have axes ('{DATA_AXIS}', '{SAMP_AXIS}') — use "
+            f"parallel.make_mesh(n_data, n_samp) (n_samp=1 is fine); got {dict(mesh.shape)}")
     n_data = mesh.shape[DATA_AXIS]
-    n_samp = mesh.shape.get(SAMP_AXIS, 1)
+    n_samp = mesh.shape[SAMP_AXIS]
     S = config.projection_dim
     if S % n_samp:
         raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")
@@ -147,49 +150,39 @@ def make_sharded_incremental_builder(
             sampler_aux=aux,
         )
 
-        # ---- optimize (replicated Adam over the M-dim weights) ----
-        def grad_step(carry, inp):
-            w, m1, m2, aux = carry
-            lr, k, i = inp
+        # ---- optimize (replicated Adam over the M-dim weights; shared
+        # projected-Adam from utils/opt, same update as the single-device
+        # and group builders) ----
+        def grad_fn(w, aux, k):
             vecs_o, corevecs_o, total_o, _, aux = _tangent(
                 k, w, st, st.beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid
             )
             resid = total_o - w @ corevecs_o
-            g = -_dot_S(corevecs_o, resid) / S
-            m1 = 0.9 * m1 + 0.1 * g
-            m2 = 0.999 * m2 + 0.001 * g * g
-            t = i + 1.0
-            w = w - lr * (m1 / (1 - 0.9**t)) / (1e-8 + jnp.sqrt(m2 / (1 - 0.999**t)))
-            return (jnp.maximum(w, 0.0), m1, m2, aux), None
+            return -_dot_S(corevecs_o, resid) / S, aux
 
-        keys = jax.random.split(k_opt, config.opt_itrs)
-        steps = jnp.arange(config.opt_itrs, dtype=dtype)
-        (w_new, _, _, aux), _ = jax.lax.scan(
-            grad_step,
-            (st.wts, jnp.zeros_like(st.wts), jnp.zeros_like(st.wts), st.sampler_aux),
-            (step_sizes, keys, steps),
-        )
+        w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, k_opt, step_sizes)
         return st._replace(wts=w_new, sampler_aux=aux)
 
-    def _build_local(data_local, key, st, itrs):
-        def body(st, k):
-            return _step(data_local, k, st), None
+    def _build_local(data_local, key, itrs, st):
+        # itrs is traced (fori_loop -> while_loop): one compiled program for
+        # every build size, like the single-device builders (CLAUDE.md)
+        def body(i, st):
+            return _step(data_local, jax.random.fold_in(key, i), st)
 
-        st, _ = jax.lax.scan(body, st, jax.random.split(key, itrs))
-        return st
+        return jax.lax.fori_loop(0, itrs, body, st)
 
     state_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
 
-    @partial(jax.jit, static_argnums=3)
-    def _build_d(data, key, st: CoresetState, itrs: int) -> CoresetState:
+    @jax.jit
+    def _build_d(data, key, st: CoresetState, itrs) -> CoresetState:
         # data is a jit ARGUMENT: a closed-over dataset embeds into the HLO
         # (see coresets/incremental.py _bind)
         return jax.shard_map(
-            lambda d, k, s: _build_local(d, k, s, itrs),
+            lambda d, k, i, s: _build_local(d, k, i, s),
             mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P(), state_spec),
+            in_specs=(P(DATA_AXIS, None), P(), P(), state_spec),
             out_specs=state_spec,
             check_vma=False,
-        )(data, key, st)
+        )(data, key, itrs, st)
 
-    return lambda key, st, itrs: _build_d(data_sharded, key, st, int(itrs))
+    return lambda key, st, itrs: _build_d(data_sharded, key, st, jnp.asarray(itrs, dtype=jnp.int32))

@@ -127,8 +127,14 @@ def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
         def prefix(carry, j):
             v_prev, truncated = carry
             w = jnp.logical_and(jnp.logical_and(pos[gid] <= j, gid < G), cmask)
-            v = jnp.where(truncated, v_prev,
-                          value_fn(jax.random.fold_in(kv, j), w.astype(jnp.float32)))
+            # lax.cond actually SKIPS the fit once truncated (the point of
+            # the TMC estimator); a jnp.where would evaluate it anyway
+            v = jax.lax.cond(
+                truncated,
+                lambda _: v_prev,
+                lambda w_: value_fn(jax.random.fold_in(kv, j), w_.astype(jnp.float32)),
+                w,
+            )
             marg = jnp.where(truncated, 0.0, v - v_prev)
             truncated = jnp.logical_or(truncated, jnp.abs(full_value - v) < tol)
             return (v, truncated), (perm[j], marg)

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from betacores_tpu.inference import hmc, logreg_laplace_sampler, newton_laplace
+from betacores_tpu.inference import (HMCConfig, hmc, hmc_sample,
+                                     logreg_laplace_sampler, newton_laplace)
 from betacores_tpu.models import logreg
 import oracle.models as om
 
@@ -104,3 +105,19 @@ class TestHMC:
         pooled = np.asarray(samples).reshape(-1, 2)
         np.testing.assert_allclose(pooled.mean(0), np.zeros(2), atol=0.15)
         np.testing.assert_allclose(pooled.std(0), np.ones(2), atol=0.15)
+
+
+def test_hmc_exact_invariance_correlated_gaussian():
+    """Tight moment check on a correlated Gaussian: the uniform-offset
+    multinomial trajectory must leave the target exactly invariant (a
+    forward-only trajectory with the state pinned at offset 0 biases the
+    stationary distribution)."""
+    Sig = jnp.asarray([[2.0, 0.8], [0.8, 1.0]])
+    Siginv = jnp.linalg.inv(Sig)
+    logprob = lambda th: -0.5 * th @ (Siginv @ th)
+    cfg = HMCConfig(n_samples=20000, n_warmup=1500, L_max=16)
+    s, stats = hmc_sample(jax.random.key(0), logprob, jnp.zeros(2), cfg)
+    s = np.asarray(s)
+    assert float(stats["accept_stat"]) > 0.6
+    np.testing.assert_allclose(s.mean(0), np.zeros(2), atol=0.05)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(Sig), rtol=0.06)
