@@ -54,6 +54,7 @@ def main():
         return
 
     curves = defaultdict(list)
+    xs = None  # eval sizes for dict-keyed metrics (indices otherwise)
     if args.kind == "gaussian":
         metric = args.metric or "rklw"
         for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
@@ -69,6 +70,7 @@ def main():
                 res = pickle.load(f)
             if isinstance(res, dict) and metric in res and isinstance(res.get(metric), dict):
                 ms = sorted(res[metric])
+                xs = np.asarray(ms)
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
     elif args.kind == "poisson":
@@ -78,6 +80,7 @@ def main():
                 res = pickle.load(f)
             if isinstance(res, dict) and isinstance(res.get(metric), dict):
                 ms = sorted(res[metric])
+                xs = np.asarray(ms)
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = "test predictive LL", False
     elif args.kind == "neural_linear":
@@ -102,7 +105,10 @@ def main():
         L = min(len(c) for c in curves[k])
         curves[k] = np.stack([c[:L] for c in curves[k]])
     fig, ax = plt.subplots(figsize=(6, 4))
-    plot_curves(ax, curves, ylabel=ylabel, log_y=log_y)
+    if xs is not None:
+        L = min(len(c) for v in curves.values() for c in v)
+        xs = xs[:L]
+    plot_curves(ax, curves, x=xs, ylabel=ylabel, log_y=log_y)
     fig.tight_layout()
     fig.savefig(args.out, dpi=150)
     print(f"saved {args.out} ({ {k: v.shape for k, v in curves.items()} })")
