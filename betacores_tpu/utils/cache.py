@@ -21,6 +21,19 @@ _DEFAULT_DIR = os.path.join(
 _enabled_dir: str | None = None
 
 
+def _cpu_only() -> bool:
+    """CPU-only processes (the test suite) skip the cache: compiles are
+    cheap there, and XLA:CPU AOT reload emits noisy machine-feature
+    warnings. Checking the config does not initialize the backend."""
+    try:
+        import jax
+
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        return bool(platforms) and set(platforms.split(",")) <= {"cpu"}
+    except Exception:
+        return True
+
+
 def enable_persistent_cache(cache_dir: str | None = None,
                             min_compile_time_secs: float = 1.0) -> str | None:
     """Enable JAX's on-disk compilation cache (idempotent).
@@ -34,16 +47,7 @@ def enable_persistent_cache(cache_dir: str | None = None,
         return None
     if _enabled_dir is not None and (cache_dir is None or cache_dir == _enabled_dir):
         return _enabled_dir  # idempotent; an explicit NEW dir re-points the cache
-    try:
-        import jax
-
-        # CPU-only processes (the test suite) skip the cache: compiles are
-        # cheap there, and XLA:CPU AOT reload emits noisy machine-feature
-        # warnings. Checking the config does not initialize the backend.
-        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-        if platforms and set(platforms.split(",")) <= {"cpu"}:
-            return None
-    except Exception:
+    if _cpu_only():
         return None
     cache_dir = (cache_dir
                  or os.environ.get("BETACORES_COMPILATION_CACHE_DIR")

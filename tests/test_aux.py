@@ -93,3 +93,25 @@ def test_plotting_helpers(tmp_path):
     plot_curves(ax, {"BCORES": arr, "RAND": arr * 2}, ylabel="kl")
     plot_gaussian_ellipse(ax, np.zeros(2), np.eye(2))
     fig.savefig(os.path.join(tmp_path, "p.png"))
+
+
+def test_persistent_cache_repoints_and_survives_bad_env(tmp_path, monkeypatch):
+    from betacores_tpu.utils import cache
+
+    monkeypatch.setattr(cache, "_enabled_dir", None)
+    monkeypatch.delenv("BETACORES_NO_COMPILATION_CACHE", raising=False)
+    # malformed size cap must not raise (import-time path)
+    monkeypatch.setenv("BETACORES_COMPILATION_CACHE_MAX_GB", "10GB")
+    # cpu-only platforms skip (conftest forces cpu)
+    assert cache.enable_persistent_cache(str(tmp_path / "a")) is None
+
+    # pretend a tpu platform: enabling, then re-pointing to a NEW dir works
+    import jax
+
+    monkeypatch.setattr(cache, "_cpu_only", lambda: False)
+    d1 = cache.enable_persistent_cache(str(tmp_path / "a"))
+    d2 = cache.enable_persistent_cache()              # idempotent
+    d3 = cache.enable_persistent_cache(str(tmp_path / "b"))  # explicit re-point
+    assert d1 == str(tmp_path / "a") == d2
+    assert d3 == str(tmp_path / "b")
+    jax.config.update("jax_compilation_cache_dir", None)
