@@ -19,6 +19,7 @@ from .bpsvi import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
 from .dpbpsvi import DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon, make_dp_bpsvi_builder
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
 from .psvi import PseudoSparseVICoreset, make_psvi_builder
+from .refine import refine_weights
 from .state import CoresetState, get, init_state, warm_start_state
 
 __all__ = [
@@ -46,6 +47,7 @@ __all__ = [
     "IncrementalConfig",
     "make_incremental_builder",
     "PseudoSparseVICoreset",
+    "refine_weights",
     "make_psvi_builder",
     "CoresetState",
     "get",

@@ -265,6 +265,21 @@ class _IncrementalCoreset(Coreset):
         if self.groups is None:
             self.state = self._builder.optimize(self.keys(), self.state, self.ctx)
 
+    def refine(self, n_samples: int = 500, n_subsample=None) -> None:
+        """Deterministic quasi-Newton weight polish on a frozen S_big-sample
+        projection (coresets/refine.py; beyond-reference, arXiv:2203.09675).
+        Keeps the result only if it tightens the frozen tangent-space
+        objective. Point mode only; intended for clean-data KL builds — see
+        coresets/refine.py for why NOT to polish contaminated beta builds."""
+        if self.groups is not None:
+            raise NotImplementedError("refine: point mode only")
+        from .refine import refine_weights
+
+        self.state = refine_weights(self.keys(), self.data, self.projector.model,
+                                    self.projector.sampler, self.state,
+                                    n_samples=n_samples, n_subsample=n_subsample,
+                                    use_beta=self._use_beta)
+
     def build_trace(self, itrs: int):
         """Run ``itrs`` incremental iterations as ONE device program,
         returning per-iteration compact coresets

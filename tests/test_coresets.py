@@ -267,3 +267,39 @@ class TestBuildTrace:
         # per-iteration sizes are non-decreasing and <= m
         for m, (wm, pm, im, _) in enumerate(trace, start=1):
             assert 1 <= len(wm) <= m
+
+
+class TestRefine:
+    def test_quasi_newton_polish_tightens_kl(self, rng):
+        """Post-build deterministic weight refinement (arXiv:2203.09675)
+        should not hurt — and typically tightens — posterior KL at fixed
+        support."""
+        d, N = 4, 400
+        Sig = 2.0 * np.eye(d)
+        Siginv = jnp.asarray(np.linalg.inv(Sig))
+        ld = float(np.linalg.slogdet(Sig)[1])
+        X = jnp.asarray(rng.normal(size=(N, d)))
+        model = gmod.bundle(Siginv, ld)
+        sampler = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), Siginv)
+        prj = bc.BlackBoxProjector(sampler, 32, model.log_likelihood)
+        alg = bc.SparseVICoreset(X, prj, opt_itrs=30, n_subsample_opt=128,
+                                 seed=0, max_size=16)
+        alg.build(8, 8)
+
+        mu0, Sig0inv = np.zeros(d), np.eye(d)
+        mup, Sigp = om.gauss_weighted_post(mu0, Sig0inv, np.asarray(Siginv),
+                                           np.asarray(X), np.ones(N))
+
+        def rkl(w, p):
+            m, S = om.gauss_weighted_post(mu0, Sig0inv, np.asarray(Siginv),
+                                          np.atleast_2d(p), np.atleast_1d(w))
+            return om.gaussian_KL(m, S, mup, np.linalg.inv(Sigp))
+
+        w0, p0, i0 = alg.get()
+        kl_before = rkl(w0, p0)
+        alg.refine(n_samples=512)
+        w1, p1, i1 = alg.get()
+        kl_after = rkl(w1, p1)
+        np.testing.assert_array_equal(i0, i1)  # support unchanged
+        assert (w1 >= 0).all()
+        assert kl_after <= kl_before * 1.05, (kl_before, kl_after)
