@@ -27,6 +27,7 @@ driver's ``dryrun_multichip`` validate it without multi-chip hardware.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -171,6 +172,13 @@ def make_sharded_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
+    def _trace_local(data_local, key, itrs, st):
+        def body(st, i):
+            st = _step(data_local, jax.random.fold_in(key, i), st)
+            return st, (st.wts, st.idcs, st.beta)
+
+        return jax.lax.scan(body, st, jnp.arange(itrs))
+
     state_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
 
     @jax.jit
@@ -185,4 +193,19 @@ def make_sharded_incremental_builder(
             check_vma=False,
         )(data, key, itrs, st)
 
-    return lambda key, st, itrs: _build_d(data_sharded, key, st, jnp.asarray(itrs, dtype=jnp.int32))
+    @partial(jax.jit, static_argnums=3)
+    def _trace_d(data, key, st: CoresetState, itrs: int):
+        # static itrs (output shape); per-iteration (wts, idcs, beta) are
+        # replicated, so the trace transfers once at the end
+        return jax.shard_map(
+            lambda d, k, s: _trace_local(d, k, itrs, s),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(), state_spec),
+            out_specs=(state_spec, (P(), P(), P())),
+            check_vma=False,
+        )(data, key, st)
+
+    build = lambda key, st, itrs: _build_d(data_sharded, key, st, jnp.asarray(itrs, dtype=jnp.int32))
+    # per-size trace entry point (same key stream as build)
+    build.trace = lambda key, st, itrs: _trace_d(data_sharded, key, st, int(itrs))
+    return build

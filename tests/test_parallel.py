@@ -78,3 +78,18 @@ def test_sharded_matches_single_device_quality(problem):
     kl2 = _rkl(w2[w2 > 0], p2[w2 > 0], aux)
     # statistical equivalence: same quality ballpark (different subsample streams)
     assert kl2 < 3.0 * kl1 + 1e-3, (kl1, kl2)
+
+
+def test_sharded_trace_matches_build(problem):
+    X, model, sampler, aux = problem
+    cfg = IncrementalConfig(projection_dim=32, n_subsample_select=128,
+                            n_subsample_opt=64, opt_itrs=20, i0=1.0)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    b = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    st0 = init_state(32, X.shape[1], dtype=ds.dtype)
+    st_final, (W, I, B) = b.trace(jax.random.key(5), st0, 6)
+    st_build = b(jax.random.key(5), st0, 6)
+    np.testing.assert_allclose(np.asarray(W[-1]), np.asarray(st_build.wts), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(I[-1]), np.asarray(st_build.idcs))
+    assert W.shape[0] == 6
