@@ -196,3 +196,12 @@ def test_plot_results_poisson(tmp_path, monkeypatch):
          ["--kind", "poisson", "--results-dir", str(tmp_path), "--out", str(out)],
          monkeypatch)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_data_tabulate(tmp_path, capsys, monkeypatch):
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "toy.npz", X=rng.normal(size=(30, 4)),
+             y=np.sign(rng.normal(size=30)))
+    _run("data_tabulate.py", ["--dirs", str(tmp_path)], monkeypatch)
+    out = capsys.readouterr().out
+    assert "TOY" in out and "Ntest" in out
