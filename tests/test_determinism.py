@@ -123,3 +123,22 @@ def test_builds_do_not_mutate_input(problem):
     alg2.build(3, 3)
     alg2.get()
     np.testing.assert_array_equal(np.asarray(X), X0)
+
+
+def test_build_clean_under_debug_nans(problem):
+    """The JAX equivalent of the reference's np.seterr(all='raise') in tests
+    (reference test_deterministic.py:6): a representative beta build must
+    not produce NaN/inf in any intermediate under jax_debug_nans."""
+    X, model, sampler, cfg = problem
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=32,
+                            n_subsample_opt=16, opt_itrs=8, i0=0.5,
+                            use_beta=True, learn_beta=True)
+    b = make_incremental_builder(X, model, sampler, cfg)
+    st0 = init_state(16, X.shape[1], beta=0.3, dtype=X.dtype)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        with jax.disable_jit():  # debug_nans checks intermediates when eager
+            st = b.build(jax.random.key(0), st0, 3)
+        assert np.isfinite(np.asarray(st.wts)).all()
+    finally:
+        jax.config.update("jax_debug_nans", False)
