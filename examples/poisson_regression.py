@@ -142,7 +142,7 @@ def main():
         print(f"m={m:4d} pll={plls[m]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)
-    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}"
+    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
     out = os.path.join(args.results_dir, f"results_poiss_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "plls": plls,

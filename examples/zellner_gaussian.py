@@ -167,7 +167,10 @@ def main():
     rklw, fklw = np.asarray(rklw), np.asarray(fklw)
 
     os.makedirs(args.results_dir, exist_ok=True)
-    out = os.path.join(args.results_dir, f"results_{args.alg}_{args.trial}.pk")
+    tag = f"{args.alg}_{args.trial}"
+    if args.alg == "BCORES":
+        tag += f"_b{args.beta}" + ("_learned" if args.learn_beta else "")
+    out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"alg": args.alg, "trial": args.trial, "w": w, "p": p,
                      "rklw": rklw, "fklw": fklw, "betas": betas,

@@ -157,7 +157,9 @@ def main():
               f"accept={float(stats['accept_stat']):.2f} ({mcmc_times[m]:.1f}s)")
 
     os.makedirs(args.results_dir, exist_ok=True)
-    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}"
+    # config-encoding filename (reference pattern, main.py:235): include
+    # every swept hyperparameter or sweep points overwrite each other
+    tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}_i{args.i0}"
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,
