@@ -59,21 +59,18 @@ def make_psvi_builder(data: jnp.ndarray, model, sampler: Callable,
             vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
             vn = jnp.where(vn > 0, vn, jnp.inf)
             corrs = (vecs @ resid) / vn / S
-            # SparseVI guards (incremental.py _select): only add when a new
-            # point beats every current slot's correlation, and never
-            # re-append an already-selected initializer row (pseudo-points
-            # drift after selection, but a duplicate initialization gives
-            # identical gradients forever)
-            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
-            cn = jnp.where(cn > 0, cn, jnp.inf)
-            corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+            # Duplicate guard only: never re-append an already-used
+            # initializer row (a duplicate initialization gives identical
+            # gradients forever). Unlike SparseVI, no take-new comparison
+            # against existing slots — pseudo-points MOVE toward the
+            # residual after selection, so moved slots' correlations would
+            # beat any fresh candidate and block growth (measured: m stuck
+            # at 1 after 20 iterations with the comparison in place).
             fcand = jnp.argmax(corrs)
             f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
-            take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
             already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
             M_max = st.wts.shape[0]
-            add = jnp.logical_and(take_new,
-                                  jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+            add = jnp.logical_and(jnp.logical_not(already), st.m < M_max)
             slot = jnp.minimum(st.m, M_max - 1)
             return st._replace(
                 idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),

@@ -244,7 +244,11 @@ class TestPSVI:
         alg = PseudoSparseVICoreset(jnp.asarray(X), prj, opt_itrs=20, seed=0, max_size=16)
         alg.build(4, 4)
         w, p, i = alg.get()
-        assert 1 <= len(w) <= 4 and (w >= 0).all()
+        # growth must not be blocked (distinct initializer rows exist):
+        # regression guard for an over-strict take-new comparison that
+        # pinned m at 1
+        assert len(w) == 4 and (w >= 0).all()
+        assert len(set(np.asarray(i).tolist())) == 4
         # pseudo-points should have moved off their initializing data rows
         moved = np.linalg.norm(p - X[i], axis=1)
         assert (moved > 1e-8).any()
