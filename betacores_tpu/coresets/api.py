@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import ModelFns, beta_gradient_from_autodiff
-from ..ops.projection import center
+from ..ops.projection import center, project_ll
 from ..snnls.giga import GIGA
 from ..utils.errors import NumericalPrecisionError
 from ..utils.logging import get_logger
@@ -25,6 +25,11 @@ from ..utils.prng import KeySequence
 from . import state as state_lib
 from .bpsvi import BPSVIConfig, make_bpsvi_builder
 from .incremental import IncrementalConfig, make_incremental_builder
+
+
+# module-level jit: a per-instance jax.jit(project_ll) wrapper would
+# recompile the projection for every HilbertCoreset constructed in a sweep
+_project_ll_jit = jax.jit(project_ll, static_argnums=0)
 
 
 def _round_capacity(sz: int) -> int:
@@ -156,11 +161,15 @@ class Coreset:
     def optimize(self):
         """Re-run weight refinement with rollback on cost increase
         (reference coreset.py:48-65)."""
+        from ..utils import errors
+
         prev_cost = self.error()
         prev_state = self.state
         try:
             self._optimize()
-            if self.error() > prev_cost * (1.0 + 1e-12):
+            # mutable global tolerance (reference coreset.py:57 uses
+            # util.TOL, adjustable via set_tolerance)
+            if self.error() > prev_cost * (1.0 + errors.TOL):
                 raise NumericalPrecisionError("optimize() increased error")
         except NumericalPrecisionError as e:
             self.log.warning("%s", e)
@@ -357,12 +366,15 @@ class BatchPSVICoreset(Coreset):
         wts, pts, idcs = self._builder_for(sz)(self.keys(), sz, self._init_aux())
         self._ensure_capacity(sz)
         st = self.state
-        self.state = st._replace(
-            wts=st.wts.at[:sz].set(wts),
-            pts=st.pts.at[:sz].set(pts),
-            idcs=st.idcs.at[:sz].set(idcs.astype(jnp.int32)),
-            m=jnp.asarray(sz, dtype=jnp.int32),
-        )
+        # full-buffer replace (reference bpsvi.py:19-22 rebuilds wts/pts
+        # wholesale): slot-sz writes would leave stale tail weights when
+        # rebuilding to a smaller size than a previous build
+        cap = st.wts.shape[0]
+        w_buf = jnp.zeros_like(st.wts).at[:sz].set(wts)
+        p_buf = jnp.zeros_like(st.pts).at[:sz].set(pts)
+        i_buf = (-jnp.ones_like(st.idcs)).at[:sz].set(idcs.astype(jnp.int32))
+        self.state = st._replace(wts=w_buf, pts=p_buf, idcs=i_buf,
+                                 m=jnp.asarray(sz, dtype=jnp.int32))
 
     def _optimize(self) -> None:
         pass  # BPSVI's build IS the optimization (one-shot)
@@ -393,9 +405,7 @@ class HilbertCoreset(Coreset):
             x = self.data[sub_idcs]
         # all on-device (fused projection for large N; only the small
         # zero-row mask crosses to host — the (N, S) block never does)
-        from ..ops.projection import project_ll
-
-        vecs = jax.jit(project_ll, static_argnums=0)(ll_projector.model, x, samples)
+        vecs = _project_ll_jit(ll_projector.model, x, samples)
         nonzero = np.asarray(jnp.linalg.norm(vecs, axis=1) > 0.0)
         keep = np.where(nonzero)[0]
         if len(keep) != vecs.shape[0]:
@@ -454,7 +464,17 @@ class UniformSamplingCoreset(Coreset):
     def __init__(self, data, seed: int = 0, groups=None, **kw):
         self._dirty = False
         super().__init__(data, seed=seed, **kw)
+        # constructor warm start becomes a persistent count-1 prefix
+        # (reference sampling.py seeds cts=[1]*len(idcs)); the points may be
+        # EXTERNAL to the dataset (sentinel indices, e.g. the neural-linear
+        # driver's 1e7+i inducing points), so their coordinates are kept
+        # verbatim rather than re-gathered from data
         self.cts: dict[int, int] = {}
+        if kw.get("wts") is not None and kw.get("idcs") is not None:
+            self._warm = (np.asarray(kw["idcs"], dtype=np.int64).copy(),
+                          np.atleast_2d(np.asarray(kw["pts"])).copy())
+        else:
+            self._warm = None
         self.groups = groups
         self.selected_groups: list[int] = []
         self._rng = np.random.default_rng(seed)
@@ -474,10 +494,22 @@ class UniformSamplingCoreset(Coreset):
         self.cts = {}
         self.selected_groups = []
         self._dirty = False
+        self._warm = None
         super().reset()
 
     def size(self) -> int:
-        return len(self.cts) if (self.cts or self._dirty) else super().size()
+        n_warm = 0 if self._warm is None else len(self._warm[0])
+        if self.cts or self._dirty:
+            return len(self.cts) + n_warm
+        return super().size()
+
+    def _ensure_capacity(self, sz: int) -> None:
+        # capacity check must not trigger the lazy device sync (it reads
+        # only the buffer shape); the property getter would sync per build
+        if sz > self._state.wts.shape[0]:
+            was_dirty, self._dirty = self._dirty, False
+            super()._ensure_capacity(sz)
+            self._dirty = was_dirty
 
     def _build(self, itrs: int, sz: int) -> None:
         N = self.data.shape[0]
@@ -526,14 +558,19 @@ class UniformSamplingCoreset(Coreset):
         N = self.data.shape[0]
         idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
         cts = np.fromiter(self.cts.values(), dtype=np.float64)
-        wts = N * cts / cts.sum()
-        self._ensure_capacity(len(idcs))
+        self._ensure_capacity(len(idcs) + (0 if self._warm is None else len(self._warm[0])))
         cap = self._state.wts.shape[0]
         # capacity-padded gather: per-size index shapes would recompile per
         # build call through the tunnel (see HilbertCoreset._sync_state)
         pad_idcs = np.zeros(cap, dtype=np.int32)
-        pad_idcs[: len(idcs)] = idcs
+        pad_idcs[: len(idcs)] = np.clip(idcs, 0, N - 1)
         pts = np.asarray(self.data[jnp.asarray(pad_idcs)])[: len(idcs)]
+        if self._warm is not None:
+            widcs, wpts = self._warm
+            idcs = np.concatenate([widcs, idcs])
+            pts = np.concatenate([wpts.astype(pts.dtype), pts], axis=0)
+            cts = np.concatenate([np.ones(len(widcs)), cts])
+        wts = N * cts / cts.sum()
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())

@@ -68,8 +68,10 @@ def load_csv(path: str, delimiter: str = ",", skip_header: int = 0,
     """Dense float32 matrix from a numeric CSV."""
     lib = _get_lib()
     if lib is None:
-        return np.genfromtxt(path, delimiter=delimiter,
-                             skip_header=skip_header).astype(np.float32)
+        # atleast_2d: genfromtxt returns (D,) for a one-row file while the
+        # native path always returns (1, D)
+        return np.atleast_2d(np.genfromtxt(path, delimiter=delimiter,
+                                           skip_header=skip_header).astype(np.float32))
     rows, cols = ctypes.c_int64(), ctypes.c_int64()
     ptr = lib.bc_load_csv(path.encode(), delimiter.encode(), skip_header,
                           n_threads, ctypes.byref(rows), ctypes.byref(cols))
@@ -106,9 +108,15 @@ def _svmlight_numpy(path: str, n_features: int = 0):
             labels.append(float(parts[0]))
             feats = {}
             for tok in parts[1:]:
-                i, v = tok.split(":")
-                feats[int(i)] = float(v)
-                maxf = max(maxf, int(i))
+                i, v = tok.split(":", 1)
+                if not i.isdigit():
+                    continue  # qid:/comment tokens (legal svmlight)
+                i = int(i)
+                if i < 1:
+                    raise ValueError(
+                        f"svmlight feature indices are 1-based, got {i} in {path}")
+                feats[i] = float(v)
+                maxf = max(maxf, i)
             parsed.append(feats)
     X = np.zeros((len(parsed), maxf), dtype=np.float32)
     for r, feats in enumerate(parsed):

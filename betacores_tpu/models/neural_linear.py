@@ -167,8 +167,8 @@ class NeuralLinear:
             batch_size = _batch_size_pow2(n)
         n_batches = max(n // batch_size, 1)
         sched = optax.cosine_decay_schedule(initial_lr, num_epochs * n_batches, alpha=1e-5 / initial_lr)
-        # weight decay on kernel weights only (reference param groups,
-        # neural.py:170-175)
+        # weight decay on kernel AND BatchNorm-scale weights (reference
+        # param groups decay every '*.weight', neural.py:170-175)
         decay_mask = _mask_kernels(self.variables["params"])
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=decay_mask),
@@ -177,27 +177,51 @@ class NeuralLinear:
         variables = self.variables
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         opt_state = tx.init(params)
+        run = self._train_fn(n, batch_size, n_batches, num_epochs, tx,
+                             (initial_lr, weight_decay))
+
+        self._key, k = jax.random.split(self._key)
+        params, batch_stats, losses = run(params, batch_stats, opt_state, k,
+                                          wts, pts, self.x_train, self.y_train)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        return np.asarray(losses)
+
+    def _train_fn(self, n, batch_size, n_batches, num_epochs, tx, opt_cfg):
+        """Jitted training loop, cached per static config: a fresh jit
+        closure per optimize() call would retrace AND bake the coreset into
+        the program as constants (the anti-pattern incremental._bind
+        documents). Data flows in as arguments."""
+        cache_key = (n, batch_size, n_batches, num_epochs, opt_cfg,
+                     self.x_train.shape[0])
+        if getattr(self, "_train_cache_key", None) == cache_key:
+            return self._train_cached
         module, sigsq, s, student_t = self.module, self.sigmasq, self.s, self.student_t
 
-        def loss_fn(params, batch_stats, w, z):
+        def loss_fn(params, batch_stats, w, z, x_train, y_train):
             x, y = z[:, :-1], z[:, -1:]
-            feats, mutated = module.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"])
+            # the Bayesian last layer conditions on the FULL current train
+            # batch (reference forward(), neural.py:143-158) — a
+            # batch-local posterior changes the objective
+            feats_tr, mutated = module.apply(
+                {"params": params, "batch_stats": batch_stats}, x_train,
+                train=True, mutable=["batch_stats"])
+            feats_b, _ = module.apply(
+                {"params": params, "batch_stats": mutated["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
             if student_t:
-                layer = full_bayesian_regression_posterior(feats, y, s=s)
-                mean, var = predictive(layer, feats, sigsq)
+                layer = full_bayesian_regression_posterior(feats_tr, y_train, s=s)
+                mean, var = predictive(layer, feats_b, sigsq)
                 ll = students_t_log_density(y, mean, var, layer.nu)
             else:
-                layer = bayesian_regression_posterior(feats, y, sigsq=sigsq, s=s)
-                mean, var = predictive(layer, feats, sigsq)
+                layer = bayesian_regression_posterior(feats_tr, y_train, sigsq=sigsq, s=s)
+                mean, var = predictive(layer, feats_b, sigsq)
                 ll = gaussian_log_density(y, mean, var)
             return -jnp.sum(w[:, None] * ll), mutated["batch_stats"]
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         @jax.jit
-        def run(params, batch_stats, opt_state, key):
+        def run(params, batch_stats, opt_state, key, wts, pts, x_train, y_train):
             def epoch(carry, k):
                 params, batch_stats, opt_state = carry
                 perm = jax.random.permutation(k, n)
@@ -205,7 +229,9 @@ class NeuralLinear:
                 def batch_step(carry, b):
                     params, batch_stats, opt_state = carry
                     idx = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
-                    (loss, batch_stats), grads = grad_fn(params, batch_stats, wts[idx], pts[idx])
+                    (loss, batch_stats), grads = grad_fn(params, batch_stats,
+                                                         wts[idx], pts[idx],
+                                                         x_train, y_train)
                     updates, opt_state = tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
                     return (params, batch_stats, opt_state), loss
@@ -219,10 +245,9 @@ class NeuralLinear:
                 epoch, (params, batch_stats, opt_state), keys)
             return params, batch_stats, losses
 
-        self._key, k = jax.random.split(self._key)
-        params, batch_stats, losses = run(params, batch_stats, opt_state, k)
-        self.variables = {"params": params, "batch_stats": batch_stats}
-        return np.asarray(losses)
+        self._train_cache_key = cache_key
+        self._train_cached = run
+        return run
 
     def test(self, Z_test) -> Tuple[float, float]:
         """(predictive NLL, unnormalized RMSE) — reference neural.py:205-250."""
@@ -249,10 +274,14 @@ def _batch_size_pow2(n: int) -> int:
 
 
 def _mask_kernels(params):
-    """True for 'kernel' leaves (Dense weights), False elsewhere."""
+    """True for weight leaves that the reference decays: torch's
+    named_parameters().endswith('weight') matches Linear weights AND
+    BatchNorm scales (neural.py:170-175) — flax names them 'kernel' and
+    'scale'; biases are undecayed."""
     def walk(tree):
         if isinstance(tree, dict):
-            return {k: (walk(v) if isinstance(v, dict) else k == "kernel") for k, v in tree.items()}
+            return {k: (walk(v) if isinstance(v, dict) else k in ("kernel", "scale"))
+                    for k, v in tree.items()}
         return False
 
     return walk(params)

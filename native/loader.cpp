@@ -131,11 +131,18 @@ void parse_svmlight_chunk(const char* p, const char* end, int64_t n_features,
       while (p < end && (*p == ' ' || *p == '\t')) ++p;
       if (p >= end || *p == '\n' || *p == '#') break;
       int64_t idx = 0;
-      while (p < end && *p >= '0' && *p <= '9') idx = idx * 10 + (*p++ - '0');
-      if (p < end && *p == ':') {
+      bool has_digits = false;
+      while (p < end && *p >= '0' && *p <= '9') {
+        idx = idx * 10 + (*p++ - '0');
+        has_digits = true;
+      }
+      if (has_digits && p < end && *p == ':') {
         ++p;
         float v = parse_float(p, end);
         if (idx >= 1 && idx <= n_features) row[idx] = v;
+      } else {
+        // unrecognized token (e.g. "qid:3"): must advance or we spin forever
+        while (p < end && *p != ' ' && *p != '\t' && *p != '\n') ++p;
       }
     }
     while (p < end && *p != '\n') ++p;

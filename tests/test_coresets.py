@@ -308,3 +308,21 @@ class TestRefine:
         np.testing.assert_array_equal(i0, i1)  # support unchanged
         assert (w1 >= 0).all()
         assert kl_after <= kl_before * 1.05, (kl_before, kl_after)
+
+
+def test_uniform_sampling_keeps_warm_start(rng):
+    """Constructor warm-start points must survive builds (reference
+    sampling.py seeds its counts from them), including EXTERNAL points with
+    sentinel indices (neural-linear driver pattern)."""
+    X = jnp.asarray(rng.normal(size=(50, 3)))
+    wpts = rng.normal(size=(4, 3)) + 10.0
+    alg = bc.UniformSamplingCoreset(X, seed=0, wts=np.ones(4),
+                                    idcs=10_000_000 + np.arange(4), pts=wpts)
+    alg.build(5, 9)
+    w, p, i = alg.get()
+    assert alg.size() >= 5
+    kept = set(np.asarray(i).tolist())
+    assert {10_000_000 + k for k in range(4)} <= kept
+    for k in range(4):
+        row = p[np.asarray(i) == 10_000_000 + k][0]
+        np.testing.assert_allclose(row, wpts[k], rtol=1e-6)

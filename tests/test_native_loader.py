@@ -60,3 +60,32 @@ def test_multithreaded_equals_single(tmp_path, built, rng):
     b = nl.load_csv(path, n_threads=8)
     np.testing.assert_allclose(a, b)
     assert a.shape == data.shape
+
+
+def test_svmlight_qid_and_bad_index(tmp_path):
+    from betacores_tpu.data.native_loader import _svmlight_numpy, load_svmlight
+
+    f = tmp_path / "q.svm"
+    f.write_text("1 qid:3 1:2.5 4:1.0\n-1 2:0.5\n")
+    # native path (recompiled): qid token skipped, no hang
+    X, y = load_svmlight(str(f), n_features=4)
+    np.testing.assert_allclose(X[0], [2.5, 0, 0, 1.0])
+    np.testing.assert_allclose(y, [1.0, -1.0])
+    # numpy fallback: same semantics
+    Xn, yn = _svmlight_numpy(str(f), n_features=4)
+    np.testing.assert_allclose(Xn, X)
+    # 0-based index is an error, not silent corruption of the last column
+    f2 = tmp_path / "z.svm"
+    f2.write_text("1 0:3.5 4:1.0\n")
+    with pytest.raises(ValueError):
+        _svmlight_numpy(str(f2), n_features=4)
+
+
+def test_csv_single_row_fallback_is_2d(tmp_path, monkeypatch):
+    import betacores_tpu.data.native_loader as nl
+
+    f = tmp_path / "one.csv"
+    f.write_text("1.0,2.0,3.0\n")
+    monkeypatch.setattr(nl, "_get_lib", lambda: None)
+    X = nl.load_csv(str(f))
+    assert X.shape == (1, 3)
