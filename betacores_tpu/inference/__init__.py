@@ -1,5 +1,6 @@
 from . import hmc
-from .hmc import (HMCConfig, hmc_sample, hmc_sample_weighted_logreg, run_chains,
+from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
+                  hmc_sample_weighted_logreg, run_chains,
                   weighted_logreg_logprob)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
@@ -15,6 +16,7 @@ __all__ = [
     "hmc",
     "HMCConfig",
     "hmc_sample",
+    "hmc_sample_full_logreg",
     "hmc_sample_weighted_logreg",
     "run_chains",
     "weighted_logreg_logprob",

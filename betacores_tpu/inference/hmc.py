@@ -203,6 +203,20 @@ def weighted_logreg_logprob(Z, w):
     return lambda th: logreg.log_joint(Z, th, w)
 
 
+def hmc_sample_full_logreg(key, Z, theta0, config: HMCConfig = HMCConfig(),
+                           n_subsample: int = 5000):
+    """Full-data logreg posterior via HMC on a uniform data subsample with
+    unit weights (reference mcmc_noXt.py:19-46: Stan NUTS on 5k random rows
+    as a tractable stand-in for the full posterior). Returns
+    (samples, stats); pass n_subsample >= len(Z) to skip subsampling."""
+    k_sub, k_hmc = jax.random.split(key)
+    n = min(n_subsample, Z.shape[0])
+    idcs = jax.random.randint(k_sub, (n,), 0, Z.shape[0])
+    Zs = Z[idcs]
+    return hmc_sample_weighted_logreg(k_hmc, Zs, jnp.ones(n, dtype=Zs.dtype),
+                                      theta0, config)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def hmc_sample_weighted_logreg(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
     """Jitted weighted-logreg HMC with the coreset (Z, w) as ARGUMENTS:

@@ -121,3 +121,19 @@ def test_hmc_exact_invariance_correlated_gaussian():
     assert float(stats["accept_stat"]) > 0.6
     np.testing.assert_allclose(s.mean(0), np.zeros(2), atol=0.05)
     np.testing.assert_allclose(np.cov(s.T), np.asarray(Sig), rtol=0.06)
+
+
+def test_full_data_hmc_subsample(rng):
+    """mcmc_noXt parity: full-data posterior via a 5k-row subsample."""
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import hmc_sample_full_logreg
+
+    _, _, Z = gen_synthetic_logreg(jax.random.key(0), 800, d=3)
+    cfg = hmc.HMCConfig(n_samples=200, n_warmup=200, L_max=8)
+    s1, _ = hmc_sample_full_logreg(jax.random.key(1), Z, jnp.zeros(3), cfg,
+                                   n_subsample=300)
+    assert s1.shape == (200, 3) and np.isfinite(np.asarray(s1)).all()
+    # subsampled posterior mean should be near the Laplace mode on full data
+    sampler = logreg_laplace_sampler(n_newton=20)
+    _, mu = sampler(jax.random.key(2), 1, jnp.ones(Z.shape[0]), Z, jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(s1).mean(0) - np.asarray(mu)) < 0.6
