@@ -93,3 +93,25 @@ def test_sharded_trace_matches_build(problem):
     np.testing.assert_allclose(np.asarray(W[-1]), np.asarray(st_build.wts), rtol=1e-12)
     np.testing.assert_array_equal(np.asarray(I[-1]), np.asarray(st_build.idcs))
     assert W.shape[0] == 6
+
+
+def test_distributed_argmax_tie_breaks_to_lower_shard(problem):
+    """SURVEY hard part 5: exact ties in the gathered per-shard best scores
+    must resolve to the lower shard index (matching the single-device
+    first-argmax rule)."""
+    scores = jnp.asarray([2.0, 7.0, 7.0, 1.0])  # shards 1 and 2 tie
+    assert int(jnp.argmax(scores)) == 1  # the rule the sharded code relies on
+    # end-to-end: duplicated dataset across shards -> every shard proposes
+    # the same point; the selected global index must come from shard 0
+    X, model, sampler, aux = problem
+    row = np.asarray(X[:1])
+    Xdup = jnp.asarray(np.tile(row, (64, 1)))   # all rows identical
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(Xdup, mesh)
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=16,
+                            n_subsample_opt=8, opt_itrs=2, i0=0.5)
+    b = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    st = b(jax.random.key(0), init_state(8, Xdup.shape[1], dtype=ds.dtype), 1)
+    f = int(np.asarray(st.idcs)[0])
+    rows_per_shard = Xdup.shape[0] // 4
+    assert 0 <= f < rows_per_shard, f  # winner came from shard 0
