@@ -1,9 +1,11 @@
+from .hilbert import ShardedHilbertCoreset
 from .mesh import DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh, shard_data
 from .sharded import make_sharded_incremental_builder
 
 __all__ = [
     "DATA_AXIS",
     "SAMP_AXIS",
+    "ShardedHilbertCoreset",
     "auto_mesh_shape",
     "make_mesh",
     "shard_data",

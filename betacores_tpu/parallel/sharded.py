@@ -56,6 +56,10 @@ def make_sharded_incremental_builder(
     be set: full-data mode on a shard is just the single-device builder)."""
     if config.n_subsample_select is None or config.n_subsample_opt is None:
         raise ValueError("sharded builder requires n_subsample_select/opt")
+    if config.learn_beta and not config.use_beta:
+        raise ValueError("learn_beta requires use_beta=True")
+    if config.learn_beta and getattr(model, "beta_gradient", None) is None:
+        raise ValueError("learn_beta requires a model with beta_gradient")
 
     if DATA_AXIS not in mesh.shape or SAMP_AXIS not in mesh.shape:
         raise ValueError(
@@ -74,21 +78,22 @@ def make_sharded_incremental_builder(
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=dtype)
 
-    def _proj(pts, samples_loc, beta):
-        """Local (n, S_loc) projection, centered over the FULL S axis via
-        psum('samp')."""
-        if config.use_beta:
-            lls = model.beta_likelihood(pts, samples_loc, beta)
-        else:
-            lls = model.log_likelihood(pts, samples_loc)
+    def _center_S(lls):
+        """Center an (n, S_loc) block over the FULL S axis via psum('samp')."""
         mean = jax.lax.psum(lls.sum(axis=1), SAMP_AXIS) / S
         return lls - mean[:, None]
+
+    def _proj(pts, samples_loc, beta):
+        if config.use_beta:
+            return _center_S(model.beta_likelihood(pts, samples_loc, beta))
+        return _center_S(model.log_likelihood(pts, samples_loc))
 
     def _dot_S(a, b):
         """Inner product over the sharded S axis."""
         return jax.lax.psum(a @ b, SAMP_AXIS)
 
-    def _tangent(key, w, st, beta, n_loc, aux, data_local, ax_d, ax_s, local_valid):
+    def _tangent(key, w, st, beta, n_loc, aux, data_local, ax_d, ax_s, local_valid,
+                 with_beta_grad: bool = False):
         k_samp, k_sub = jax.random.split(key)
         # replicated sampler: same key on every device -> identical samples
         samples, aux = sampler(k_samp, S, w, st.pts, aux)
@@ -102,8 +107,14 @@ def make_sharded_incremental_builder(
         # unbiased stratified Sigma-over-N: per-shard rescale, then psum
         shard_scale = local_valid.astype(dtype) / n_loc
         total = jax.lax.psum(shard_scale * vecs.sum(axis=0), DATA_AXIS)  # (S_loc,)
-        corevecs = _proj(st.pts, samples_loc, beta) * st.slot_mask[:, None].astype(dtype)
-        return vecs, corevecs, total, sub, aux
+        mask = st.slot_mask[:, None].astype(dtype)
+        corevecs = _proj(st.pts, samples_loc, beta) * mask
+        betagrads = None
+        if with_beta_grad:
+            # d/d(beta) of the coreset projections for learn-beta, centered
+            # over the full S axis like the scalar projection
+            betagrads = _center_S(model.beta_gradient(st.pts, samples_loc, beta)) * mask
+        return vecs, corevecs, total, sub, aux, betagrads
 
     def _step(data_local, key, st: CoresetState) -> CoresetState:
         ax_d = jax.lax.axis_index(DATA_AXIS)
@@ -113,7 +124,7 @@ def make_sharded_incremental_builder(
         k_sel, k_opt = jax.random.split(key)
 
         # ---- select (distributed argmax) ----
-        vecs, corevecs, total, sub, aux = _tangent(
+        vecs, corevecs, total, sub, aux, _ = _tangent(
             k_sel, st.wts, st, st.beta, n_sel_loc, st.sampler_aux,
             data_local, ax_d, ax_s, local_valid,
         )
@@ -154,15 +165,40 @@ def make_sharded_incremental_builder(
         # ---- optimize (replicated Adam over the M-dim weights; shared
         # projected-Adam from utils/opt, same update as the single-device
         # and group builders) ----
-        def grad_fn(w, aux, k):
-            vecs_o, corevecs_o, total_o, _, aux = _tangent(
-                k, w, st, st.beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid
+        if not config.learn_beta:
+
+            def grad_fn(w, aux, k):
+                vecs_o, corevecs_o, total_o, _, aux, _ = _tangent(
+                    k, w, st, st.beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid
+                )
+                resid = total_o - w @ corevecs_o
+                return -_dot_S(corevecs_o, resid) / S, aux
+
+            w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, k_opt, step_sizes)
+            return st._replace(wts=w_new, sampler_aux=aux)
+
+        # learn_beta: joint (w, beta) refinement, replicated like the weight
+        # Adam (same update as coresets/incremental.py's learn_beta branch:
+        # reference bcores.py:127-140 with the working autodiff beta-gradient;
+        # beta floored off the beta-likelihood's 1/beta pole). The extra
+        # collective is one psum('samp') for the betagrads inner product.
+        beta_floor = jnp.asarray(1e-3, dtype=dtype)
+
+        def grad_fn_b(x, aux, k):
+            w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
+            vecs_o, corevecs_o, total_o, _, aux, betagrads = _tangent(
+                k, w, st, beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid,
+                with_beta_grad=True,
             )
             resid = total_o - w @ corevecs_o
-            return -_dot_S(corevecs_o, resid) / S, aux
+            wgrad = -_dot_S(corevecs_o, resid) / S
+            betagrad = -config.beta_grad_scale * jnp.sum(w * _dot_S(betagrads, resid)) / S
+            return jnp.concatenate([wgrad, betagrad[None]]), aux
 
-        w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, k_opt, step_sizes)
-        return st._replace(wts=w_new, sampler_aux=aux)
+        x0 = jnp.concatenate([st.wts, st.beta[None]])
+        xf, aux = nn_adam(x0, grad_fn_b, st.sampler_aux, k_opt, step_sizes)
+        return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor),
+                           sampler_aux=aux)
 
     def _build_local(data_local, key, itrs, st):
         # itrs is traced (fori_loop -> while_loop): one compiled program for

@@ -95,6 +95,97 @@ def test_sharded_trace_matches_build(problem):
     assert W.shape[0] == 6
 
 
+def test_sharded_hilbert_matches_single_device_exactly(problem):
+    """Distributed GIGA over a row-sharded projection must reproduce the
+    single-device GIGA solve exactly (same floats in f64): local scoring is
+    row-identical, the gathered argmax ties break toward the lower shard,
+    and the geodesic reweight is replicated scalar math."""
+    from betacores_tpu.ops.projection import project_ll
+    from betacores_tpu.parallel import ShardedHilbertCoreset
+    from betacores_tpu.snnls import GIGA
+
+    X, model, sampler, aux = problem
+    X = jnp.asarray(X[:611])  # deliberately non-divisible by the data axis
+    samples, _ = sampler(jax.random.key(7), 32, jnp.zeros(1),
+                         jnp.zeros((1, X.shape[1])), None)
+    vecs = project_ll(model, X, samples)
+    g = GIGA(vecs.T, vecs.sum(axis=0))
+    g.build(30)
+
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(X, mesh)
+    sh = ShardedHilbertCoreset(ds, n_true, model, samples, mesh)
+    sh.build(30)
+
+    np.testing.assert_allclose(sh.weights(), g.weights(), atol=1e-10)
+    assert abs(sh.error() - g.error()) < 1e-6
+    w, p, idcs = sh.get()
+    assert (w > 0).all() and (idcs < n_true).all()
+    np.testing.assert_allclose(p, np.asarray(X)[idcs], rtol=1e-12)
+
+
+def test_sharded_hilbert_trace_matches_build(problem):
+    from betacores_tpu.ops.projection import project_beta
+    from betacores_tpu.parallel import ShardedHilbertCoreset
+    from betacores_tpu.snnls import GIGA
+
+    X, model, sampler, aux = problem
+    X = jnp.asarray(X[:256])
+    samples, _ = sampler(jax.random.key(9), 16, jnp.zeros(1),
+                         jnp.zeros((1, X.shape[1])), None)
+    mesh = make_mesh(8, 1)
+    ds, n_true = shard_data(X, mesh)
+    # beta-projection tangent space (reference BetaBlackBoxProjector route)
+    sh = ShardedHilbertCoreset(ds, n_true, model, samples, mesh, beta=0.3)
+    ws = sh.build_trace(10)
+    assert ws.shape == (10, ds.shape[0])
+    np.testing.assert_allclose(np.asarray(ws[-1])[:n_true], sh.weights(), atol=1e-12)
+    # weights after the trace equal a fresh one-shot build of the same length
+    sh2 = ShardedHilbertCoreset(ds, n_true, model, samples, mesh, beta=0.3)
+    sh2.build(10)
+    np.testing.assert_allclose(sh.weights(), sh2.weights(), atol=1e-12)
+    # and the beta tangent space matches the single-device GIGA on it
+    vecs = project_beta(model, X, samples, jnp.asarray(0.3, dtype=X.dtype))
+    g = GIGA(vecs.T, vecs.sum(axis=0))
+    g.build(10)
+    np.testing.assert_allclose(sh.weights(), g.weights(), atol=1e-10)
+
+
+def test_sharded_learn_beta(problem):
+    """Sharded learn-beta: beta moves by gradient and respects the positive
+    floor; with beta_grad_scale=0 the weight trajectory is exactly the
+    fixed-beta one (per-coordinate Adam => the extra beta coordinate cannot
+    perturb the weight coordinates)."""
+    X, model, sampler, aux = problem
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    kw = dict(projection_dim=16, n_subsample_select=64, n_subsample_opt=32,
+              opt_itrs=20, i0=1.0, use_beta=True)
+    b = make_sharded_incremental_builder(
+        ds, n_true, model, sampler,
+        IncrementalConfig(learn_beta=True, beta_grad_scale=1e-2, **kw), mesh)
+    st = b(jax.random.key(0), init_state(16, X.shape[1], beta=0.5, dtype=ds.dtype), 6)
+    assert int(st.m) >= 3
+    assert float(st.beta) >= 1e-3
+    assert float(st.beta) != 0.5  # it actually moved
+
+    b0 = make_sharded_incremental_builder(
+        ds, n_true, model, sampler,
+        IncrementalConfig(learn_beta=True, beta_grad_scale=0.0, **kw), mesh)
+    bF = make_sharded_incremental_builder(
+        ds, n_true, model, sampler, IncrementalConfig(**kw), mesh)
+    st0 = b0(jax.random.key(1), init_state(16, X.shape[1], beta=0.5, dtype=ds.dtype), 4)
+    stF = bF(jax.random.key(1), init_state(16, X.shape[1], beta=0.5, dtype=ds.dtype), 4)
+    assert float(st0.beta) == 0.5
+    np.testing.assert_allclose(np.asarray(st0.wts), np.asarray(stF.wts), atol=1e-12)
+
+    with pytest.raises(ValueError, match="use_beta"):
+        make_sharded_incremental_builder(
+            ds, n_true, model, sampler,
+            IncrementalConfig(projection_dim=16, n_subsample_select=8,
+                              n_subsample_opt=8, learn_beta=True), mesh)
+
+
 def test_distributed_argmax_tie_breaks_to_lower_shard(problem):
     """SURVEY hard part 5: exact ties in the gathered per-shard best scores
     must resolve to the lower shard index (matching the single-device
