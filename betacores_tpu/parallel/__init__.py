@@ -1,3 +1,4 @@
+from .bpsvi_batch import make_sharded_bpsvi_batch
 from .hilbert import ShardedHilbertCoreset
 from .mesh import DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh, shard_data
 from .sharded import make_sharded_incremental_builder
@@ -9,5 +10,6 @@ __all__ = [
     "auto_mesh_shape",
     "make_mesh",
     "shard_data",
+    "make_sharded_bpsvi_batch",
     "make_sharded_incremental_builder",
 ]

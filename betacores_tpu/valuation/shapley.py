@@ -66,13 +66,52 @@ def logreg_laplace_value_fn(Z: jnp.ndarray, Xt: jnp.ndarray, Yt: jnp.ndarray,
     return value
 
 
+def _make_perm_runner(one_perm: Callable, mesh) -> Callable:
+    """jitted ``run(key, T) -> (phis, occs)`` accumulated over T Monte-Carlo
+    permutations. Single-device: ``lax.map`` (sequential, memory-bounded —
+    the compiled analogue of the reference's worker loop). With a ``mesh``:
+    the permutation axis is the reference's Pool(100) axis
+    (group_selection.py:158-160, tmcshapley.py:89-93) — shard the T lanes
+    over ALL mesh devices and vmap; each device runs its permutations'
+    Laplace fits locally, zero collectives until the final sum."""
+    if mesh is None:
+
+        @partial(jax.jit, static_argnums=1)
+        def run(key, T: int):
+            phis, occs = jax.lax.map(one_perm, jax.random.split(key, T))
+            return phis.sum(axis=0), occs.sum(axis=0)
+
+        return run
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS, SAMP_AXIS
+
+    n_dev = mesh.shape[DATA_AXIS] * mesh.shape[SAMP_AXIS]
+    lane_sharding = NamedSharding(mesh, P((DATA_AXIS, SAMP_AXIS)))
+
+    @partial(jax.jit, static_argnums=1)
+    def _vmapped(keys, T: int):
+        phis, occs = jax.vmap(one_perm)(keys)
+        # padding lanes (index >= T) are dropped from the accumulation
+        live = (jnp.arange(keys.shape[0]) < T).astype(phis.dtype)
+        return (phis * live[:, None]).sum(axis=0), (occs * live[:, None]).sum(axis=0)
+
+    def run(key, T: int):
+        pad = (-T) % n_dev
+        keys = jax.device_put(jax.random.split(key, T + pad), lane_sharding)
+        return _vmapped(keys, T)
+
+    return run
+
+
 def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
                   max_groups: int, group_cap: Optional[int] = None,
-                  prior_value: float = 0.5) -> Callable:
+                  prior_value: float = 0.5, mesh=None) -> Callable:
     """Returns jitted ``dshapley(key, T) -> phis (G,)``.
 
     ``prior_value`` is the value of the empty prefix (accuracy 0.5 under the
-    prior, reference group_selection.py:148)."""
+    prior, reference group_selection.py:148). ``mesh`` shards the T
+    Monte-Carlo permutations over all devices (see _make_perm_runner)."""
     G = groups.n_groups
     N = gid.shape[0]
     mg = min(max_groups, G)
@@ -97,11 +136,10 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
         occs = jnp.zeros(G, dtype=jnp.float32).at[gsel].add(1.0)
         return phis, occs
 
-    @partial(jax.jit, static_argnums=1)
+    run = _make_perm_runner(one_perm, mesh)
+
     def dshapley(key, T: int):
-        keys = jax.random.split(key, T)
-        phis, occs = jax.lax.map(one_perm, keys)
-        phis, occs = phis.sum(axis=0), occs.sum(axis=0)
+        phis, occs = run(key, T)
         return jnp.where(occs > 0, phis / occs, 0.0)
 
     return dshapley
@@ -110,7 +148,7 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
 def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
                      full_value: float, tol: float = 0.01,
                      group_cap: Optional[int] = None,
-                     prior_value: float = 0.5) -> Callable:
+                     prior_value: float = 0.5, mesh=None) -> Callable:
     """Truncated Monte-Carlo Shapley (reference tmcshapley.py:79-106):
     scan the FULL permutation but zero marginals once the prefix value is
     within ``tol`` of the full-data value (truncation), matching the
@@ -146,10 +184,10 @@ def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
         occs = jnp.zeros(G, dtype=jnp.float32).at[gsel].add(1.0)
         return phis, occs
 
-    @partial(jax.jit, static_argnums=1)
+    run = _make_perm_runner(one_perm, mesh)
+
     def tmc(key, T: int):
-        keys = jax.random.split(key, T)
-        phis, occs = jax.lax.map(one_perm, keys)
-        return jnp.where(occs.sum(0) > 0, phis.sum(0) / occs.sum(0), 0.0)
+        phis, occs = run(key, T)
+        return jnp.where(occs > 0, phis / occs, 0.0)
 
     return tmc

@@ -186,6 +186,30 @@ def test_sharded_learn_beta(problem):
                               n_subsample_opt=8, learn_beta=True), mesh)
 
 
+def test_sharded_bpsvi_batch_matches_single_device(problem):
+    """Lane-sharding the vmapped BPSVI batch (the reference's Pool(100) axis)
+    must not change any lane's result: exact equality, including when the
+    lane count needs dummy padding to reach a device multiple."""
+    from betacores_tpu.coresets import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
+    from betacores_tpu.parallel import make_sharded_bpsvi_batch
+
+    X, model, sampler, aux = problem
+    X = jnp.asarray(X[:120])
+    cfg = BPSVIConfig(projection_dim=8, n_subsample_opt=32, opt_itrs=15, i0=0.3)
+    aux0 = jnp.zeros(X.shape[1])
+    key = jax.random.key(7)
+    sizes = list(range(1, 11))  # 10 lanes -> padded to 16 on 8 devices
+
+    builder = make_bpsvi_builder(X, model, sampler, cfg)
+    w1, p1, i1 = bpsvi_build_batch(builder, key, sizes, 10, aux0)
+    batch = make_sharded_bpsvi_batch(X, model, sampler, cfg, make_mesh(4, 2))
+    w2, p2, i2 = batch(key, sizes, 10, aux0)
+
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_distributed_argmax_tie_breaks_to_lower_shard(problem):
     """SURVEY hard part 5: exact ties in the gathered per-shard best scores
     must resolve to the lower shard index (matching the single-device

@@ -66,3 +66,25 @@ def test_tmc_shapley_runs_and_ranks(problem):
     phis = np.asarray(tmc(jax.random.key(1), 30))
     assert phis.shape == (6,)
     assert phis[[0, 1, 2, 3]].mean() > phis[[4, 5]].mean(), phis
+
+
+def test_sharded_permutations_match_single_device(problem):
+    """Sharding the Monte-Carlo permutation axis over the mesh (the
+    reference's Pool(100)) must reproduce the lax.map estimate exactly for
+    device-multiple T, and stay finite/ranked with padded T."""
+    from betacores_tpu.parallel import make_mesh
+
+    Z, X, y, Xt, yt, groups = problem
+    gp = Groups.from_lists(groups)
+    gid = group_ids_from_groups(gp, Z.shape[0])
+    value_fn = logreg_laplace_value_fn(Z, Xt, yt, n_samples=128)
+    mesh = make_mesh(4, 2)
+    d1 = make_dshapley(gid, gp, value_fn, max_groups=6)
+    d2 = make_dshapley(gid, gp, value_fn, max_groups=6, mesh=mesh)
+    phis1 = np.asarray(d1(jax.random.key(3), 16))
+    phis2 = np.asarray(d2(jax.random.key(3), 16))
+    np.testing.assert_allclose(phis1, phis2, rtol=1e-6, atol=1e-7)
+    # non-device-multiple T: padded lanes must not contaminate the estimate
+    phis3 = np.asarray(d2(jax.random.key(3), 10))
+    assert np.isfinite(phis3).all()
+    assert set(np.argsort(phis3)[:2].tolist()) == {4, 5}, phis3
