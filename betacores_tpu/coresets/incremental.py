@@ -58,6 +58,13 @@ class IncrementalConfig:
     learn_beta: bool = False
     beta_grad_scale: float = 1e-5      # reference bcores.py:134 damping
 
+    def __post_init__(self):
+        if self.learn_beta and not self.use_beta:
+            # otherwise the data projects under the plain log-likelihood
+            # while corevecs/betagrads use the beta-likelihood — silently
+            # inconsistent tangent spaces
+            raise ValueError("learn_beta requires use_beta=True")
+
 
 class IncrementalBuilder:
     """Compiled entry points: ``build(key, state, itrs[, ctx])`` runs itrs x
@@ -99,6 +106,9 @@ def make_incremental_builder(
     pytree passed to ``build`` (e.g. neural-linear encoder params)."""
     N = data.shape[0]
     S = config.projection_dim
+    if (config.learn_beta and not contextual
+            and getattr(model, "beta_gradient", None) is None):
+        raise ValueError("learn_beta requires a model with beta_gradient")
     n_sel = None if config.n_subsample_select is None else min(N, config.n_subsample_select)
     n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
     if step_sizes is None:

@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..coresets.bpsvi import BPSVIConfig, make_bpsvi_builder
-from .mesh import DATA_AXIS, SAMP_AXIS
+from .mesh import DATA_AXIS, SAMP_AXIS, require_axes
 
 
 def make_sharded_bpsvi_batch(data: jnp.ndarray, model, sampler: Callable,
@@ -33,7 +33,8 @@ def make_sharded_bpsvi_batch(data: jnp.ndarray, model, sampler: Callable,
     the lane (size) axis sharded over every device of ``mesh`` and the
     dataset replicated. Lane counts are padded up to a device multiple with
     dummy size-1 lanes, dropped before returning."""
-    n_dev = int(np.prod([mesh.shape[a] for a in (DATA_AXIS, SAMP_AXIS)]))
+    n_data, n_samp = require_axes(mesh)
+    n_dev = n_data * n_samp
     data = jax.device_put(jnp.asarray(data), NamedSharding(mesh, P(None, None)))
     builder = make_bpsvi_builder(data, model, sampler, config)
     lane_sharding = NamedSharding(mesh, P((DATA_AXIS, SAMP_AXIS)))

@@ -38,8 +38,9 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.projection import project_beta, project_ll
 from ..snnls import base as snnls_base
+from ..snnls.giga import geodesic_reweight
 from ..utils import errors
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, require_axes
 
 
 def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, w_loc):
@@ -48,7 +49,6 @@ def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, w_loc):
     ``vecs_loc`` is this shard's (N_loc, S) row block with padding rows
     zeroed; ``selectable`` masks rows that may win the argmax (valid and
     nonzero-norm). Returns (w_loc_new, ok) with replicated ``ok``."""
-    dtype = vecs_loc.dtype
     safe_norms = jnp.where(norms_loc > 0, norms_loc, jnp.inf)
 
     # --- select ---
@@ -73,25 +73,10 @@ def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, w_loc):
     win = jnp.argmax(sc_g)                                   # ties -> lower shard
     xf, wf_old = xf_g[win], wf_g[win]
 
-    # --- reweight (replicated scalars) ---
-    nf = jnp.linalg.norm(xf)
-    nf_safe = jnp.where(nf == 0.0, 1.0, nf)
-    xfn = xf / nf_safe
-    bn_f = bn @ xfn
-    bn_w = bn @ xwn
-    f_w = xwn @ xfn
-    gA = bn_f - bn_w * f_w
-    gB = bn_w - bn_f * f_w
-    ok_geo = jnp.logical_and(gA > 0.0, gB >= 0.0)
-    gsum = jnp.where(gA + gB == 0.0, 1.0, gA + gB)
-    a = gB / gsum / nw
-    bcoef = gA / gsum / nf_safe
-    x = a * xw + bcoef * xf
-    nx = jnp.where(jnp.linalg.norm(x) == 0.0, 1.0, jnp.linalg.norm(x))
-    scale = bnorm / nx * ((x / nx) @ bn)
-
+    # --- reweight (replicated scalars; the SAME closed form as the
+    # single-device solver — the exact-equality contract) ---
+    a, scale, new_wf, ok_geo = geodesic_reweight(xw, nw, xwn, xf, wf_old, bn, bnorm)
     w_new = a * scale * w_loc
-    new_wf = jnp.maximum(jnp.asarray(0.0, dtype), wf_old * a * scale + bcoef * scale)
     is_owner = jax.lax.axis_index(DATA_AXIS) == win
     w_new = jnp.where(is_owner, w_new.at[best].set(new_wf), w_new)
     ok = jnp.logical_and(jnp.logical_and(ok_select, ok_geo), jnp.isfinite(sc_g[win]))
@@ -118,77 +103,94 @@ class ShardedHilbertCoreset:
         dtype = data_sharded.dtype
         self._beta = None if beta is None else jnp.asarray(beta, dtype=dtype)
         self.reached_numeric_limit = False
-        n_data = mesh.shape[DATA_AXIS]
+        n_data, _ = require_axes(mesh)
         if data_sharded.shape[0] % n_data:
             raise ValueError("data rows must divide the data axis — use shard_data()")
         rows_loc = data_sharded.shape[0] // n_data
+        n_true_ = self.n_true
+        use_beta = self._beta is not None
 
-        def _project_local(data_loc, samples, beta, ax_d):
-            # padding rows are zero POINTS, not zero projections — mask them
-            valid = (ax_d * rows_loc + jnp.arange(rows_loc)) < self.n_true
-            if self._beta is None:
-                vecs = project_ll(model, data_loc, samples)
-            else:
-                vecs = project_beta(model, data_loc, samples, beta)
-            vecs = vecs * valid[:, None].astype(dtype)
-            norms = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
-            # zero-norm rows are inert, matching the reference's row drop
-            # (hilbert.py:16): never selected, zero contribution to b
-            selectable = jnp.logical_and(valid, norms > 0)
-            b = jax.lax.psum(vecs.sum(axis=0), DATA_AXIS)
-            return vecs, norms, selectable, b
+        # ---- project ONCE (like the single-device HilbertCoreset,
+        # coresets/api.py:408): the (N, S) tangent matrix, row norms,
+        # selectability mask and target b are fixed for the object's
+        # lifetime; build/trace/error take them as jit OPERANDS (a
+        # closed-over matrix would embed into the HLO — see
+        # coresets/incremental.py _bind) ----
+        @jax.jit
+        def _project_d(data, samples, beta):
+            def local(data_loc, samples, beta):
+                ax_d = jax.lax.axis_index(DATA_AXIS)
+                # padding rows are zero POINTS, not zero projections — mask
+                valid = (ax_d * rows_loc + jnp.arange(rows_loc)) < n_true_
+                if use_beta:
+                    vecs = project_beta(model, data_loc, samples, beta)
+                else:
+                    vecs = project_ll(model, data_loc, samples)
+                vecs = vecs * valid[:, None].astype(data_loc.dtype)
+                norms = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
+                # zero-norm rows are inert, matching the reference's row
+                # drop (hilbert.py:16): never selected, zero share of b
+                selectable = jnp.logical_and(valid, norms > 0)
+                b = jax.lax.psum(vecs.sum(axis=0), DATA_AXIS)
+                return vecs, norms, selectable, b
 
-        def _bind(data_loc, samples, beta, w_loc):
-            ax_d = jax.lax.axis_index(DATA_AXIS)
-            vecs, norms, selectable, b = _project_local(data_loc, samples, beta, ax_d)
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(), P()),
+                out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P()),
+                check_vma=False,
+            )(data, samples, beta)
+
+        def _bind(vecs, norms, selectable, b):
             bnorm = jnp.linalg.norm(b)
             bn = b / jnp.where(bnorm == 0.0, 1.0, bnorm)
             step_fn = partial(_giga_step_local, vecs, norms, selectable, bn, bnorm)
             error_fn = lambda w: jnp.linalg.norm(jax.lax.psum(w @ vecs, DATA_AXIS) - b)
-            return step_fn, error_fn, b
+            return step_fn, error_fn
 
         st_spec = snnls_base.BuildState(w=P(DATA_AXIS), retried=P(), latched=P())
+        pre_specs = (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P())
 
         @jax.jit
-        def _build_d(data, samples, beta, w, itrs):
-            def local(data_loc, samples, beta, w_loc, itrs):
-                step_fn, error_fn, _ = _bind(data_loc, samples, beta, w_loc)
+        def _build_d(vecs, norms, selectable, b, w, itrs):
+            def local(vecs, norms, selectable, b, w_loc, itrs):
+                step_fn, error_fn = _bind(vecs, norms, selectable, b)
                 return snnls_base.build(step_fn, error_fn, w_loc, itrs)
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(), P(), P(DATA_AXIS), P()),
+                in_specs=pre_specs + (P(DATA_AXIS), P()),
                 out_specs=st_spec, check_vma=False,
-            )(data, samples, beta, w, itrs)
+            )(vecs, norms, selectable, b, w, itrs)
 
-        @partial(jax.jit, static_argnums=4)
-        def _trace_d(data, samples, beta, w, itrs: int):
-            def local(data_loc, samples, beta, w_loc):
-                step_fn, error_fn, _ = _bind(data_loc, samples, beta, w_loc)
+        @partial(jax.jit, static_argnums=5)
+        def _trace_d(vecs, norms, selectable, b, w, itrs: int):
+            def local(vecs, norms, selectable, b, w_loc):
+                step_fn, error_fn = _bind(vecs, norms, selectable, b)
                 return snnls_base.build_trace(step_fn, error_fn, w_loc, itrs)
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(), P(), P(DATA_AXIS)),
+                in_specs=pre_specs + (P(DATA_AXIS),),
                 out_specs=(P(None, DATA_AXIS), st_spec), check_vma=False,
-            )(data, samples, beta, w)
+            )(vecs, norms, selectable, b, w)
 
         @jax.jit
-        def _error_d(data, samples, beta, w):
-            def local(data_loc, samples, beta, w_loc):
-                _, error_fn, _ = _bind(data_loc, samples, beta, w_loc)
+        def _error_d(vecs, norms, selectable, b, w):
+            def local(vecs, norms, selectable, b, w_loc):
+                _, error_fn = _bind(vecs, norms, selectable, b)
                 return error_fn(w_loc)
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(), P(), P(DATA_AXIS)),
+                in_specs=pre_specs + (P(DATA_AXIS),),
                 out_specs=P(), check_vma=False,
-            )(data, samples, beta, w)
+            )(vecs, norms, selectable, b, w)
 
         self._build_d, self._trace_d, self._error_d = _build_d, _trace_d, _error_d
-        self._samples = jnp.asarray(samples, dtype=dtype)
-        self._beta_arg = (jnp.asarray(0.0, dtype=dtype) if self._beta is None
-                          else self._beta)
+        samples = jnp.asarray(samples, dtype=dtype)
+        beta_arg = self._beta if use_beta else jnp.asarray(0.0, dtype=dtype)
+        self._pre = _project_d(data_sharded, samples, beta_arg)
         self._w0 = jax.device_put(
             jnp.zeros(data_sharded.shape[0], dtype=dtype),
             jax.sharding.NamedSharding(mesh, P(DATA_AXIS)))
@@ -197,21 +199,22 @@ class ShardedHilbertCoreset:
     def build(self, itrs: int) -> None:
         if self.reached_numeric_limit:
             return
-        st = self._build_d(self.data, self._samples, self._beta_arg, self.w,
-                           jnp.asarray(int(itrs), dtype=jnp.int32))
+        st = self._build_d(*self._pre, self.w, jnp.asarray(int(itrs), dtype=jnp.int32))
         self.w = st.w
-        self.reached_numeric_limit = bool(st.latched)
+        if bool(st.latched):
+            self.reached_numeric_limit = True
 
     def build_trace(self, itrs: int):
         """(itrs, N_padded) per-iteration weights, row m-1 == weights after m
         total iterations; stays sharded over the data axis on device."""
-        ws, st = self._trace_d(self.data, self._samples, self._beta_arg, self.w, int(itrs))
+        ws, st = self._trace_d(*self._pre, self.w, int(itrs))
         self.w = st.w
-        self.reached_numeric_limit = bool(st.latched)
+        if bool(st.latched):  # sticky, like SparseNNLS (snnls/base.py:209-211)
+            self.reached_numeric_limit = True
         return ws
 
     def error(self) -> float:
-        return float(self._error_d(self.data, self._samples, self._beta_arg, self.w))
+        return float(self._error_d(*self._pre, self.w))
 
     def size(self) -> int:
         return int((self.w > 0).sum())
@@ -225,8 +228,11 @@ class ShardedHilbertCoreset:
         self.reached_numeric_limit = False
 
     def get(self):
-        """(wts, pts, idcs) of the selected rows, reference Coreset.get()."""
+        """(wts, pts, idcs) of the selected rows, reference Coreset.get().
+        Selected rows are gathered ON DEVICE — materializing the sharded
+        dataset on the host to pick ~M rows would transfer GBs through the
+        tunnel at the scales this class exists for."""
         w = self.weights()
         idcs = np.where(w > 0)[0]
-        pts = np.asarray(self.data)[idcs]
+        pts = np.asarray(self.data[jnp.asarray(idcs)])
         return w[idcs], pts, idcs

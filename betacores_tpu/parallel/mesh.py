@@ -24,6 +24,17 @@ DATA_AXIS = "data"
 SAMP_AXIS = "samp"
 
 
+def require_axes(mesh: Mesh) -> Tuple[int, int]:
+    """Validate the framework's mesh contract and return
+    (data-axis size, samp-axis size) with a descriptive error (a bare
+    KeyError from mesh.shape would not say how to build a valid mesh)."""
+    if DATA_AXIS not in mesh.shape or SAMP_AXIS not in mesh.shape:
+        raise ValueError(
+            f"mesh must have axes ('{DATA_AXIS}', '{SAMP_AXIS}') — use "
+            f"parallel.make_mesh(n_data, n_samp) (n_samp=1 is fine); got {dict(mesh.shape)}")
+    return mesh.shape[DATA_AXIS], mesh.shape[SAMP_AXIS]
+
+
 def make_mesh(n_data: int, n_samp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())[: n_data * n_samp]
     if len(devices) != n_data * n_samp:

@@ -37,7 +37,7 @@ from jax.sharding import PartitionSpec as P
 from ..coresets.incremental import IncrementalConfig
 from ..coresets.state import CoresetState
 from ..utils.opt import nn_adam, step_schedule
-from .mesh import DATA_AXIS, SAMP_AXIS
+from .mesh import DATA_AXIS, SAMP_AXIS, require_axes
 
 
 def make_sharded_incremental_builder(
@@ -56,17 +56,10 @@ def make_sharded_incremental_builder(
     be set: full-data mode on a shard is just the single-device builder)."""
     if config.n_subsample_select is None or config.n_subsample_opt is None:
         raise ValueError("sharded builder requires n_subsample_select/opt")
-    if config.learn_beta and not config.use_beta:
-        raise ValueError("learn_beta requires use_beta=True")
     if config.learn_beta and getattr(model, "beta_gradient", None) is None:
         raise ValueError("learn_beta requires a model with beta_gradient")
 
-    if DATA_AXIS not in mesh.shape or SAMP_AXIS not in mesh.shape:
-        raise ValueError(
-            f"mesh must have axes ('{DATA_AXIS}', '{SAMP_AXIS}') — use "
-            f"parallel.make_mesh(n_data, n_samp) (n_samp=1 is fine); got {dict(mesh.shape)}")
-    n_data = mesh.shape[DATA_AXIS]
-    n_samp = mesh.shape[SAMP_AXIS]
+    n_data, n_samp = require_axes(mesh)
     S = config.projection_dim
     if S % n_samp:
         raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")

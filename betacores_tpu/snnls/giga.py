@@ -35,6 +35,33 @@ def giga_precompute(A: jnp.ndarray, b: jnp.ndarray) -> GigaPre:
     return GigaPre(A=A, An=A / norms[None, :], bn=b / bnorm, bnorm=bnorm)
 
 
+def geodesic_reweight(xw, nw, xwn, xf, wf_old, bn, bnorm):
+    """Closed-form geodesic step scalars (reference giga.py:40-64), shared
+    by the single-device step and the distributed step in
+    parallel/hilbert.py (whose exact-equality contract depends on both
+    using THIS math). Returns (a, scale, new_wf, ok_geo): the global weight
+    rescale is ``a * scale * w`` and the selected column's new weight is
+    ``new_wf``. Zero-norm guards make degenerate inputs yield finite values
+    with ok_geo=False (the reference raises NumericalPrecisionError)."""
+    nf_raw = jnp.linalg.norm(xf)
+    nf = jnp.where(nf_raw == 0.0, 1.0, nf_raw)
+    xfn = xf / nf
+    bn_f = bn @ xfn
+    bn_w = bn @ xwn
+    f_w = xwn @ xfn
+    gA = bn_f - bn_w * f_w
+    gB = bn_w - bn_f * f_w
+    ok_geo = jnp.logical_and(gA > 0.0, gB >= 0.0)
+    gsum = jnp.where(gA + gB == 0.0, 1.0, gA + gB)
+    a = gB / gsum / nw
+    bcoef = gA / gsum / nf
+    x = a * xw + bcoef * xf
+    nx = jnp.where(jnp.linalg.norm(x) == 0.0, 1.0, jnp.linalg.norm(x))
+    scale = bnorm / nx * ((x / nx) @ bn)
+    new_wf = jnp.maximum(0.0, wf_old * a * scale + bcoef * scale)
+    return a, scale, new_wf, ok_geo
+
+
 def giga_step(pre: GigaPre, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One select+reweight step (reference giga.py:20-64). Returns
     (w_new, ok); any degenerate-geometry condition the reference signals via
@@ -57,23 +84,9 @@ def giga_step(pre: GigaPre, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     f = jnp.argmax(num / denom)
 
     # --- reweight (giga.py:40-64) ---
-    xf = A[:, f]
-    nf = jnp.linalg.norm(xf)
-    xfn = xf / nf
-    bn_f = bn @ xfn
-    bn_w = bn @ xwn
-    f_w = xwn @ xfn
-    gA = bn_f - bn_w * f_w
-    gB = bn_w - bn_f * f_w
-    ok_geo = jnp.logical_and(gA > 0.0, gB >= 0.0)
-    gsum = jnp.where(gA + gB == 0.0, 1.0, gA + gB)
-    a = gB / gsum / nw
-    bcoef = gA / gsum / nf
-    x = a * xw + bcoef * xf
-    nx = jnp.where(jnp.linalg.norm(x) == 0.0, 1.0, jnp.linalg.norm(x))
-    scale = bnorm / nx * ((x / nx) @ bn)
+    a, scale, new_wf, ok_geo = geodesic_reweight(xw, nw, xwn, A[:, f], w[f], bn, bnorm)
     w_new = a * scale * w
-    w_new = w_new.at[f].set(jnp.maximum(0.0, w[f] * a * scale + bcoef * scale))
+    w_new = w_new.at[f].set(new_wf)
     ok = jnp.logical_and(ok_select, ok_geo)
     return w_new, ok
 

@@ -84,9 +84,10 @@ def _make_perm_runner(one_perm: Callable, mesh) -> Callable:
         return run
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import DATA_AXIS, SAMP_AXIS
+    from ..parallel.mesh import DATA_AXIS, SAMP_AXIS, require_axes
 
-    n_dev = mesh.shape[DATA_AXIS] * mesh.shape[SAMP_AXIS]
+    n_data, n_samp = require_axes(mesh)
+    n_dev = n_data * n_samp
     lane_sharding = NamedSharding(mesh, P((DATA_AXIS, SAMP_AXIS)))
 
     @partial(jax.jit, static_argnums=1)
