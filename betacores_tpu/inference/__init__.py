@@ -1,6 +1,7 @@
 from . import hmc
+from .diagnostics import effective_sample_size, split_rhat, summarize_chains
 from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
-                  hmc_sample_weighted_logreg, run_chains,
+                  hmc_sample_weighted_logreg, run_chains, run_chains_sharded,
                   weighted_logreg_logprob)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
@@ -19,7 +20,11 @@ __all__ = [
     "hmc_sample_full_logreg",
     "hmc_sample_weighted_logreg",
     "run_chains",
+    "run_chains_sharded",
     "weighted_logreg_logprob",
+    "effective_sample_size",
+    "split_rhat",
+    "summarize_chains",
     "LaplaceApprox",
     "newton_laplace",
     "newton_laplace_diag",

@@ -195,6 +195,39 @@ def run_chains(key, logprob, theta0, n_chains: int = 1, config: HMCConfig = HMCC
     return jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
 
 
+def run_chains_sharded(key, logprob, theta0, n_chains: int, mesh,
+                       config: HMCConfig = HMCConfig()):
+    """``run_chains`` with the chain axis sharded over all mesh devices
+    (lane parallelism, like the BPSVI size axis): each device runs its
+    chains' full warmup+sampling locally, zero collectives. True chains use
+    ``run_chains``'s exact key/init streams; padding lanes (to reach a
+    device multiple) are dropped. Feed the result to
+    ``inference.diagnostics.summarize_chains`` for split-R-hat / ESS."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS, SAMP_AXIS, require_axes
+
+    n_data, n_samp = require_axes(mesh)
+    n_dev = n_data * n_samp
+    pad = (-n_chains) % n_dev
+    lane = NamedSharding(mesh, P((DATA_AXIS, SAMP_AXIS)))
+    keys = jax.random.split(key, n_chains)
+    inits = theta0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 99),
+                                             (n_chains,) + theta0.shape, dtype=theta0.dtype)
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(pad))])
+        inits = jnp.concatenate([inits, jnp.broadcast_to(theta0, (pad,) + theta0.shape)])
+    keys = jax.device_put(keys, lane)
+    inits = jax.device_put(inits, lane)
+
+    @partial(jax.jit, static_argnums=2)
+    def _run(keys, inits, n_true):
+        samples, stats = jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+        return samples[:n_true], jax.tree.map(lambda s: s[:n_true], stats)
+
+    return _run(keys, inits, n_chains)
+
+
 def weighted_logreg_logprob(Z, w):
     """The weighted Bayesian-logreg evaluation target (the reference's
     weighted Stan program, zellner_logreg/main.py:24-43)."""

@@ -137,3 +137,67 @@ def test_full_data_hmc_subsample(rng):
     sampler = logreg_laplace_sampler(n_newton=20)
     _, mu = sampler(jax.random.key(2), 1, jnp.ones(Z.shape[0]), Z, jnp.zeros(3))
     assert np.linalg.norm(np.asarray(s1).mean(0) - np.asarray(mu)) < 0.6
+
+
+class TestDiagnostics:
+    def test_iid_chains_rhat_one_ess_full(self, rng):
+        from betacores_tpu.inference import effective_sample_size, split_rhat
+
+        s = jnp.asarray(rng.normal(size=(4, 2000, 3)))
+        r = np.asarray(split_rhat(s))
+        np.testing.assert_allclose(r, 1.0, atol=0.01)
+        ess = np.asarray(effective_sample_size(s))
+        assert (ess > 0.8 * 8000).all(), ess
+
+    def test_shifted_chain_flags_rhat(self, rng):
+        from betacores_tpu.inference import split_rhat
+
+        s = rng.normal(size=(4, 2000, 2))
+        s[0] += 3.0
+        assert (np.asarray(split_rhat(jnp.asarray(s))) > 1.3).all()
+
+    def test_ar1_ess_matches_theory(self, rng):
+        from betacores_tpu.inference import effective_sample_size
+
+        C, n, d, rho = 4, 2000, 2, 0.9
+        x = np.zeros((C, n, d))
+        eps = rng.normal(size=(C, n, d)) * np.sqrt(1 - rho**2)
+        for t in range(1, n):
+            x[:, t] = rho * x[:, t - 1] + eps[:, t]
+        ess = np.asarray(effective_sample_size(jnp.asarray(x)))
+        theory = C * n * (1 - rho) / (1 + rho)
+        assert (ess > 0.4 * theory).all() and (ess < 2.5 * theory).all(), (ess, theory)
+
+    def test_sharded_chains_match_and_converge(self, rng):
+        """run_chains_sharded uses run_chains's key/init streams: the warmup
+        adaptation and the first draws coincide. Exact long-run equality is
+        NOT the contract — the lane-partitioned program rounds a few ulp
+        differently and HMC dynamics amplify that chaotically — so the rest
+        is statistical equivalence, plus the chains passing their own
+        diagnostics on a Gaussian target."""
+        from betacores_tpu.inference import run_chains_sharded, summarize_chains
+        from betacores_tpu.parallel import make_mesh
+
+        def logprob(th):
+            return -0.5 * jnp.sum(th * th)
+
+        cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+        mesh = make_mesh(4, 2)
+        s1, st1 = hmc.run_chains(jax.random.key(1), logprob, jnp.zeros(2), 8, cfg)
+        s2, st2 = run_chains_sharded(jax.random.key(1), logprob, jnp.zeros(2), 8, mesh, cfg)
+        # adapted step sizes land in the same ballpark (trajectory-level
+        # equality is impossible: ulp-level partitioning differences are
+        # amplified chaotically over hundreds of leapfrog steps)
+        np.testing.assert_allclose(np.asarray(st1["step_size"]),
+                                   np.asarray(st2["step_size"]), rtol=0.3)
+        np.testing.assert_allclose(np.asarray(s1).mean((0, 1)),
+                                   np.asarray(s2).mean((0, 1)), atol=0.1)
+        np.testing.assert_allclose(np.asarray(s1).std((0, 1)),
+                                   np.asarray(s2).std((0, 1)), atol=0.1)
+
+        summ = summarize_chains(s2)
+        assert (np.asarray(summ["rhat"]) < 1.05).all()
+        assert (np.asarray(summ["ess"]) > 200).all()
+        # padded lane count: 5 chains on 8 devices
+        s3, stats3 = run_chains_sharded(jax.random.key(2), logprob, jnp.zeros(2), 5, mesh, cfg)
+        assert s3.shape[0] == 5
