@@ -260,3 +260,20 @@ def hmc_sample_weighted_logreg(key, Z, w, theta0, config: HMCConfig = HMCConfig(
     from ..models import logreg
 
     return hmc_sample(key, lambda th: logreg.log_joint(Z, th, w), theta0, config)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def run_chains_weighted_logreg(key, Z, w, theta0, n_chains: int = 2,
+                               config: HMCConfig = HMCConfig()):
+    """Multi-chain ``hmc_sample_weighted_logreg``: chains vmapped, coreset
+    (Z, w) as arguments so one compiled program serves every same-shape
+    coreset. Returns ((C, n, d) samples, per-chain stats); feed the stack to
+    ``diagnostics.summarize_chains``. (The reference evaluates with a single
+    unchecked PyStan chain, examples/common/mcmc.py:32 ``chains=1``.)"""
+    from ..models import logreg
+
+    logprob = lambda th: logreg.log_joint(Z, th, w)
+    keys = jax.random.split(key, n_chains)
+    inits = theta0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 99),
+                                             (n_chains,) + theta0.shape, dtype=theta0.dtype)
+    return jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)

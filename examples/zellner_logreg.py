@@ -70,6 +70,10 @@ def main():
                     help="evaluate accuracy/pll every k-th coreset size")
     ap.add_argument("--mcmc-samples", type=int, default=1000)
     ap.add_argument("--mcmc-warmup", type=int, default=1000)
+    ap.add_argument("--mcmc-chains", type=int, default=2,
+                    help="HMC chains per evaluated size; >=2 enables "
+                         "split-R-hat/ESS convergence checks (the reference "
+                         "samples a single unchecked Stan chain)")
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -133,8 +137,10 @@ def main():
     print(f"build: {build_time:.1f}s")
 
     # evaluation: HMC on the weighted coreset posterior per size
+    from betacores_tpu.inference import summarize_chains
+
     eval_ms = list(range(0, args.M + 1, args.eval_every))
-    accs, plls, mcmc_times = {}, {}, {}
+    accs, plls, mcmc_times, diags = {}, {}, {}, {}
     cfg = HMCConfig(n_samples=args.mcmc_samples, n_warmup=args.mcmc_warmup, L_max=32)
     # zero-weight pad every coreset to one static shape: zero-weight rows
     # are inert in the weighted log-density, and per-size shapes would
@@ -146,15 +152,21 @@ def main():
         wm = jnp.asarray(np.pad(wm_c, (0, eval_cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, eval_cap - len(wm_c)), (0, 0))))
         t1 = time.perf_counter()
-        samples, stats = hmc.hmc_sample_weighted_logreg(
+        chains, stats = hmc.run_chains_weighted_logreg(
             jax.random.key(args.trial * 100 + m), pm, wm,
-            jnp.zeros(D, dtype=jnp.float32), cfg)
-        samples = jax.block_until_ready(samples)
+            jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, cfg)
+        chains = jax.block_until_ready(chains)
         mcmc_times[m] = time.perf_counter() - t1
+        summ = summarize_chains(chains)
+        diags[m] = {k: np.asarray(v) for k, v in summ.items()}
+        samples = chains.reshape(-1, D)
         accs[m] = float(compute_accuracy(Xt, Yt, samples))
         plls[m] = float(predictive_loglik(Zt, samples))
+        rhat, ess = float(diags[m]["rhat"].max()), float(diags[m]["ess"].min())
+        flag = "" if rhat < 1.05 else "  ** R-hat > 1.05: chains have not mixed"
         print(f"m={m:4d} acc={accs[m]:.4f} pll={plls[m]:.4f} "
-              f"accept={float(stats['accept_stat']):.2f} ({mcmc_times[m]:.1f}s)")
+              f"accept={float(np.mean(stats['accept_stat'])):.2f} "
+              f"rhat={rhat:.3f} ess={ess:.0f} ({mcmc_times[m]:.1f}s){flag}")
 
     os.makedirs(args.results_dir, exist_ok=True)
     # config-encoding filename (reference pattern, main.py:235): include
@@ -163,7 +175,8 @@ def main():
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,
-                     "build_time_s": build_time, "mcmc_times": mcmc_times}, fh)
+                     "build_time_s": build_time, "mcmc_times": mcmc_times,
+                     "mcmc_diagnostics": diags}, fh)
     print(f"saved -> {out}")
 
 

@@ -139,6 +139,33 @@ def test_full_data_hmc_subsample(rng):
     assert np.linalg.norm(np.asarray(s1).mean(0) - np.asarray(mu)) < 0.6
 
 
+def test_run_chains_weighted_logreg_diagnosed():
+    """Multi-chain eval runner: chains agree with the Laplace mode, pass
+    their own convergence diagnostics, and zero-weight padding is inert."""
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import (run_chains_weighted_logreg,
+                                         summarize_chains)
+
+    _, _, Z = gen_synthetic_logreg(jax.random.key(0), 400, d=3)
+    w = jnp.ones(Z.shape[0])
+    cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+    s, stats = run_chains_weighted_logreg(jax.random.key(1), Z, w,
+                                          jnp.zeros(3), 2, cfg)
+    assert s.shape == (2, 400, 3)
+    summ = summarize_chains(s)
+    assert (np.asarray(summ["rhat"]) < 1.1).all()
+    sampler = logreg_laplace_sampler(n_newton=20)
+    _, mu = sampler(jax.random.key(2), 1, w, Z, jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(s).reshape(-1, 3).mean(0) - np.asarray(mu)) < 0.3
+    # padded coreset (zero-weight rows) samples the same posterior
+    Zp = jnp.concatenate([Z, jnp.ones((5, 3))])
+    wp = jnp.concatenate([w, jnp.zeros(5)])
+    s2, _ = run_chains_weighted_logreg(jax.random.key(1), Zp, wp,
+                                       jnp.zeros(3), 2, cfg)
+    np.testing.assert_allclose(np.asarray(s2).reshape(-1, 3).mean(0),
+                               np.asarray(s).reshape(-1, 3).mean(0), atol=0.05)
+
+
 class TestDiagnostics:
     def test_iid_chains_rhat_one_ess_full(self, rng):
         from betacores_tpu.inference import effective_sample_size, split_rhat
