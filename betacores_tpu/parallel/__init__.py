@@ -1,4 +1,5 @@
 from .bpsvi_batch import make_sharded_bpsvi_batch
+from .groups import make_sharded_group_builder, shard_group_ids
 from .hilbert import ShardedHilbertCoreset
 from .mesh import DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh, shard_data
 from .sharded import make_sharded_incremental_builder
@@ -11,5 +12,7 @@ __all__ = [
     "make_mesh",
     "shard_data",
     "make_sharded_bpsvi_batch",
+    "make_sharded_group_builder",
     "make_sharded_incremental_builder",
+    "shard_group_ids",
 ]

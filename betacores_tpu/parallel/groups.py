@@ -1,0 +1,236 @@
+"""Sharded multi-chip GROUP-mode coreset builds.
+
+Multi-chip version of ``coresets/groups.py`` (reference bcores.py:91-123 /
+sparsevi.py:97-126 group branches — demographic-group data valuation and
+batch acquisition). The dataset's N axis is sharded over the mesh's ``data``
+axis and the posterior-sample S axis over ``samp``; the group axis G is
+small and REPLICATED. Per build iteration:
+
+  * every device projects its own N/P rows and ``segment_sum``s them by
+    group id locally; one psum('data') of the (G, S_loc) partial sums yields
+    the replicated group tangent vectors — the single heavy step, and it is
+    embarrassingly row-parallel;
+  * candidate drawing, scoring, and the group argmax run REPLICATED (G is
+    tiny) — unlike point mode there is no distributed argmax;
+  * the winning group's member points are gathered from their owning shards
+    with one psum('data') of an (L_max, d) block (each member row lives on
+    exactly one shard);
+  * weight refinement is the replicated projected Adam, with the
+    Sigma-over-N term either a stratified per-shard subsample (n_subsample_opt
+    set, like the sharded point builder) or the full psum'd group sums.
+
+Same-key single-device equivalence: with ``n_subsample_select=None`` and
+``n_subsample_opt=None`` the sharded program computes the same quantities as
+``make_group_incremental_builder`` up to float summation order (tested);
+with subsampling the candidate stream is identical (replicated draw) but the
+optimize subsample is stratified per shard, so equivalence is statistical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..coresets.groups import GroupCoresetState
+from ..coresets.incremental import IncrementalConfig
+from ..coresets.state import CoresetState
+from ..ops.projection import Groups
+from ..utils.opt import nn_adam, step_schedule
+from .mesh import DATA_AXIS, SAMP_AXIS, require_axes
+
+
+def shard_group_ids(gid: jnp.ndarray, mesh, n_groups: int):
+    """Place an (N,) per-point group-id vector sharded over the data axis,
+    padded (like ``shard_data``) with id ``n_groups`` — the dropped segment,
+    so padding rows join no group."""
+    n_data = mesh.shape[DATA_AXIS]
+    pad = (-gid.shape[0]) % n_data
+    if pad:
+        gid = jnp.concatenate([gid, jnp.full((pad,), n_groups, dtype=jnp.int32)])
+    return jax.device_put(gid, NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def make_sharded_group_builder(
+    data_sharded: jnp.ndarray,
+    gid_sharded: jnp.ndarray,
+    n_true: int,
+    groups: Groups,
+    model,
+    sampler: Callable,
+    config: IncrementalConfig,
+    mesh,
+    step_sizes: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Returns jitted ``build(key, gstate, itrs) -> gstate`` with
+    ``data_sharded``/``gid_sharded`` row-sharded over the data axis
+    (``shard_data`` / ``shard_group_ids``; ``n_true`` unpadded rows) and the
+    (core, selected, initialized) group state replicated."""
+    n_data, n_samp = require_axes(mesh)
+    S = config.projection_dim
+    if S % n_samp:
+        raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")
+    S_loc = S // n_samp
+    G = groups.n_groups
+    L_max = groups.max_size
+    n_sel = config.n_subsample_select  # group CANDIDATES, with replacement
+    n_opt = config.n_subsample_opt
+    n_opt_loc = None if n_opt is None else max(1, n_opt // n_data)
+    dtype = data_sharded.dtype
+    group_sizes = groups.sizes
+    if step_sizes is None:
+        step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
+    step_sizes = jnp.asarray(step_sizes, dtype=dtype)
+
+    def _center_S(lls):
+        mean = jax.lax.psum(lls.sum(axis=1), SAMP_AXIS) / S
+        return lls - mean[:, None]
+
+    def _proj(pts, samples_loc, beta):
+        if config.use_beta:
+            return _center_S(model.beta_likelihood(pts, samples_loc, beta))
+        return _center_S(model.log_likelihood(pts, samples_loc))
+
+    def _dot_S(a, b):
+        return jax.lax.psum(a @ b, SAMP_AXIS)
+
+    def _group_vecs(data_local, gid_local, samples_loc, beta):
+        """Replicated (G, S_loc) group tangent vectors: local projection +
+        local segment_sum, one psum('data'). Padding rows carry id G."""
+        vecs = _proj(data_local, samples_loc, beta)            # (rows_loc, S_loc)
+        part = jax.ops.segment_sum(vecs, gid_local, num_segments=G + 1)[:G]
+        return jax.lax.psum(part, DATA_AXIS)
+
+    def _gather_members(data_local, members, ax_d):
+        """(L_max, d) points of a padded member-index block, each row owned
+        by exactly one shard -> psum('data') assembles the replicated block."""
+        rows_loc = data_local.shape[0]
+        rel = members - ax_d * rows_loc
+        owner = jnp.logical_and(members >= 0,
+                                jnp.logical_and(rel >= 0, rel < rows_loc))
+        local = jnp.where(owner[:, None],
+                          data_local[jnp.clip(rel, 0, rows_loc - 1)], 0.0)
+        return jax.lax.psum(local, DATA_AXIS)
+
+    def _step(data_local, gid_local, members, key, gst: GroupCoresetState) -> GroupCoresetState:
+        ax_d = jax.lax.axis_index(DATA_AXIS)
+        ax_s = jax.lax.axis_index(SAMP_AXIS)
+        rows_loc = data_local.shape[0]
+        local_valid = jnp.clip(n_true - ax_d * rows_loc, 0, rows_loc)
+        k_sel, k_opt = jax.random.split(key)
+        st = gst.core
+
+        # ---- select (replicated group argmax) ----
+        k_samp, k_sub = jax.random.split(k_sel)
+        samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
+        samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
+        gvecs_all = _group_vecs(data_local, gid_local, samples_loc, st.beta)
+        if n_sel is None:
+            gvecs = gvecs_all
+            cand_gidx = jnp.arange(G, dtype=jnp.int32)
+            scaling = jnp.asarray(1.0, dtype=dtype)
+        else:
+            # replicated draw (same key on every device), reference
+            # bcores.py:91-98: candidates with replacement, not clamped to G
+            cand_gidx = jax.random.randint(k_sub, (n_sel,), 0, G).astype(jnp.int32)
+            gvecs = gvecs_all[cand_gidx]
+            scaling = jnp.asarray(G / n_sel, dtype=dtype)
+        mask = st.slot_mask[:, None].astype(dtype)
+        corevecs = _proj(st.pts, samples_loc, st.beta) * mask
+        resid = scaling * gvecs.sum(axis=0) - st.wts @ corevecs   # (S_loc,)
+
+        vn = jnp.sqrt(jax.lax.psum(jnp.sum(gvecs * gvecs, axis=1), SAMP_AXIS))
+        vn = jnp.where(vn > 0, vn, jnp.inf)
+        corrs = _dot_S(gvecs, resid) / vn / S
+        cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
+        cn = jnp.where(cn > 0, cn, jnp.inf)
+        slot_ids = jnp.arange(st.wts.shape[0])
+        compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
+        corecorrs = jnp.where(compare_mask,
+                              jnp.abs(_dot_S(corevecs, resid)) / cn / S, -jnp.inf)
+
+        # capacity-aware masking (see coresets/groups.py: a rejected
+        # too-large winner would stall every later iteration)
+        M_max = st.wts.shape[0]
+        fits = group_sizes[cand_gidx] + st.m <= M_max
+        corrs = jnp.where(fits, corrs, -jnp.inf)
+        best = jnp.argmax(corrs)
+        f = cand_gidx[best]
+        take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
+        fresh = jnp.logical_not(gst.selected[f])
+        size_f = group_sizes[f]
+        room = st.m + size_f <= M_max
+        add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+
+        mem_f = members[f]                                   # (L_max,) padded -1
+        pts_f = _gather_members(data_local, mem_f, ax_d)     # (L_max, d)
+        j = jnp.arange(L_max)
+        pos = st.m + j
+        valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
+        pos_safe = jnp.where(valid, pos, M_max)              # out-of-range -> dropped
+        idcs_new = st.idcs.at[pos_safe].set(mem_f, mode="drop")
+        pts_new = st.pts.at[pos_safe].set(pts_f, mode="drop")
+        wts_new = st.wts.at[pos_safe].set(jnp.zeros(L_max, dtype=dtype), mode="drop")
+        m_new = jnp.where(add, st.m + size_f, st.m)
+        st = st._replace(wts=wts_new, idcs=idcs_new, pts=pts_new, m=m_new,
+                         sampler_aux=aux)
+        gst = GroupCoresetState(
+            core=st,
+            selected=gst.selected.at[f].set(jnp.logical_or(gst.selected[f], add)),
+            initialized=gst.initialized)
+
+        # ---- optimize (replicated Adam over point-level weights) ----
+        def grad_fn(w, aux, k):
+            k_samp, k_sub = jax.random.split(k)
+            samples, aux = sampler(k_samp, S, w, st.pts, aux)
+            samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
+            if n_opt_loc is None:
+                vec_total = _group_vecs(data_local, gid_local, samples_loc,
+                                        st.beta).sum(axis=0)
+            else:
+                # stratified per-shard POINT subsample (reference subsamples
+                # individual points in optimize, bcores.py:51) with the
+                # unbiased per-shard rescale of the sharded point builder
+                sub = jax.random.randint(jax.random.fold_in(k_sub, ax_d),
+                                         (n_opt_loc,), 0, jnp.maximum(local_valid, 1))
+                vecs_o = _proj(data_local[sub], samples_loc, st.beta)
+                vecs_o = vecs_o * (local_valid > 0).astype(dtype)
+                shard_scale = local_valid.astype(dtype) / n_opt_loc
+                vec_total = jax.lax.psum(shard_scale * vecs_o.sum(axis=0), DATA_AXIS)
+            corevecs = _proj(st.pts, samples_loc, st.beta) \
+                * st.slot_mask[:, None].astype(dtype)
+            resid = vec_total - w @ corevecs
+            return -_dot_S(corevecs, resid) / S, aux
+
+        w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, k_opt, step_sizes)
+        return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
+
+    def _build_local(data_local, gid_local, members, key, itrs, gst):
+        def body(i, gst):
+            return _step(data_local, gid_local, members,
+                         jax.random.fold_in(key, i), gst)
+
+        return jax.lax.fori_loop(0, itrs, body, gst)
+
+    core_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
+    gstate_spec = GroupCoresetState(core=core_spec, selected=P(), initialized=P())
+
+    @jax.jit
+    def _build_d(data, gid, members, key, gst: GroupCoresetState, itrs):
+        # data/gid/members are jit ARGUMENTS (a closed-over dataset embeds
+        # into the HLO, coresets/incremental.py _bind); itrs is traced so one
+        # program serves every build size
+        return jax.shard_map(
+            _build_local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), P(), gstate_spec),
+            out_specs=gstate_spec,
+            check_vma=False,
+        )(data, gid, members, key, itrs, gst)
+
+    return lambda key, gst, itrs: _build_d(
+        data_sharded, gid_sharded, groups.members, key, gst,
+        jnp.asarray(itrs, dtype=jnp.int32))

@@ -230,3 +230,81 @@ def test_distributed_argmax_tie_breaks_to_lower_shard(problem):
     f = int(np.asarray(st.idcs)[0])
     rows_per_shard = Xdup.shape[0] // 4
     assert 0 <= f < rows_per_shard, f  # winner came from shard 0
+
+
+class TestShardedGroups:
+    def _setup(self, problem):
+        from betacores_tpu.ops.projection import Groups
+
+        X, model, sampler, aux = problem
+        X = np.asarray(X[:120])
+        sizes = [5, 12, 3, 20, 10, 10, 25, 15, 8, 12]
+        groups, i = [], 0
+        for s in sizes:
+            groups.append(list(range(i, i + s)))
+            i += s
+        return X, model, sampler, aux, Groups.from_lists(groups), groups
+
+    def test_matches_single_device_same_key_full_mode(self, problem):
+        """With n_subsample_select/opt = None the sharded program computes
+        the single-device group builder's quantities with the SAME key
+        stream: selected groups identical, weights equal up to float
+        summation order."""
+        from betacores_tpu.coresets import init_state
+        from betacores_tpu.coresets.groups import (group_ids_from_groups,
+                                                   init_group_state,
+                                                   make_group_incremental_builder)
+        from betacores_tpu.parallel import (make_sharded_group_builder,
+                                            shard_group_ids)
+
+        X, model, sampler, aux, gp, groups = self._setup(problem)
+        cfg = IncrementalConfig(projection_dim=16, opt_itrs=15, i0=0.5)
+        cap = 80
+        b1 = make_group_incremental_builder(jnp.asarray(X), gp, model, sampler, cfg)
+        g1 = b1(jax.random.key(3),
+                init_group_state(init_state(cap, X.shape[1], dtype=jnp.float64),
+                                 gp.n_groups), 5)
+
+        mesh = make_mesh(4, 2)
+        ds, n_true = shard_data(jnp.asarray(X), mesh)
+        gid = shard_group_ids(group_ids_from_groups(gp, X.shape[0]), mesh, gp.n_groups)
+        b2 = make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg, mesh)
+        g2 = b2(jax.random.key(3),
+                init_group_state(init_state(cap, X.shape[1], dtype=ds.dtype),
+                                 gp.n_groups), 5)
+
+        np.testing.assert_array_equal(np.asarray(g1.selected), np.asarray(g2.selected))
+        np.testing.assert_array_equal(np.asarray(g1.core.idcs), np.asarray(g2.core.idcs))
+        assert int(g1.core.m) == int(g2.core.m) > 0
+        np.testing.assert_allclose(np.asarray(g1.core.wts), np.asarray(g2.core.wts),
+                                   rtol=1e-6, atol=1e-9)
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+    def test_subsampled_build_selects_whole_groups(self, problem, mesh_shape):
+        from betacores_tpu.coresets import init_state
+        from betacores_tpu.coresets.groups import (group_ids_from_groups,
+                                                   init_group_state)
+        from betacores_tpu.parallel import (make_sharded_group_builder,
+                                            shard_group_ids)
+
+        X, model, sampler, aux, gp, groups = self._setup(problem)
+        cfg = IncrementalConfig(projection_dim=16, n_subsample_select=12,
+                                n_subsample_opt=64, opt_itrs=15, i0=0.5)
+        mesh = make_mesh(*mesh_shape)
+        ds, n_true = shard_data(jnp.asarray(X), mesh)
+        gid = shard_group_ids(group_ids_from_groups(gp, X.shape[0]), mesh, gp.n_groups)
+        b = make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg, mesh)
+        gst = b(jax.random.key(1),
+                init_group_state(init_state(80, X.shape[1], dtype=ds.dtype),
+                                 gp.n_groups), 6)
+        st = gst.core
+        m = int(st.m)
+        assert m > 0
+        sel = np.flatnonzero(np.asarray(gst.selected))
+        assert m == sum(len(groups[g]) for g in sel)  # whole groups only
+        idcs = np.asarray(st.idcs)[:m]
+        expect = np.concatenate([groups[g] for g in sel]) if len(sel) else []
+        assert set(idcs) == set(expect)
+        # gathered points match their global rows
+        np.testing.assert_allclose(np.asarray(st.pts)[:m], X[idcs], rtol=1e-12)
+        assert (np.asarray(st.wts) >= 0).all()
