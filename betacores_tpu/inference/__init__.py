@@ -1,8 +1,10 @@
 from . import hmc
 from .diagnostics import effective_sample_size, split_rhat, summarize_chains
 from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
-                  hmc_sample_weighted_logreg, run_chains, run_chains_sharded,
-                  run_chains_weighted_logreg, weighted_logreg_logprob)
+                  hmc_sample_weighted_logreg, hmc_sample_weighted_poisson,
+                  make_weighted_hmc, run_chains, run_chains_sharded,
+                  run_chains_weighted_logreg, run_chains_weighted_poisson,
+                  weighted_logreg_logprob)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
     fixed_sampler,
@@ -19,9 +21,12 @@ __all__ = [
     "hmc_sample",
     "hmc_sample_full_logreg",
     "hmc_sample_weighted_logreg",
+    "hmc_sample_weighted_poisson",
+    "make_weighted_hmc",
     "run_chains",
     "run_chains_sharded",
     "run_chains_weighted_logreg",
+    "run_chains_weighted_poisson",
     "weighted_logreg_logprob",
     "effective_sample_size",
     "split_rhat",

@@ -110,7 +110,18 @@ def hmc_sample(
     """Single-chain adaptive HMC. Returns (samples (n_samples, d), stats)."""
     cfg = config
     dtype = theta0.dtype
-    lpg = jax.value_and_grad(logprob)
+
+    def _lp(th):
+        # TPU matmuls default to bf16 passes; the target's x @ th products
+        # (and their grads) then carry ~2^-8 relative error, which is
+        # catastrophic for leapfrog energies on sharply curved posteriors
+        # (measured: weighted-Poisson chains stuck at R-hat ~600 on a v5e
+        # while bit-identical CPU runs mix at R-hat 1.005). The targets are
+        # tiny (M x d), so full f32 precision costs nothing.
+        with jax.default_matmul_precision("highest"):
+            return logprob(th)
+
+    lpg = jax.value_and_grad(_lp)
 
     def logprob_and_grad(th):
         v, g = lpg(th)
@@ -250,30 +261,84 @@ def hmc_sample_full_logreg(key, Z, theta0, config: HMCConfig = HMCConfig(),
                                       theta0, config)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def hmc_sample_weighted_logreg(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
-    """Jitted weighted-logreg HMC with the coreset (Z, w) as ARGUMENTS:
-    one compiled program serves every same-shape coreset (zero-weight rows
-    are inert, so pad sizes to one capacity). A closure-based
-    ``hmc_sample(key, weighted_logreg_logprob(Z, w), ...)`` re-traces per
-    coreset."""
+def make_weighted_hmc(log_joint):
+    """Jitted weighted-posterior HMC entry points for any model exposing
+    ``log_joint(Z, theta, w)`` (logreg, poisson, ... — each the weighted
+    extension of the reference's Stan programs). Returns ``(sample, chains)``
+    with the coreset (Z, w) as ARGUMENTS: one compiled program serves every
+    same-shape coreset (zero-weight rows are inert, so pad sizes to one
+    capacity; a closure over (Z, w) would re-trace per coreset).
+
+    ``sample(key, Z, w, theta0, config)`` -> ((n, d) draws, stats);
+    ``chains(key, Z, w, theta0, n_chains, config)`` -> ((C, n, d), per-chain
+    stats) — feed the stack to ``diagnostics.summarize_chains``. (The
+    reference evaluates with a single unchecked PyStan chain,
+    examples/common/mcmc.py:32 ``chains=1``.)"""
+
+    @partial(jax.jit, static_argnums=(4,))
+    def sample(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
+        return hmc_sample(key, lambda th: log_joint(Z, th, w), theta0, config)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def chains(key, Z, w, theta0, n_chains: int = 2,
+               config: HMCConfig = HMCConfig()):
+        logprob = lambda th: log_joint(Z, th, w)
+        keys = jax.random.split(key, n_chains)
+        inits = theta0 + 0.1 * jax.random.normal(
+            jax.random.fold_in(key, 99), (n_chains,) + theta0.shape,
+            dtype=theta0.dtype)
+        return jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+
+    return sample, chains
+
+
+def _logreg_weighted():
     from ..models import logreg
 
-    return hmc_sample(key, lambda th: logreg.log_joint(Z, th, w), theta0, config)
+    return make_weighted_hmc(logreg.log_joint)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+def _poisson_weighted():
+    from ..models import poisson
+
+    return make_weighted_hmc(poisson.log_joint)
+
+
+def hmc_sample_weighted_logreg(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
+    """Weighted-logreg HMC (see ``make_weighted_hmc``)."""
+    global _LOGREG_HMC
+    if _LOGREG_HMC is None:
+        _LOGREG_HMC = _logreg_weighted()
+    return _LOGREG_HMC[0](key, Z, w, theta0, config)
+
+
 def run_chains_weighted_logreg(key, Z, w, theta0, n_chains: int = 2,
                                config: HMCConfig = HMCConfig()):
-    """Multi-chain ``hmc_sample_weighted_logreg``: chains vmapped, coreset
-    (Z, w) as arguments so one compiled program serves every same-shape
-    coreset. Returns ((C, n, d) samples, per-chain stats); feed the stack to
-    ``diagnostics.summarize_chains``. (The reference evaluates with a single
-    unchecked PyStan chain, examples/common/mcmc.py:32 ``chains=1``.)"""
-    from ..models import logreg
+    """Multi-chain weighted-logreg HMC (see ``make_weighted_hmc``)."""
+    global _LOGREG_HMC
+    if _LOGREG_HMC is None:
+        _LOGREG_HMC = _logreg_weighted()
+    return _LOGREG_HMC[1](key, Z, w, theta0, n_chains, config)
 
-    logprob = lambda th: logreg.log_joint(Z, th, w)
-    keys = jax.random.split(key, n_chains)
-    inits = theta0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 99),
-                                             (n_chains,) + theta0.shape, dtype=theta0.dtype)
-    return jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+
+def hmc_sample_weighted_poisson(key, Z, w, theta0, config: HMCConfig = HMCConfig()):
+    """Weighted-Poisson HMC: the weighted extension of the reference's
+    Poisson Stan program (stan_code.py:22-42), which the reference samples
+    with PyStan NUTS but ships no driver for."""
+    global _POISSON_HMC
+    if _POISSON_HMC is None:
+        _POISSON_HMC = _poisson_weighted()
+    return _POISSON_HMC[0](key, Z, w, theta0, config)
+
+
+def run_chains_weighted_poisson(key, Z, w, theta0, n_chains: int = 2,
+                                config: HMCConfig = HMCConfig()):
+    """Multi-chain weighted-Poisson HMC (see ``make_weighted_hmc``)."""
+    global _POISSON_HMC
+    if _POISSON_HMC is None:
+        _POISSON_HMC = _poisson_weighted()
+    return _POISSON_HMC[1](key, Z, w, theta0, n_chains, config)
+
+
+_LOGREG_HMC = None
+_POISSON_HMC = None

@@ -66,6 +66,14 @@ def main():
     ap.add_argument("--beta", type=float, default=0.3)
     ap.add_argument("--i0", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=5)
+    ap.add_argument("--eval", choices=["laplace", "hmc"], default="laplace",
+                    help="posterior for the predictive eval: Fisher-scoring "
+                         "Laplace (fast) or multi-chain HMC on the weighted "
+                         "Poisson posterior with R-hat/ESS checks (the "
+                         "reference's Stan-program analog)")
+    ap.add_argument("--mcmc-samples", type=int, default=1000)
+    ap.add_argument("--mcmc-warmup", type=int, default=1000)
+    ap.add_argument("--mcmc-chains", type=int, default=2)
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -132,21 +140,40 @@ def main():
         samples, _ = sampler(key, 256, wm, pm, jnp.zeros(d, dtype=jnp.float32))
         return poisson.predictive_loglik(Zt, samples)
 
-    plls = {}
+    if args.eval == "hmc":
+        from betacores_tpu.inference import (HMCConfig, run_chains_weighted_poisson,
+                                             summarize_chains)
+
+        hmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
+                            n_warmup=args.mcmc_warmup, L_max=32)
+
+    plls, diags = {}, {}
     for m in eval_ms:
         wm_c = np.atleast_1d(w[m]).astype(np.float32)
         pm_c = np.atleast_2d(p[m]).astype(np.float32)
         wm = jnp.asarray(np.pad(wm_c, (0, cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, cap - len(wm_c)), (0, 0))))
-        plls[m] = float(eval_fn(jax.random.key(args.trial * 100 + m), wm, pm))
-        print(f"m={m:4d} pll={plls[m]:.4f}")
+        key_m = jax.random.key(args.trial * 100 + m)
+        if args.eval == "hmc":
+            chains, _ = run_chains_weighted_poisson(
+                key_m, pm, wm, jnp.zeros(d, dtype=jnp.float32),
+                args.mcmc_chains, hmc_cfg)
+            summ = summarize_chains(chains)
+            diags[m] = {k: np.asarray(v) for k, v in summ.items()}
+            plls[m] = float(poisson.predictive_loglik(Zt, chains.reshape(-1, d)))
+            print(f"m={m:4d} pll={plls[m]:.4f} "
+                  f"rhat={float(diags[m]['rhat'].max()):.3f} "
+                  f"ess={float(diags[m]['ess'].min()):.0f}")
+        else:
+            plls[m] = float(eval_fn(key_m, wm, pm))
+            print(f"m={m:4d} pll={plls[m]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
     out = os.path.join(args.results_dir, f"results_poiss_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "plls": plls,
-                     "build_time_s": build_time}, fh)
+                     "build_time_s": build_time, "mcmc_diagnostics": diags}, fh)
     print(f"saved -> {out}")
 
 

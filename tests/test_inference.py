@@ -166,6 +166,27 @@ def test_run_chains_weighted_logreg_diagnosed():
                                np.asarray(s).reshape(-1, 3).mean(0), atol=0.05)
 
 
+def test_run_chains_weighted_poisson_diagnosed():
+    """Weighted-Poisson HMC (the reference's Poisson Stan program analog):
+    chains converge near the Fisher-Laplace mode and pass diagnostics."""
+    from betacores_tpu.data.synthetic import gen_synthetic_poisson
+    from betacores_tpu.inference import (poisson_laplace_sampler,
+                                         run_chains_weighted_poisson,
+                                         summarize_chains)
+
+    X, y, Z, th_true = gen_synthetic_poisson(jax.random.key(0), 500, d=3)
+    w = jnp.ones(Z.shape[0])
+    cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+    s, _ = run_chains_weighted_poisson(jax.random.key(1), Z, w,
+                                       jnp.zeros(3), 2, cfg)
+    assert s.shape == (2, 400, 3) and np.isfinite(np.asarray(s)).all()
+    summ = summarize_chains(s)
+    assert (np.asarray(summ["rhat"]) < 1.1).all()
+    sampler = poisson_laplace_sampler(n_newton=20)
+    _, mu = sampler(jax.random.key(2), 1, w, Z, jnp.zeros(3))
+    assert np.linalg.norm(np.asarray(s).reshape(-1, 3).mean(0) - np.asarray(mu)) < 0.3
+
+
 class TestDiagnostics:
     def test_iid_chains_rhat_one_ess_full(self, rng):
         from betacores_tpu.inference import effective_sample_size, split_rhat
