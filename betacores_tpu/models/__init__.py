@@ -1,4 +1,4 @@
-from . import gaussian, linreg, logreg, neural_linear, poisson
+from . import gaussian, linreg, logreg, mvn, neural_linear, poisson
 from .base import ModelFns, beta_gradient_from_autodiff
 
 __all__ = ["gaussian", "linreg", "logreg", "neural_linear", "poisson",
