@@ -225,3 +225,104 @@ class TestLAR:
         A[:, 3] = 0.0
         with pytest.raises(ValueError):
             LAR(jnp.asarray(A), jnp.ones(5))
+
+
+class TestAccIHT:
+    """Accelerated IHT (arXiv:2007.00715) — beyond-reference solver. Greedy
+    one-per-step invariants don't apply; its contract: nnz <= budget K,
+    w >= 0, error non-increasing across incremental budget growth, and at
+    equal sparsity it at least matches the greedy solvers on average."""
+
+    def test_invariants_and_monotonicity(self, rng):
+        x = gendata(rng, 50, 10, "gauss")
+        A, b = x.T, x.sum(axis=0)
+        alg = snnls.AccIHT(A, b, max_support=50)
+        prev_err = np.inf
+        for m in [1, 3, 6, 10]:
+            alg.build(m - alg.K)
+            w = alg.weights()
+            assert (w > 0).sum() <= m
+            assert (w >= 0).all()
+            err = alg.error()
+            np.testing.assert_allclose(
+                err, np.sqrt(((A @ w - b) ** 2).sum()), rtol=1e-6, atol=1e-10)
+            assert err <= prev_err * (1 + 1e-9)
+            prev_err = err
+        alg.reset()
+        assert alg.size() == 0 and alg.K == 0 and (alg.weights() == 0).all()
+
+    def test_never_worse_than_giga_and_usually_better(self, rng):
+        """The giga-init hybrid is PROVABLY never worse than GIGA at equal
+        sparsity (best-so-far includes the greedy seed), and its support
+        swaps should strictly improve on most problems (measured 8/8)."""
+        strict = 0
+        for seed in range(5):
+            r = np.random.default_rng(seed)
+            x = r.normal(size=(60, 8))
+            A, b = x.T, x.sum(axis=0)
+            K = 6
+            iht = snnls.AccIHT(A, b, max_support=60)
+            iht.build(K)
+            giga = snnls.GIGA(A, b, max_support=60)
+            giga.build(K)
+            assert iht.error() <= giga.error() * (1 + 1e-6), seed
+            strict += iht.error() < giga.error() * (1 - 1e-6)
+        assert strict >= 3, f"IHT strictly improved on only {strict}/5 problems"
+
+    def test_pure_iht_mode(self, rng):
+        """init='zero' (the paper's pure A-IHT) still satisfies the sparsity
+        and monotonicity contract."""
+        x = gendata(rng, 40, 6, "gauss")
+        A, b = x.T, x.sum(axis=0)
+        alg = snnls.AccIHT(A, b, max_support=40, init="zero")
+        prev = np.inf
+        for m in [2, 4, 8]:
+            alg.build(m - alg.K)
+            assert (alg.weights() > 0).sum() <= m
+            assert alg.error() <= prev * (1 + 1e-9)
+            prev = alg.error()
+
+    def test_full_budget_zero_error(self, rng):
+        x = gendata(rng, 8, 8, "axis")
+        A, b = x.T, x.sum(axis=0)
+        alg = snnls.AccIHT(A, b, max_support=8)
+        alg.build(8)
+        alg.optimize()
+        assert alg.error() < 1e-5 * np.linalg.norm(b)
+
+    def test_trace_matches_incremental_builds(self, rng):
+        x = gendata(rng, 30, 6, "gauss")
+        A, b = x.T, x.sum(axis=0)
+        a1 = snnls.AccIHT(A, b, max_support=30)
+        ws = np.asarray(a1.build_trace(5))
+        a2 = snnls.AccIHT(A, b, max_support=30)
+        for m in range(5):
+            a2.build(1)
+            np.testing.assert_allclose(ws[m], a2.weights(), rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(a1.weights(), a2.weights(), rtol=1e-7, atol=1e-12)
+
+    def test_projection_ties_resolve_to_lower_index(self):
+        from betacores_tpu.snnls import project_nonneg_topk
+
+        x = jnp.asarray([1.0, 2.0, 2.0, 2.0, -1.0])
+        out = np.asarray(project_nonneg_topk(x, 2))
+        np.testing.assert_array_equal(out, [0.0, 2.0, 2.0, 0.0, 0.0])
+
+    def test_hilbert_coreset_with_iht(self, rng):
+        """AccIHT plugs into HilbertCoreset via the snnls= kwarg."""
+        import betacores_tpu as bc
+        from betacores_tpu.inference import fixed_sampler
+        from betacores_tpu.models import gaussian as gmod
+
+        d = 3
+        X = jnp.asarray(rng.normal(size=(80, d)))
+        samples = jnp.asarray(rng.normal(size=(16, d)))
+        model = gmod.bundle(jnp.eye(d), 0.0)
+        prj = bc.BlackBoxProjector(fixed_sampler(samples), 16, model.log_likelihood)
+        alg = bc.HilbertCoreset(X, prj, snnls=snnls.AccIHT)
+        alg.build(1, 10)
+        w, p, i = alg.get()
+        assert 0 < len(w) <= 10 and (np.asarray(w) > 0).all()
+        giga = bc.HilbertCoreset(X, prj, snnls=snnls.GIGA)
+        giga.build(1, 10)
+        assert alg.error() <= giga.error() * (1 + 1e-6)  # hybrid guarantee
