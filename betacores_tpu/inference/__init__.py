@@ -5,6 +5,8 @@ from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
                   make_weighted_hmc, run_chains, run_chains_sharded,
                   run_chains_weighted_logreg, run_chains_weighted_poisson,
                   weighted_logreg_logprob)
+from .shf import (SHFConfig, SHFParams, gaussian_log_joint, init_shf_params,
+                  make_shf_trainer, shf_sample)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
     fixed_sampler,
@@ -31,6 +33,12 @@ __all__ = [
     "effective_sample_size",
     "split_rhat",
     "summarize_chains",
+    "SHFConfig",
+    "SHFParams",
+    "gaussian_log_joint",
+    "init_shf_params",
+    "make_shf_trainer",
+    "shf_sample",
     "LaplaceApprox",
     "newton_laplace",
     "newton_laplace_diag",
