@@ -205,3 +205,13 @@ def test_data_tabulate(tmp_path, capsys, monkeypatch):
     _run("data_tabulate.py", ["--dirs", str(tmp_path)], monkeypatch)
     out = capsys.readouterr().out
     assert "TOY" in out and "Ntest" in out
+
+
+def test_shf_logreg_driver(capsys, monkeypatch):
+    _run("shf_logreg.py",
+         ["--N", "400", "--d", "3", "--M", "8", "--blocks", "2",
+          "--leapfrog", "3", "--train-steps", "60", "--chunk", "30",
+          "--n-samples", "100"],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "SHF :" in out and "HMC :" in out and "posterior mean gap" in out
