@@ -6,7 +6,7 @@ from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
                   run_chains_weighted_logreg, run_chains_weighted_poisson,
                   weighted_logreg_logprob)
 from .shf import (SHFConfig, SHFParams, gaussian_log_joint, init_shf_params,
-                  make_shf_trainer, shf_sample)
+                  make_sharded_shf_trainer, make_shf_trainer, shf_sample)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
     fixed_sampler,
@@ -37,6 +37,7 @@ __all__ = [
     "SHFParams",
     "gaussian_log_joint",
     "init_shf_params",
+    "make_sharded_shf_trainer",
     "make_shf_trainer",
     "shf_sample",
     "LaplaceApprox",

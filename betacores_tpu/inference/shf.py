@@ -180,6 +180,77 @@ def make_shf_trainer(data: jnp.ndarray, log_joint: Callable,
     return lambda key, params, n_steps: _train_d(data, key, params, n_steps)
 
 
+def make_sharded_shf_trainer(data: jnp.ndarray, log_joint: Callable, mesh,
+                             config: SHFConfig = SHFConfig()):
+    """Mesh-sharded flow training: the ELBO's Monte-Carlo lanes are split
+    over ALL mesh devices (like the BPSVI size axis and the sharded HMC
+    chains) — each device pushes its n_mc/P flow samples and draws its own
+    minibatch; the only collective is one psum of the (tiny) parameter
+    gradient per Adam step. Params and data are replicated (flow dynamics
+    cost O(M); data appears only through B-row minibatches). ``config.n_mc``
+    must divide the device count P (use n_mc = k*P).
+
+    Same signature as ``make_shf_trainer``: returns
+    ``train(key, params, n_steps) -> (params, elbo_trace)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, SAMP_AXIS, require_axes
+
+    n_data, n_samp = require_axes(mesh)
+    n_dev = n_data * n_samp
+    if config.n_mc % n_dev:
+        raise ValueError(f"n_mc {config.n_mc} must divide over {n_dev} devices")
+    n_mc_loc = config.n_mc // n_dev
+    N = data.shape[0]
+    opt = optax.adam(config.learning_rate)
+    cfg_loc = config._replace(n_mc=n_mc_loc)
+
+    def _local_neg_elbo_sum(data, params, key):
+        """Sum (not mean) of this device's ELBO terms; the psum'd gradient
+        divided by n_mc reproduces the replicated-mean gradient."""
+        k_s, k_b = jax.random.split(key)
+        th, rho, log_q = shf_sample(k_s, params, log_joint, n_mc_loc, cfg_loc)
+        idx = jax.random.randint(k_b, (config.n_batch,), 0, N)
+        batch = data[idx]
+        wb = jnp.full((config.n_batch,), N / config.n_batch, dtype=data.dtype)
+        log_p = jax.vmap(lambda t: log_joint(batch, t, wb))(th)
+        return -jnp.sum(log_p + _std_normal_logpdf(rho) - log_q)
+
+    def _step_local(data, carry, key):
+        params, opt_state = carry
+        dev = jax.lax.axis_index(DATA_AXIS) * n_samp + jax.lax.axis_index(SAMP_AXIS)
+        k_dev = jax.random.fold_in(key, dev)
+        loss_loc, g = jax.value_and_grad(
+            lambda p: _local_neg_elbo_sum(data, p, k_dev))(params)
+        g = jax.tree.map(lambda x: jax.lax.psum(
+            jax.lax.psum(x, DATA_AXIS), SAMP_AXIS) / config.n_mc, g)
+        if not config.train_pts:
+            g = g._replace(pts=jnp.zeros_like(g.pts))
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = params._replace(w=jnp.maximum(params.w, 0.0))
+        elbo = -jax.lax.psum(jax.lax.psum(loss_loc, DATA_AXIS), SAMP_AXIS) / config.n_mc
+        return (params, opt_state), elbo
+
+    @partial(jax.jit, static_argnums=3)
+    def _train_d(data, key, params: SHFParams, n_steps: int):
+        def local(data, key, params):
+            opt_state = opt.init(params)
+            keys = jax.random.split(key, n_steps)
+            (params, _), trace = jax.lax.scan(
+                lambda c, k: _step_local(data, c, k), (params, opt_state), keys)
+            return params, trace
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), jax.tree.map(lambda _: P(), params)),
+            out_specs=(jax.tree.map(lambda _: P(), params), P()),
+            check_vma=False,
+        )(data, key, params)
+
+    return lambda key, params, n_steps: _train_d(data, key, params, n_steps)
+
+
 def gaussian_log_joint(Siginv, mu0=None, Sig0inv=None):
     """Adapter: weighted Gaussian-mean log joint (known covariance) with the
     ``log_joint(Z, theta, w)`` signature the flow (and weighted HMC) expect."""

@@ -103,3 +103,25 @@ def test_trained_flow_beats_initial_elbo_logreg(rng):
     sampler = logreg_laplace_sampler(n_newton=20)
     _, mu = sampler(jax.random.key(3), 1, jnp.ones(Z.shape[0]), Z, jnp.zeros(3))
     assert np.linalg.norm(np.asarray(th).mean(0) - np.asarray(mu)) < 0.4
+
+
+def test_sharded_trainer_matches_quality(gauss_problem):
+    """MC lanes sharded over the virtual 8-device mesh: training converges
+    to the same posterior as the single-device trainer (different lane key
+    streams -> statistical equivalence)."""
+    from betacores_tpu.inference import make_sharded_shf_trainer
+    from betacores_tpu.parallel import make_mesh
+
+    X, lj, mu_n, Sig_n = gauss_problem
+    cfg = SHFConfig(n_blocks=4, n_leapfrog=5, n_mc=8, n_batch=128,
+                    learning_rate=1e-2)
+    params = init_shf_params(jax.random.key(0), X[:20], 2, X.shape[0], cfg)
+    mesh = make_mesh(4, 2)
+    train = make_sharded_shf_trainer(X, lj, mesh, cfg)
+    params, trace = train(jax.random.key(1), params, 2000)
+    trace = np.asarray(trace)
+    assert np.nanmean(trace[-50:]) > np.nanmean(trace[:50]) + 1.0
+    th, _, _ = shf_sample(jax.random.key(2), params, lj, 4000, cfg)
+    th = np.asarray(th)
+    np.testing.assert_allclose(th.mean(0), mu_n, atol=0.05)
+    np.testing.assert_allclose(np.cov(th.T), Sig_n, atol=0.05)
