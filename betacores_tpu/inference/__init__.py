@@ -5,7 +5,7 @@ from .hmc import (HMCConfig, hmc_sample, hmc_sample_full_logreg,
                   make_weighted_hmc, run_chains, run_chains_sharded,
                   run_chains_weighted_logreg, run_chains_weighted_poisson,
                   weighted_logreg_logprob)
-from .shf import (SHFConfig, SHFParams, gaussian_log_joint, init_shf_params,
+from .shf import (SHFConfig, SHFParams, beta_log_joint, gaussian_log_joint, init_shf_params,
                   make_sharded_shf_trainer, make_shf_trainer, shf_sample)
 from .laplace import LaplaceApprox, newton_laplace, newton_laplace_diag, sample_laplace
 from .samplers import (
@@ -35,6 +35,7 @@ __all__ = [
     "summarize_chains",
     "SHFConfig",
     "SHFParams",
+    "beta_log_joint",
     "gaussian_log_joint",
     "init_shf_params",
     "make_sharded_shf_trainer",

@@ -251,6 +251,25 @@ def make_sharded_shf_trainer(data: jnp.ndarray, log_joint: Callable, mesh,
     return lambda key, params, n_steps: _train_d(data, key, params, n_steps)
 
 
+def beta_log_joint(model, beta: float, log_prior: Callable = None):
+    """Robust beta-divergence training target with the ``log_joint(Z, theta,
+    w)`` signature: log prior + sum_n w_n f_beta(z_n, theta), built from any
+    ModelFns bundle's ``beta_likelihood``. Training the flow against THIS
+    target instead of the standard log joint makes the fitted flow robust to
+    contamination — the same mechanism that makes beta-Cores robust
+    (density-power downweighting of low-likelihood points), composed with
+    SHF. Default prior: standard normal on theta."""
+    blik = model.beta_likelihood
+
+    def log_joint(Z, th, w):
+        f = blik(Z, th[None, :], beta)[:, 0]
+        lp = (-0.5 * th.shape[-1] * jnp.log(2.0 * jnp.pi)
+              - 0.5 * jnp.sum(th * th)) if log_prior is None else log_prior(th)
+        return jnp.sum(w * f) + lp
+
+    return log_joint
+
+
 def gaussian_log_joint(Siginv, mu0=None, Sig0inv=None):
     """Adapter: weighted Gaussian-mean log joint (known covariance) with the
     ``log_joint(Z, theta, w)`` signature the flow (and weighted HMC) expect."""

@@ -125,3 +125,40 @@ def test_sharded_trainer_matches_quality(gauss_problem):
     th = np.asarray(th)
     np.testing.assert_allclose(th.mean(0), mu_n, atol=0.05)
     np.testing.assert_allclose(np.cov(th.T), Sig_n, atol=0.05)
+
+
+def test_beta_elbo_flow_is_robust(rng):
+    """Training the flow against the beta-divergence target (beta_log_joint,
+    built from the model's beta_likelihood) keeps the fitted flow near the
+    CLEAN posterior under 10% shifted contamination, while the standard-ELBO
+    flow is dragged toward the outlier cluster — SHF composed with the
+    library's robustness mechanism."""
+    from betacores_tpu.inference import beta_log_joint, make_shf_trainer
+    from betacores_tpu.models import gaussian as gmod
+
+    d, N = 2, 500
+    X = rng.normal(size=(N, d)) + 1.0
+    Xout = rng.normal(size=(N // 10, d)) * 0.3 + 8.0
+    Xc = jnp.asarray(np.vstack([X, Xout]))
+    # clean conjugate posterior (unit obs covariance, standard-normal prior)
+    Sig_n = np.linalg.inv(np.eye(d) * (1 + N))
+    mu_clean = Sig_n @ X.sum(0)
+
+    cfg = SHFConfig(n_blocks=4, n_leapfrog=5, n_mc=8, n_batch=128,
+                    learning_rate=1e-2)
+    model = gmod.bundle(jnp.eye(d), 0.0)
+    lj_std = gaussian_log_joint(jnp.eye(d))
+    lj_beta = beta_log_joint(model, beta=0.5)
+    means = {}
+    for name, lj in [("std", lj_std), ("beta", lj_beta)]:
+        params = init_shf_params(jax.random.key(0), Xc[:20], d, Xc.shape[0], cfg)
+        train = make_shf_trainer(Xc, lj, cfg)
+        params, trace = train(jax.random.key(1), params, 2000)
+        th, _, _ = shf_sample(jax.random.key(2), params, lj, 2000, cfg)
+        means[name] = np.asarray(th).mean(0)
+    err_beta = np.linalg.norm(means["beta"] - mu_clean)
+    err_std = np.linalg.norm(means["std"] - mu_clean)
+    # the standard flow is pulled toward the outliers (~0.7 shift at 10%
+    # contamination at distance 7); the beta flow stays near clean
+    assert err_beta < 0.25, (err_beta, means["beta"], mu_clean)
+    assert err_std > 2.0 * err_beta, (err_std, err_beta)
