@@ -37,9 +37,12 @@ def main():
     ap.add_argument("--d", type=int, default=5)
     ap.add_argument("--trial", type=int, default=1)
     ap.add_argument("--f-rate", type=float, default=0.0,
-                    help="corruption rate (the flow targets the full-data "
-                         "posterior; robustness comes from pairing with a "
-                         "beta-coreset init)")
+                    help="corruption rate")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="train against the robust beta-divergence objective "
+                         "(beta_log_joint) instead of the standard ELBO — "
+                         "use with --f-rate to see the flow resist "
+                         "contamination")
     ap.add_argument("--M", type=int, default=30, help="flow coreset size")
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--leapfrog", type=int, default=8)
@@ -59,11 +62,18 @@ def main():
     print(f"N={args.N} d={args.d} f_rate={args.f_rate}")
 
     # --- flow: train + iid sample ---
+    if args.beta is not None:
+        from betacores_tpu.inference import beta_log_joint
+
+        target = beta_log_joint(logreg.bundle(), args.beta)
+        print(f"robust beta-divergence objective, beta={args.beta}")
+    else:
+        target = logreg.log_joint
     cfg = SHFConfig(n_blocks=args.blocks, n_leapfrog=args.leapfrog,
                     n_mc=8, n_batch=256, learning_rate=1e-2)
     params = init_shf_params(jax.random.key(args.trial), Z[: args.M],
                              args.d, args.N, cfg)
-    train = make_shf_trainer(Z, logreg.log_joint, cfg)
+    train = make_shf_trainer(Z, target, cfg)
     t0 = time.perf_counter()
     n_chunks, rem = divmod(args.train_steps, args.chunk)
     for i in range(n_chunks):
@@ -73,7 +83,7 @@ def main():
     jax.block_until_ready(params.w)
     t_train = time.perf_counter() - t0
     t0 = time.perf_counter()
-    th_f, _, logq = shf_sample(jax.random.key(7), params, logreg.log_joint,
+    th_f, _, logq = shf_sample(jax.random.key(7), params, target,
                                args.n_samples, cfg)
     th_f = jax.block_until_ready(th_f)
     t_flow_sample = time.perf_counter() - t0

@@ -308,3 +308,32 @@ class TestShardedGroups:
         # gathered points match their global rows
         np.testing.assert_allclose(np.asarray(st.pts)[:m], X[idcs], rtol=1e-12)
         assert (np.asarray(st.wts) >= 0).all()
+
+
+def test_sharded_build_mvn_family(problem):
+    """The sharded incremental builder composes with the unknown-covariance
+    (NIW) model family: packed (mu, chol-precision) samples slice cleanly
+    along the samp axis and the robust build completes on the mesh."""
+    from betacores_tpu.models import mvn
+
+    rng = np.random.default_rng(4)
+    d, N = 3, 240
+    Xc = jnp.asarray(np.vstack([rng.normal(size=(N, d)) + 1.0,
+                                rng.normal(size=(N // 10, d)) * 0.5 + 9.0]))
+    model = mvn.bundle(d)
+    sampler = mvn.mvn_niw_sampler(jnp.zeros(d), 1.0, jnp.eye(d), d + 4.0)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                            n_subsample_opt=32, opt_itrs=15, i0=0.5,
+                            use_beta=True)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(Xc, mesh)
+    b = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    st = b(jax.random.key(1), init_state(20, d, beta=0.5, dtype=ds.dtype), 10)
+    m = int(st.m)
+    assert m > 0 and (np.asarray(st.wts) >= 0).all()
+    # robust selection: the coreset's NIW posterior mean is near the clean
+    # cluster, not the outlier cluster
+    w, p = np.asarray(st.wts), np.asarray(st.pts)
+    post = mvn.weighted_post(jnp.zeros(d), 1.0, jnp.eye(d), d + 4.0,
+                             jnp.asarray(p[w > 0]), jnp.asarray(w[w > 0]))
+    assert np.linalg.norm(np.asarray(post.mu) - 1.0) < 2.0, post.mu
