@@ -22,12 +22,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import betacores_tpu as bc
+from betacores_tpu import snnls as snnls_mod
 from betacores_tpu.data import gen_synthetic_gaussian
 from betacores_tpu.evaluation import reverse_forward_kl
 from betacores_tpu.inference import gaussian_conjugate_sampler, prior_gaussian_sampler
 from betacores_tpu.models import gaussian as gmod
 
-ALGS = ["BCORES", "BPSVI", "SVI", "GIGAO", "GIGAR", "RAND", "PRIOR"]
+ALGS = ["BCORES", "BPSVI", "SVI", "GIGAO", "GIGAR", "IHTO", "IHTR", "RAND", "PRIOR"]
 
 
 def main():
@@ -95,6 +96,12 @@ def main():
                                              seed=args.trial, max_size=args.M),
         "GIGAO": lambda: bc.HilbertCoreset(Xc, prj_opt, seed=args.trial),
         "GIGAR": lambda: bc.HilbertCoreset(Xc, prj_real, seed=args.trial),
+        # beyond reference: accelerated-IHT Hilbert solves (GIGA-seeded
+        # hybrid, never worse than GIGA at equal sparsity — snnls/iht.py)
+        "IHTO": lambda: bc.HilbertCoreset(Xc, prj_opt, seed=args.trial,
+                                          snnls=snnls_mod.AccIHT),
+        "IHTR": lambda: bc.HilbertCoreset(Xc, prj_real, seed=args.trial,
+                                          snnls=snnls_mod.AccIHT),
         "RAND": lambda: bc.UniformSamplingCoreset(Xc, seed=args.trial),
         "PRIOR": lambda: None,
     }
@@ -121,7 +128,7 @@ def main():
             keep = wm > 0
             w.append(wm[keep])
             p.append(np.asarray(pts_b[m - 1])[keep])
-    elif args.alg in ("GIGAO", "GIGAR"):
+    elif args.alg in ("GIGAO", "GIGAR", "IHTO", "IHTR"):
         # one on-device program records the weights after EVERY greedy
         # iteration; a per-m build(1, m)/get() loop pays hundreds of tunnel
         # round trips instead (measured 778s -> seconds at M=200)

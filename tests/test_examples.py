@@ -27,7 +27,7 @@ def _pickles(d):
     return [f for f in os.listdir(d) if f.endswith(".pk")]
 
 
-@pytest.mark.parametrize("alg", ["BCORES", "SVI", "GIGAO", "RAND", "PRIOR"])
+@pytest.mark.parametrize("alg", ["BCORES", "SVI", "GIGAO", "IHTO", "RAND", "PRIOR"])
 def test_zellner_gaussian(tmp_path, monkeypatch, alg):
     _run("zellner_gaussian.py",
          ["--alg", alg, "--trial", "1", "--M", "3", "--N", "200", "--d", "4",
