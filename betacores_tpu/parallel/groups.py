@@ -215,6 +215,14 @@ def make_sharded_group_builder(
 
         return jax.lax.fori_loop(0, itrs, body, gst)
 
+    def _trace_local(data_local, gid_local, members, key, itrs, gst):
+        def body(gst, i):
+            gst = _step(data_local, gid_local, members,
+                        jax.random.fold_in(key, i), gst)
+            return gst, (gst.core.wts, gst.core.idcs, gst.selected)
+
+        return jax.lax.scan(body, gst, jnp.arange(itrs))
+
     core_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
     gstate_spec = GroupCoresetState(core=core_spec, selected=P(), initialized=P())
 
@@ -231,6 +239,21 @@ def make_sharded_group_builder(
             check_vma=False,
         )(data, gid, members, key, itrs, gst)
 
-    return lambda key, gst, itrs: _build_d(
+    @partial(jax.jit, static_argnums=5)
+    def _trace_d(data, gid, members, key, gst: GroupCoresetState, itrs: int):
+        # static itrs (output shape); per-iteration records are replicated
+        return jax.shard_map(
+            lambda d, g, m, k, s: _trace_local(d, g, m, k, itrs, s),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), gstate_spec),
+            out_specs=(gstate_spec, (P(), P(), P())),
+            check_vma=False,
+        )(data, gid, members, key, gst)
+
+    build = lambda key, gst, itrs: _build_d(
         data_sharded, gid_sharded, groups.members, key, gst,
         jnp.asarray(itrs, dtype=jnp.int32))
+    # per-iteration (wts, idcs, selected) trace, same key stream as build
+    build.trace = lambda key, gst, itrs: _trace_d(
+        data_sharded, gid_sharded, groups.members, key, gst, int(itrs))
+    return build

@@ -337,3 +337,31 @@ def test_sharded_build_mvn_family(problem):
     post = mvn.weighted_post(jnp.zeros(d), 1.0, jnp.eye(d), d + 4.0,
                              jnp.asarray(p[w > 0]), jnp.asarray(w[w > 0]))
     assert np.linalg.norm(np.asarray(post.mu) - 1.0) < 2.0, post.mu
+
+
+def test_sharded_group_trace_matches_build(problem):
+    from betacores_tpu.coresets import init_state
+    from betacores_tpu.coresets.groups import (group_ids_from_groups,
+                                               init_group_state)
+    from betacores_tpu.ops.projection import Groups
+    from betacores_tpu.parallel import (make_sharded_group_builder,
+                                        shard_group_ids)
+
+    X, model, sampler, aux = problem
+    X = np.asarray(X[:120])
+    groups = [list(range(i, i + 10)) for i in range(0, 120, 10)]
+    gp = Groups.from_lists(groups)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=12,
+                            n_subsample_opt=64, opt_itrs=10, i0=0.5)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    gid = shard_group_ids(group_ids_from_groups(gp, X.shape[0]), mesh, gp.n_groups)
+    b = make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg, mesh)
+    gst0 = init_group_state(init_state(60, X.shape[1], dtype=ds.dtype), gp.n_groups)
+    gfin, (W, I, SEL) = b.trace(jax.random.key(5), gst0, 5)
+    gbuild = b(jax.random.key(5), gst0, 5)
+    np.testing.assert_allclose(np.asarray(W[-1]), np.asarray(gbuild.core.wts),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(I[-1]), np.asarray(gbuild.core.idcs))
+    np.testing.assert_array_equal(np.asarray(SEL[-1]), np.asarray(gbuild.selected))
+    assert W.shape[0] == 5
