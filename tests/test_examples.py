@@ -215,3 +215,16 @@ def test_shf_logreg_driver(capsys, monkeypatch):
          monkeypatch)
     out = capsys.readouterr().out
     assert "SHF :" in out and "HMC :" in out and "posterior mean gap" in out
+
+
+@pytest.mark.parametrize("alg", ["BCORES", "RAND"])
+def test_mvn_unknown_cov_driver(tmp_path, monkeypatch, alg):
+    _run("mvn_unknown_cov.py",
+         ["--alg", alg, "--trial", "1", "--N", "200", "--d", "3", "--M", "6",
+          "--proj-dim", "8", "--opt-itrs", "10", "--n-subsample-opt", "50",
+          "--n-subsample-select", "80", "--eval-every", "3",
+          "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    res = pickle.load(open(tmp_path / f, "rb"))
+    assert np.isfinite(list(res["mu_err"].values())).all()
