@@ -50,3 +50,22 @@ def load_state(path: str):
     if "key" in payload and payload["key"] is not None:
         key = jax.random.wrap_key_data(np.asarray(payload["key"]))
     return st, key, payload.get("extra", {})
+
+
+def save_params(path: str, params, extra: Dict[str, Any] | None = None) -> None:
+    """Serialize any NamedTuple parameter bundle (e.g. an SHFParams flow)
+    with orbax; restore with ``load_params(path, type(params))``."""
+    import orbax.checkpoint as ocp
+
+    payload = {"params": dict(params._asdict())}
+    if extra:
+        payload["extra"] = extra
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload)
+
+
+def load_params(path: str, cls):
+    """Returns (cls(**fields), extra dict)."""
+    import orbax.checkpoint as ocp
+
+    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return cls(**payload["params"]), payload.get("extra", {})

@@ -115,3 +115,19 @@ def test_persistent_cache_repoints_and_survives_bad_env(tmp_path, monkeypatch):
     assert d1 == str(tmp_path / "a") == d2
     assert d3 == str(tmp_path / "b")
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_shf_params_checkpoint_roundtrip(tmp_path):
+    """Generic NamedTuple param checkpoint: a trained flow resumes exactly."""
+    from betacores_tpu.inference import SHFConfig, SHFParams, init_shf_params
+    from betacores_tpu.utils.checkpoint import load_params, save_params
+
+    params = init_shf_params(jax.random.key(0), jnp.ones((5, 3)), 3, 100,
+                             SHFConfig(n_blocks=2))
+    params = params._replace(w=params.w.at[0].set(7.5))
+    path = os.path.join(tmp_path, "flow")
+    save_params(path, params, extra={"beta": 0.5})
+    p2, extra = load_params(path, SHFParams)
+    for a, b in zip(params, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert extra["beta"] == 0.5
