@@ -38,7 +38,10 @@ def split_rhat(samples: jnp.ndarray) -> jnp.ndarray:
     W = chain_var.mean(axis=0)                       # within
     B = n * chain_mean.var(axis=0, ddof=1)           # between
     var_plus = (n - 1) / n * W + B / n
-    return jnp.sqrt(var_plus / jnp.where(W > 0, W, jnp.inf))
+    rhat = jnp.sqrt(var_plus / jnp.where(W > 0, W, 1.0))
+    # stuck chains (zero within-chain variance) at DIFFERENT values are the
+    # worst non-convergence, not the best: flag as +inf, never 0
+    return jnp.where(W > 0, rhat, jnp.where(B > 0, jnp.inf, 1.0))
 
 
 def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:

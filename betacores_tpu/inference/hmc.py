@@ -230,13 +230,16 @@ def run_chains_sharded(key, logprob, theta0, n_chains: int, mesh,
         inits = jnp.concatenate([inits, jnp.broadcast_to(theta0, (pad,) + theta0.shape)])
     keys = jax.device_put(keys, lane)
     inits = jax.device_put(inits, lane)
+    return _run_chains_padded(keys, inits, logprob, config, n_chains)
 
-    @partial(jax.jit, static_argnums=2)
-    def _run(keys, inits, n_true):
-        samples, stats = jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
-        return samples[:n_true], jax.tree.map(lambda s: s[:n_true], stats)
 
-    return _run(keys, inits, n_chains)
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _run_chains_padded(keys, inits, logprob, config, n_true: int):
+    # module-level jit: one compiled program per (logprob, config, shapes) —
+    # a per-call inner jit would recompile the whole warmup+sampling program
+    # on every invocation
+    samples, stats = jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+    return samples[:n_true], jax.tree.map(lambda s: s[:n_true], stats)
 
 
 def weighted_logreg_logprob(Z, w):

@@ -65,10 +65,11 @@ class SHFParams(NamedTuple):
     logs0: jnp.ndarray    # (d,) initial-distribution log-stddevs
 
 
-def init_shf_params(key, pts0: jnp.ndarray, theta_dim: int, N: int,
+def init_shf_params(pts0: jnp.ndarray, theta_dim: int, N: int,
                     config: SHFConfig = SHFConfig()) -> SHFParams:
     """Initialize from a size-M pseudo-coreset (e.g. a uniform subsample,
-    reference BPSVI init: weights N/M)."""
+    reference BPSVI init: weights N/M). Deterministic: all randomness in the
+    flow enters at sampling/training time through explicit keys."""
     M = pts0.shape[0]
     dtype = pts0.dtype
     return SHFParams(

@@ -60,7 +60,7 @@ def save_params(path: str, params, extra: Dict[str, Any] | None = None) -> None:
     payload = {"params": dict(params._asdict())}
     if extra:
         payload["extra"] = extra
-    ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload)
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload, force=True)
 
 
 def load_params(path: str, cls):

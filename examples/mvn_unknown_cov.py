@@ -90,11 +90,11 @@ def main():
             w.append(np.zeros(1))
             p.append(np.zeros((1, d), dtype=np.float32))
     elif args.alg == "RAND":
-        for m in range(1, args.M + 1):
-            alg.build(1, m)
-            got = alg.get()
-            w.append(got[0])
-            p.append(got[1])
+        # build_trace: all sizes in one device program (CLAUDE.md: per-size
+        # build/get loops pay a tunnel round trip each)
+        for wm, pm, im in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
     else:
         for got in alg.build_trace(args.M):
             w.append(got[0])

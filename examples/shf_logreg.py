@@ -71,7 +71,7 @@ def main():
         target = logreg.log_joint
     cfg = SHFConfig(n_blocks=args.blocks, n_leapfrog=args.leapfrog,
                     n_mc=8, n_batch=256, learning_rate=1e-2)
-    params = init_shf_params(jax.random.key(args.trial), Z[: args.M],
+    params = init_shf_params(Z[: args.M],
                              args.d, args.N, cfg)
     train = make_shf_trainer(Z, target, cfg)
     t0 = time.perf_counter()
@@ -95,11 +95,13 @@ def main():
           f"coreset nnz={int((np.asarray(params.w) > 0).sum())} "
           f"elbo_tail={float(np.asarray(trace)[-20:].mean()):.1f}")
 
-    # --- HMC baseline on the full data (2 diagnosed chains) ---
+    # --- HMC baseline on the full data (2 diagnosed chains; Z passed as a
+    # jit argument — a closure would embed the dataset into the HLO) ---
+    from betacores_tpu.inference import run_chains_weighted_logreg
+
     t0 = time.perf_counter()
-    chains, stats = hmc.run_chains(
-        jax.random.key(args.trial * 7),
-        lambda th: logreg.log_joint(Z, th, jnp.ones(args.N)),
+    chains, stats = run_chains_weighted_logreg(
+        jax.random.key(args.trial * 7), Z, jnp.ones(args.N),
         jnp.zeros(args.d), 2,
         HMCConfig(n_samples=args.n_samples // 2, n_warmup=1000, L_max=32))
     chains = jax.block_until_ready(chains)

@@ -122,7 +122,7 @@ def test_shf_params_checkpoint_roundtrip(tmp_path):
     from betacores_tpu.inference import SHFConfig, SHFParams, init_shf_params
     from betacores_tpu.utils.checkpoint import load_params, save_params
 
-    params = init_shf_params(jax.random.key(0), jnp.ones((5, 3)), 3, 100,
+    params = init_shf_params(jnp.ones((5, 3)), 3, 100,
                              SHFConfig(n_blocks=2))
     params = params._replace(w=params.w.at[0].set(7.5))
     path = os.path.join(tmp_path, "flow")

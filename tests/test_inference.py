@@ -249,3 +249,16 @@ class TestDiagnostics:
         # padded lane count: 5 chains on 8 devices
         s3, stats3 = run_chains_sharded(jax.random.key(2), logprob, jnp.zeros(2), 5, mesh, cfg)
         assert s3.shape[0] == 5
+
+
+def test_stuck_chains_flag_infinite_rhat():
+    """Chains frozen at different values (zero within-chain variance) are
+    the WORST non-convergence — split_rhat must return +inf, never 0 (a 0
+    would read as 'converged' to any rhat < threshold check)."""
+    from betacores_tpu.inference import split_rhat
+
+    s = jnp.stack([jnp.zeros((100, 2)), jnp.ones((100, 2)) * 3.0])
+    assert np.isinf(np.asarray(split_rhat(s))).all()
+    # identical constant chains (B == 0 too): no evidence of divergence
+    s2 = jnp.ones((2, 100, 2))
+    np.testing.assert_allclose(np.asarray(split_rhat(s2)), 1.0)

@@ -32,7 +32,7 @@ def test_flow_density_change_of_variables(gauss_problem, rng):
     hand, and the flow is deterministic given (theta0, rho0)."""
     X, lj, *_ = gauss_problem
     cfg = SHFConfig(n_blocks=3, n_leapfrog=4, n_mc=4, n_batch=64)
-    params = init_shf_params(jax.random.key(0), X[:10], 2, X.shape[0], cfg)
+    params = init_shf_params(X[:10], 2, X.shape[0], cfg)
     params = params._replace(a=jnp.asarray(rng.normal(size=(3, 2)) * 0.1),
                              b=jnp.asarray(rng.normal(size=(3, 2)) * 0.1))
     th, rho, log_q = shf_sample(jax.random.key(1), params, lj, 5, cfg)
@@ -50,7 +50,7 @@ def test_leapfrog_volume_preservation(gauss_problem):
     differences of the full map on a 2d problem (leapfrog contributes 1)."""
     X, lj, *_ = gauss_problem
     cfg = SHFConfig(n_blocks=2, n_leapfrog=3)
-    params = init_shf_params(jax.random.key(0), X[:6], 2, X.shape[0], cfg)
+    params = init_shf_params(X[:6], 2, X.shape[0], cfg)
     params = params._replace(a=jnp.full((2, 2), 0.1))
 
     def fmap(x):
@@ -66,7 +66,7 @@ def test_training_matches_conjugate_posterior(gauss_problem):
     X, lj, mu_n, Sig_n = gauss_problem
     cfg = SHFConfig(n_blocks=4, n_leapfrog=5, n_mc=8, n_batch=128,
                     learning_rate=1e-2)
-    params = init_shf_params(jax.random.key(0), X[:20], 2, X.shape[0], cfg)
+    params = init_shf_params(X[:20], 2, X.shape[0], cfg)
     train = make_shf_trainer(X, lj, cfg)
     params, trace = train(jax.random.key(1), params, 2000)
     trace = np.asarray(trace)
@@ -92,7 +92,7 @@ def test_trained_flow_beats_initial_elbo_logreg(rng):
     _, _, Z = gen_synthetic_logreg(jax.random.key(0), 500, d=3)
     cfg = SHFConfig(n_blocks=3, n_leapfrog=5, n_mc=8, n_batch=128,
                     learning_rate=1e-2)
-    params = init_shf_params(jax.random.key(0), Z[:15], 3, Z.shape[0], cfg)
+    params = init_shf_params(Z[:15], 3, Z.shape[0], cfg)
     train = make_shf_trainer(Z, logreg.log_joint, cfg)
     params, trace = train(jax.random.key(1), params, 1500)
     trace = np.asarray(trace)
@@ -115,7 +115,7 @@ def test_sharded_trainer_matches_quality(gauss_problem):
     X, lj, mu_n, Sig_n = gauss_problem
     cfg = SHFConfig(n_blocks=4, n_leapfrog=5, n_mc=8, n_batch=128,
                     learning_rate=1e-2)
-    params = init_shf_params(jax.random.key(0), X[:20], 2, X.shape[0], cfg)
+    params = init_shf_params(X[:20], 2, X.shape[0], cfg)
     mesh = make_mesh(4, 2)
     train = make_sharded_shf_trainer(X, lj, mesh, cfg)
     params, trace = train(jax.random.key(1), params, 2000)
@@ -151,7 +151,7 @@ def test_beta_elbo_flow_is_robust(rng):
     lj_beta = beta_log_joint(model, beta=0.5)
     means = {}
     for name, lj in [("std", lj_std), ("beta", lj_beta)]:
-        params = init_shf_params(jax.random.key(0), Xc[:20], d, Xc.shape[0], cfg)
+        params = init_shf_params(Xc[:20], d, Xc.shape[0], cfg)
         train = make_shf_trainer(Xc, lj, cfg)
         params, trace = train(jax.random.key(1), params, 2000)
         th, _, _ = shf_sample(jax.random.key(2), params, lj, 2000, cfg)
