@@ -131,3 +131,52 @@ def test_shf_params_checkpoint_roundtrip(tmp_path):
     for a, b in zip(params, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert extra["beta"] == 0.5
+
+
+def test_logging_adapter_and_verbosity(capsys):
+    """Reference log contract (util/log.py): tagged per-instance adapters,
+    'levelname - id.funcName(): message' format, set_verbosity knob,
+    invalid level rejected."""
+    import logging
+
+    from betacores_tpu.utils.logging import get_logger, set_verbosity
+
+    log = get_logger("TestAlg")
+    assert log.extra["id"].startswith("TestAlg-")
+    try:
+        set_verbosity("info")
+        root = logging.getLogger("betacores_tpu")
+        assert root.level == logging.INFO
+        log2 = get_logger("TestAlg")
+        assert log2.extra["id"] != log.extra["id"]  # fresh tag per instance
+        with pytest.raises(ValueError):
+            set_verbosity("loud")
+    finally:
+        set_verbosity("error")
+
+
+def test_evaluation_metrics_closed_forms(rng):
+    """reverse_forward_kl on identical posteriors is (0, 0); regression
+    RMSE/NLL match a hand computation."""
+    import math
+
+    from betacores_tpu.evaluation import regression_rmse_nll, reverse_forward_kl
+    from betacores_tpu.models.gaussian import weighted_post
+
+    d = 3
+    X = jnp.asarray(rng.normal(size=(40, d)))
+    post = weighted_post(jnp.zeros(d), jnp.eye(d), jnp.eye(d), X, jnp.ones(40))
+    rkl, fkl = reverse_forward_kl(post, post)
+    assert abs(float(rkl)) < 1e-8 and abs(float(fkl)) < 1e-8
+
+    Xt = jnp.asarray(rng.normal(size=(10, d)))
+    yt = jnp.asarray(rng.normal(size=10))
+    thetas = jnp.asarray(rng.normal(size=(5, d)))
+    rmse, nll = regression_rmse_nll(Xt, yt, thetas, sigsq=2.0)
+    preds = np.asarray(Xt @ thetas.T)
+    want_rmse = np.sqrt(np.mean((preds.mean(1) - np.asarray(yt)) ** 2))
+    np.testing.assert_allclose(float(rmse), want_rmse, rtol=1e-6)
+    ll = (-0.5 * np.log(2 * math.pi * 2.0)
+          - (np.asarray(yt)[:, None] - preds) ** 2 / 4.0)
+    want_nll = -np.mean(np.log(np.exp(ll).mean(axis=1)))
+    np.testing.assert_allclose(float(nll), want_nll, rtol=1e-5)
