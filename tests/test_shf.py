@@ -162,3 +162,18 @@ def test_beta_elbo_flow_is_robust(rng):
     # contamination at distance 7); the beta flow stays near clean
     assert err_beta < 0.25, (err_beta, means["beta"], mu_clean)
     assert err_std > 2.0 * err_beta, (err_std, err_beta)
+
+
+def test_train_pts_moves_pseudo_points(gauss_problem):
+    """train_pts=True: pseudo-point locations receive gradient and move;
+    default False leaves them fixed."""
+    X, lj, *_ = gauss_problem
+    for train_pts, should_move in [(False, False), (True, True)]:
+        cfg = SHFConfig(n_blocks=2, n_leapfrog=3, n_mc=4, n_batch=64,
+                        learning_rate=1e-2, train_pts=train_pts)
+        params = init_shf_params(X[:10], 2, X.shape[0], cfg)
+        pts0 = np.asarray(params.pts).copy()
+        train = make_shf_trainer(X, lj, cfg)
+        params, _ = train(jax.random.key(1), params, 50)
+        moved = not np.allclose(np.asarray(params.pts), pts0)
+        assert moved == should_move, (train_pts, moved)
