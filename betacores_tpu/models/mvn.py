@@ -53,23 +53,12 @@ def _half_logdet(L):
 
 
 def log_likelihood(z, thetas):
-    """(N, S): log N(z_n | mu_s, Sigma_s).
-
-    MXU shape: expanding the quadratic form,
-        (z-mu)^T Lam (z-mu) = vec(z z^T) . vec(Lam) - 2 z . (Lam mu)
-                              + mu^T Lam mu,
-    the N x S matrix is two matmuls — (N, d^2) @ (d^2, S) and (N, d) @
-    (d, S) — plus per-sample scalars, with NO (N, S, d) intermediate (the
-    naive einsum materializes one, costing d x the HBM traffic)."""
+    """(N, S): log N(z_n | mu_s, Sigma_s) via the precision Cholesky."""
     d = z.shape[1]
     mu, L = unpack(thetas, d)
-    Lam = jnp.einsum("sde,sfe->sdf", L, L)                     # (S, d, d)
-    zz = (z[:, :, None] * z[:, None, :]).reshape(z.shape[0], d * d)
-    quad_zz = zz @ Lam.reshape(-1, d * d).T                    # (N, S)
-    Lmu = jnp.einsum("sdf,sf->sd", Lam, mu)                    # (S, d)
-    cross = z @ Lmu.T                                          # (N, S)
-    mu_quad = jnp.sum(mu * Lmu, axis=-1)                       # (S,)
-    quad = quad_zz - 2.0 * cross + mu_quad[None, :]
+    diff = z[:, None, :] - mu[None, :, :]                      # (N, S, d)
+    y = jnp.einsum("nsd,sde->nse", diff, L)                    # L^T diff
+    quad = jnp.sum(y * y, axis=-1)                             # (N, S)
     return -0.5 * d * _LOG2PI + _half_logdet(L)[None, :] - 0.5 * quad
 
 
