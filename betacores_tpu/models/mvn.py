@@ -53,7 +53,13 @@ def _half_logdet(L):
 
 
 def log_likelihood(z, thetas):
-    """(N, S): log N(z_n | mu_s, Sigma_s) via the precision Cholesky."""
+    """(N, S): log N(z_n | mu_s, Sigma_s) via the precision Cholesky.
+
+    Deliberately the FACTORED quadratic form ||L^T (z - mu)||^2, not the
+    expanded vec(zz^T) . vec(Lambda) two-matmul version: the expansion
+    avoids the (N, S, d) intermediate but catastrophically cancels in f32
+    (measured up to 6 nats of tail error at N=500k on a v5e for a mere 20%
+    speed gain — XLA fuses this einsum well, 3.9 ms vs 3.3 ms)."""
     d = z.shape[1]
     mu, L = unpack(thetas, d)
     diff = z[:, None, :] - mu[None, :, :]                      # (N, S, d)
