@@ -150,6 +150,59 @@ def sample_niw(key, post: NIWPosterior, n: int):
     return pack(mu.astype(dtype), L.astype(dtype))
 
 
+def _multigammaln(a, d: int):
+    i = jnp.arange(d, dtype=a.dtype)
+    return (0.25 * d * (d - 1) * jnp.log(jnp.pi)
+            + jnp.sum(jax.scipy.special.gammaln(a - 0.5 * i)))
+
+
+def _multidigamma(a, d: int):
+    i = jnp.arange(d, dtype=a.dtype)
+    return jnp.sum(jax.scipy.special.digamma(a - 0.5 * i))
+
+
+def niw_logpdf(th_packed, post: NIWPosterior):
+    """log NIW density of a packed [mu, vec(chol(Lambda))] row, in the
+    (mu, Sigma) parameterization (no Jacobian for the packing — evaluate at
+    draws produced by ``sample_niw`` only for ratios of the SAME packing)."""
+    d = post.mu.shape[0]
+    mu, L = unpack(th_packed[None, :], d)
+    mu, L = mu[0], L[0]
+    Lam = L @ L.T
+    half_logdet_lam = jnp.sum(jnp.log(jnp.diagonal(L)))        # log|Sigma|^{-1/2}
+    dm = mu - post.mu
+    # N(mu; m, Sigma/kappa)
+    log_n = (-0.5 * d * _LOG2PI + 0.5 * d * jnp.log(post.kappa)
+             + half_logdet_lam - 0.5 * post.kappa * dm @ Lam @ dm)
+    # IW(Sigma; Psi, nu): log|Psi|^{nu/2} ... with log|Sigma| = -2 half_logdet_lam
+    _, logdet_psi = jnp.linalg.slogdet(post.Psi)
+    log_iw = (0.5 * post.nu * logdet_psi - 0.5 * post.nu * d * jnp.log(2.0)
+              - _multigammaln(0.5 * post.nu, d)
+              + (post.nu + d + 1.0) * half_logdet_lam
+              - 0.5 * jnp.trace(post.Psi @ Lam))
+    return log_n + log_iw
+
+
+def niw_kl(p: NIWPosterior, q: NIWPosterior):
+    """Closed-form KL(NIW_p || NIW_q): the conditional-normal expectation
+    plus the inverse-Wishart (= transformed Wishart) KL. Gives the MVN
+    family the same KL-based coreset evaluation the known-covariance family
+    gets from gaussian_KL."""
+    d = p.mu.shape[0]
+    dm = p.mu - q.mu
+    Pinv = jnp.linalg.inv(p.Psi)
+    # E_p[KL(N(mu; m_p, Sig/k_p) || N(mu; m_q, Sig/k_q))], E_p[Sig^{-1}] = nu_p Psi_p^{-1}
+    kl_n = 0.5 * (d * q.kappa / p.kappa - d + d * jnp.log(p.kappa / q.kappa)
+                  + q.kappa * p.nu * dm @ Pinv @ dm)
+    # KL(IW(Psi_p, nu_p) || IW(Psi_q, nu_q)) = KL(W(Psi_p^{-1}, nu_p) || W(Psi_q^{-1}, nu_q))
+    _, logdet_qp = jnp.linalg.slogdet(q.Psi @ Pinv)
+    kl_w = (0.5 * q.nu * (-logdet_qp)                     # -(nu_q/2) log|V_q^{-1} V_p|
+            + 0.5 * p.nu * (jnp.trace(q.Psi @ Pinv) - d)
+            + _multigammaln(0.5 * q.nu, d) - _multigammaln(0.5 * p.nu, d)
+            + 0.5 * (p.nu - q.nu) * _multidigamma(0.5 * p.nu, d))
+    return kl_n + kl_w
+
+
 def mvn_niw_sampler(mu0, kappa0, Psi0, nu0):
     """SamplerFn: exact weighted NIW posterior draws for the coreset
     projectors ((key, n, wts, pts, aux) -> (samples, aux))."""

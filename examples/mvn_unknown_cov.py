@@ -105,21 +105,24 @@ def main():
     post_clean = mvn.weighted_post(mu0, kappa0, Psi0, nu0,
                                    jnp.asarray(X, dtype=jnp.float32),
                                    jnp.ones(args.N))
-    mu_err, sig_tr = {}, {}
+    mu_err, sig_tr, rkl = {}, {}, {}
     for m in range(0, args.M + 1, args.eval_every):
         wm = jnp.asarray(np.atleast_1d(w[m]).astype(np.float32))
         pm = jnp.asarray(np.atleast_2d(p[m]).astype(np.float32))
         post = mvn.weighted_post(mu0, kappa0, Psi0, nu0, pm, wm)
         mu_err[m] = float(jnp.linalg.norm(post.mu - post_clean.mu))
         sig_tr[m] = float(jnp.trace(post.Psi) / (post.nu - d - 1))
-        print(f"m={m:3d} |mu - mu_clean|={mu_err[m]:.4f} tr(E[Sigma])={sig_tr[m]:.2f}")
+        rkl[m] = float(mvn.niw_kl(post, post_clean))  # closed-form NIW KL
+        print(f"m={m:3d} |mu - mu_clean|={mu_err[m]:.4f} "
+              f"tr(E[Sigma])={sig_tr[m]:.2f} rKL={rkl[m]:.4g}")
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"mvn_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "mu_err": mu_err,
-                     "sig_tr": sig_tr, "build_time_s": build_time}, fh)
+                     "sig_tr": sig_tr, "rkl": rkl,
+                     "build_time_s": build_time}, fh)
     print(f"saved -> {out}")
 
 

@@ -182,3 +182,30 @@ def test_robust_coreset_build_unknown_cov(prior, rng):
     ESig_core = np.asarray(post_c.Psi) / (float(post_c.nu) - d - 1)
     ESig_bad = np.asarray(post_bad.Psi) / (float(post_bad.nu) - d - 1)
     assert np.trace(ESig_core) < 0.5 * np.trace(ESig_bad)
+
+
+def test_niw_kl_closed_form():
+    """KL(p||p) = 0; closed form matches the Monte-Carlo estimate
+    E_p[log p - log q] over exact NIW draws (parameterization-invariant
+    ratio); positive and direction-sensitive."""
+    d = 2
+    p = mvn.NIWPosterior(mu=jnp.asarray([1.0, -0.5]), kappa=jnp.asarray(4.0),
+                         Psi=jnp.asarray([[2.0, 0.3], [0.3, 1.5]]),
+                         nu=jnp.asarray(9.0))
+    q = mvn.NIWPosterior(mu=jnp.asarray([0.2, 0.1]), kappa=jnp.asarray(2.0),
+                         Psi=jnp.asarray([[1.0, -0.2], [-0.2, 2.5]]),
+                         nu=jnp.asarray(7.0))
+    assert abs(float(mvn.niw_kl(p, p))) < 1e-8
+    assert abs(float(mvn.niw_kl(q, q))) < 1e-8
+    kl_pq = float(mvn.niw_kl(p, q))
+    kl_qp = float(mvn.niw_kl(q, p))
+    assert kl_pq > 0 and kl_qp > 0 and abs(kl_pq - kl_qp) > 1e-3
+
+    th = mvn.sample_niw(jax.random.key(0), p, 200_000)
+    lp = jax.vmap(lambda t: mvn.niw_logpdf(t, p))(th)
+    lq = jax.vmap(lambda t: mvn.niw_logpdf(t, q))(th)
+    mc = float(jnp.mean(lp - lq))
+    np.testing.assert_allclose(mc, kl_pq, rtol=0.03)
+    # and the log-pdf itself is a normalized density: E_p[log p] finite,
+    # MC of E_p[1] trivially 1 — sanity: quantiles of lp are finite
+    assert np.isfinite(np.asarray(lp)).all()
