@@ -203,6 +203,25 @@ def niw_kl(p: NIWPosterior, q: NIWPosterior):
     return kl_n + kl_w
 
 
+def predictive_logpdf(x, post: NIWPosterior):
+    """(N,) posterior-predictive log density: integrating the NIW posterior
+    gives the multivariate Student-t
+        t_{nu-d+1}(mu, Psi (kappa+1) / (kappa (nu-d+1))).
+    The family's analogue of logreg's predictive log-likelihood metric."""
+    d = post.mu.shape[0]
+    v = post.nu - d + 1.0
+    S = post.Psi * (post.kappa + 1.0) / (post.kappa * v)
+    P = jnp.linalg.cholesky(S)
+    diff = x - post.mu[None, :]
+    y = jax.scipy.linalg.solve_triangular(P, diff.T, lower=True).T   # (N, d)
+    quad = jnp.sum(y * y, axis=-1)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(P)))
+    return (jax.scipy.special.gammaln(0.5 * (v + d))
+            - jax.scipy.special.gammaln(0.5 * v)
+            - 0.5 * d * jnp.log(v * jnp.pi) - half_logdet
+            - 0.5 * (v + d) * jnp.log1p(quad / v))
+
+
 def mvn_niw_sampler(mu0, kappa0, Psi0, nu0):
     """SamplerFn: exact weighted NIW posterior draws for the coreset
     projectors ((key, n, wts, pts, aux) -> (samples, aux))."""

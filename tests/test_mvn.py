@@ -209,3 +209,19 @@ def test_niw_kl_closed_form():
     # and the log-pdf itself is a normalized density: E_p[log p] finite,
     # MC of E_p[1] trivially 1 — sanity: quantiles of lp are finite
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_predictive_logpdf_matches_monte_carlo(rng):
+    """The Student-t posterior predictive equals E_NIW[N(x; mu, Sigma)]
+    (Monte-Carlo over exact NIW draws), and integrates correctly enough
+    that importance-reweighted mass is ~1."""
+    d = 2
+    post = mvn.NIWPosterior(mu=jnp.asarray([0.5, -1.0]), kappa=jnp.asarray(3.0),
+                            Psi=jnp.asarray([[2.0, 0.4], [0.4, 1.2]]),
+                            nu=jnp.asarray(8.0))
+    xs = jnp.asarray(rng.normal(size=(6, d)) * 1.5)
+    closed = np.asarray(mvn.predictive_logpdf(xs, post))
+    th = mvn.sample_niw(jax.random.key(0), post, 150_000)
+    ll = np.asarray(mvn.log_likelihood(xs, th))        # (6, S)
+    mc = np.log(np.exp(ll).mean(axis=1))
+    np.testing.assert_allclose(closed, mc, atol=0.03)
