@@ -55,6 +55,8 @@ def main():
     A = rng.normal(size=(d, d)) * 0.3
     Sig_true = A @ A.T + np.eye(d)
     X = rng.multivariate_normal(np.ones(d) * 2.0, Sig_true, args.N)
+    Xtest = jnp.asarray(rng.multivariate_normal(np.ones(d) * 2.0, Sig_true, 500),
+                        dtype=jnp.float32)
     n_out = int(args.f_rate * args.N)
     Xout = rng.normal(size=(n_out, d)) * 0.5 + args.outlier_shift
     Xc = jnp.asarray(np.vstack([X, Xout]), dtype=jnp.float32)
@@ -105,7 +107,7 @@ def main():
     post_clean = mvn.weighted_post(mu0, kappa0, Psi0, nu0,
                                    jnp.asarray(X, dtype=jnp.float32),
                                    jnp.ones(args.N))
-    mu_err, sig_tr, rkl = {}, {}, {}
+    mu_err, sig_tr, rkl, pll = {}, {}, {}, {}
     for m in range(0, args.M + 1, args.eval_every):
         wm = jnp.asarray(np.atleast_1d(w[m]).astype(np.float32))
         pm = jnp.asarray(np.atleast_2d(p[m]).astype(np.float32))
@@ -113,15 +115,16 @@ def main():
         mu_err[m] = float(jnp.linalg.norm(post.mu - post_clean.mu))
         sig_tr[m] = float(jnp.trace(post.Psi) / (post.nu - d - 1))
         rkl[m] = float(mvn.niw_kl(post, post_clean))  # closed-form NIW KL
+        pll[m] = float(jnp.mean(mvn.predictive_logpdf(Xtest, post)))  # Student-t
         print(f"m={m:3d} |mu - mu_clean|={mu_err[m]:.4f} "
-              f"tr(E[Sigma])={sig_tr[m]:.2f} rKL={rkl[m]:.4g}")
+              f"tr(E[Sigma])={sig_tr[m]:.2f} rKL={rkl[m]:.4g} pll={pll[m]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"mvn_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "mu_err": mu_err,
-                     "sig_tr": sig_tr, "rkl": rkl,
+                     "sig_tr": sig_tr, "rkl": rkl, "pll": pll,
                      "build_time_s": build_time}, fh)
     print(f"saved -> {out}")
 
