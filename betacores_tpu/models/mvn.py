@@ -151,9 +151,7 @@ def sample_niw(key, post: NIWPosterior, n: int):
 
 
 def _multigammaln(a, d: int):
-    i = jnp.arange(d, dtype=a.dtype)
-    return (0.25 * d * (d - 1) * jnp.log(jnp.pi)
-            + jnp.sum(jax.scipy.special.gammaln(a - 0.5 * i)))
+    return jax.scipy.special.multigammaln(a, d)
 
 
 def _multidigamma(a, d: int):

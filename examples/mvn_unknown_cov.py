@@ -55,7 +55,10 @@ def main():
     A = rng.normal(size=(d, d)) * 0.3
     Sig_true = A @ A.T + np.eye(d)
     X = rng.multivariate_normal(np.ones(d) * 2.0, Sig_true, args.N)
-    Xtest = jnp.asarray(rng.multivariate_normal(np.ones(d) * 2.0, Sig_true, 500),
+    # independent generator: drawing Xtest from `rng` here would shift the
+    # stream and silently change Xout for every trial (irreproducible runs)
+    rng_test = np.random.default_rng(10_000 + args.trial)
+    Xtest = jnp.asarray(rng_test.multivariate_normal(np.ones(d) * 2.0, Sig_true, 500),
                         dtype=jnp.float32)
     n_out = int(args.f_rate * args.N)
     Xout = rng.normal(size=(n_out, d)) * 0.5 + args.outlier_shift

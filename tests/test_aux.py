@@ -133,16 +133,30 @@ def test_shf_params_checkpoint_roundtrip(tmp_path):
     assert extra["beta"] == 0.5
 
 
-def test_logging_adapter_and_verbosity(capsys):
+def test_logging_adapter_and_verbosity():
     """Reference log contract (util/log.py): tagged per-instance adapters,
     'levelname - id.funcName(): message' format, set_verbosity knob,
     invalid level rejected."""
     import logging
 
-    from betacores_tpu.utils.logging import get_logger, set_verbosity
+    from betacores_tpu.utils.logging import _FMT, get_logger, set_verbosity
 
+    assert _FMT == "%(levelname)s - %(id)s.%(funcName)s(): %(message)s"
     log = get_logger("TestAlg")
     assert log.extra["id"].startswith("TestAlg-")
+    import io
+
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    h.setFormatter(logging.Formatter(_FMT))
+    root = logging.getLogger("betacores_tpu")
+    root.addHandler(h)
+    try:
+        log.error("boom")
+    finally:
+        root.removeHandler(h)
+    assert (f"ERROR - {log.extra['id']}.test_logging_adapter_and_verbosity(): "
+            "boom") in buf.getvalue()
     try:
         set_verbosity("info")
         root = logging.getLogger("betacores_tpu")
