@@ -57,6 +57,20 @@ GRIDS = {
                  "--f-rate": ["0.0", "0.1"],
                  "--trial": ["1", "2", "3"]},
     },
+    # unknown-covariance (NIW) robustness sweep (family the reference never
+    # shipped; examples/mvn_unknown_cov.py)
+    "mvn": {
+        "script": "mvn_unknown_cov.py",
+        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+                 "--f-rate": ["0.0", "0.1"],
+                 "--trial": ["1", "2", "3"]},
+    },
+    # Sparse Hamiltonian Flow vs HMC (beyond reference)
+    "shf": {
+        "script": "shf_logreg.py",
+        "grid": {"--f-rate": ["0.0", "0.1"],
+                 "--trial": ["1", "2", "3"]},
+    },
     # beta sweep (reference logreg_plot.sh: beta in 0.01..0.9)
     "beta_sweep": {
         "script": "zellner_logreg.py",
