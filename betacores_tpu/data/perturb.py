@@ -26,26 +26,34 @@ def perturb_logreg(key: jax.Array, X: jnp.ndarray, y: jnp.ndarray,
     one random row subset and flip labels on another; structured — replace
     rows with draws from an adversarial logistic model. Returns
     (X, y, Z=y*X, outlier_idcs)."""
+    import numpy as np
+
     N, D = X.shape
     o = int(N * f_rate)
     kx, ky, kc, kn, ks = jax.random.split(key, 5)
-    idxx = jax.random.randint(kx, (o,), 0, N) if o else jnp.zeros(0, dtype=jnp.int32)
+    # Corruption indices are drawn (and uniq'd) HOST-SIDE: jnp.unique is a
+    # dynamic-shape op whose device-to-host sync can FailedPrecondition under
+    # a contended remote backend (round-1 BENCH crash), and the index set is
+    # bookkeeping, not compute.
+    idxx = np.asarray(jax.random.randint(kx, (o,), 0, N)) if o else np.zeros(0, dtype=np.int32)
     if not structured:
-        idxy = jax.random.randint(ky, (o,), 0, N) if o else jnp.zeros(0, dtype=jnp.int32)
+        idxy = np.asarray(jax.random.randint(ky, (o,), 0, N)) if o else np.zeros(0, dtype=np.int32)
         cols = jax.random.choice(kc, D, (D // 2,), replace=False)
         noise = noise_x[0] + noise_x[1] * jax.random.normal(kn, (o, D // 2), dtype=X.dtype)
         if o:
-            X = X.at[idxx[:, None], cols[None, :]].set(noise)
+            X = X.at[jnp.asarray(idxx)[:, None], cols[None, :]].set(noise)
             if flip:
-                y = y.at[idxy].set(-y[idxy])
-        out_idx = jnp.unique(jnp.concatenate([idxx, idxy])) if o else idxx
+                jy = jnp.asarray(idxy)
+                y = y.at[jy].set(-y[jy])
+        out_idx = np.unique(np.concatenate([idxx, idxy])) if o else idxx
     else:
         Xa, ya, _ = gen_synthetic_logreg(ks, o, d=D, mean_val=mean_val,
                                          std_val=std_val, theta_val=theta_val, dtype=X.dtype)
         if o:
-            X = X.at[idxx].set(Xa)
-            y = y.at[idxx].set(ya)
-        out_idx = jnp.unique(idxx)
+            jx = jnp.asarray(idxx)
+            X = X.at[jx].set(Xa)
+            y = y.at[jx].set(ya)
+        out_idx = np.unique(idxx)
     return X, y, y[:, None] * X, out_idx
 
 
