@@ -24,7 +24,8 @@ from ..utils.logging import get_logger
 from ..utils.prng import KeySequence
 from . import state as state_lib
 from .bpsvi import BPSVIConfig, make_bpsvi_builder
-from .incremental import IncrementalConfig, make_incremental_builder
+from .incremental import (IncrementalConfig, make_incremental_builder,
+                          make_tangent_error)
 
 
 # module-level jit: a per-instance jax.jit(project_ll) wrapper would
@@ -158,6 +159,15 @@ class Coreset:
         self._ensure_capacity(sz)
         self._build(itrs, sz)
 
+    # relative error increase beyond which a failed optimize() LATCHES
+    # reached_numeric_limit (refuses further growth). Below it the state is
+    # still reverted (reference contract, coreset.py:48-65) but the latch is
+    # NOT set: with a real Monte-Carlo error() (unlike the reference's
+    # hard-coded 0) a converged coreset re-optimized under fresh sampling
+    # noise increases the shared-key error by O(noise) about half the time,
+    # and latching on that would block builds forever. PARITY.md.
+    LATCH_REL_INCREASE = 0.05
+
     def optimize(self):
         """Re-run weight refinement with rollback on cost increase
         (reference coreset.py:48-65)."""
@@ -169,8 +179,13 @@ class Coreset:
             self._optimize()
             # mutable global tolerance (reference coreset.py:57 uses
             # util.TOL, adjustable via set_tolerance)
-            if self.error() > prev_cost * (1.0 + errors.TOL):
-                raise NumericalPrecisionError("optimize() increased error")
+            new_cost = self.error()
+            if new_cost > prev_cost * (1.0 + errors.TOL):
+                self.log.warning("optimize() increased error (%g -> %g); reverting",
+                                 prev_cost, new_cost)
+                self.state = prev_state
+                if new_cost > prev_cost * (1.0 + self.LATCH_REL_INCREASE):
+                    raise NumericalPrecisionError("optimize() materially increased error")
         except NumericalPrecisionError as e:
             self.log.warning("%s", e)
             self.state = prev_state
@@ -244,6 +259,14 @@ class _IncrementalCoreset(Coreset):
             self._gstate = init_group_state(
                 self.state, len(groups),
                 initialized=int(self.state.m) if initialized else 0)
+        # real tangent-space error (the reference returns 0 here, making its
+        # optimize() rollback vacuous — deviation documented in PARITY.md).
+        # The key is refreshed once per _build, NOT per error() call, so the
+        # before/after comparison inside optimize() shares one projection.
+        self._error_fn = make_tangent_error(self.data, ll_projector.model,
+                                            ll_projector.sampler, cfg,
+                                            contextual=contextual)
+        self._error_key = self.keys()
 
     @property
     def selected_groups(self):
@@ -264,6 +287,14 @@ class _IncrementalCoreset(Coreset):
             self._gstate = self._gstate._replace(core=self.state)
             self._gstate = self._builder(self.keys(), self._gstate, int(itrs), self.ctx)
             self.state = self._gstate.core
+        self._error_key = self.keys()
+
+    def error(self) -> float:
+        """Tangent-space residual norm of the current coreset under a fresh
+        (but per-build-fixed) posterior projection. Deviates from the
+        reference's hard-coded 0 (bcores.py:152-153) so that
+        ``optimize()``'s rollback guard can actually fire (PARITY.md)."""
+        return float(self._error_fn(self._error_key, self.state, self.ctx))
 
     def _ensure_capacity(self, sz: int) -> None:
         if self.groups is None:

@@ -43,7 +43,7 @@ from ..utils import errors
 from .mesh import DATA_AXIS, require_axes
 
 
-def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, w_loc):
+def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, tol, w_loc):
     """One distributed GIGA select+reweight (reference snnls/giga.py:20-64).
 
     ``vecs_loc`` is this shard's (N_loc, S) row block with padding rows
@@ -58,7 +58,7 @@ def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, w_loc):
     xwn = xw / nw
     cdir = bn - (bn @ xwn) * xwn
     cnrm = jnp.linalg.norm(cdir)
-    ok_select = cnrm >= errors.TOL
+    ok_select = cnrm >= tol
     cdirn = cdir / jnp.where(cnrm == 0.0, 1.0, cnrm)
     num = (vecs_loc @ cdirn) / safe_norms
     dxw = (vecs_loc @ xwn) / safe_norms
@@ -141,10 +141,10 @@ class ShardedHilbertCoreset:
                 check_vma=False,
             )(data, samples, beta)
 
-        def _bind(vecs, norms, selectable, b):
+        def _bind(vecs, norms, selectable, b, tol):
             bnorm = jnp.linalg.norm(b)
             bn = b / jnp.where(bnorm == 0.0, 1.0, bnorm)
-            step_fn = partial(_giga_step_local, vecs, norms, selectable, bn, bnorm)
+            step_fn = partial(_giga_step_local, vecs, norms, selectable, bn, bnorm, tol)
             error_fn = lambda w: jnp.linalg.norm(jax.lax.psum(w @ vecs, DATA_AXIS) - b)
             return step_fn, error_fn
 
@@ -152,33 +152,37 @@ class ShardedHilbertCoreset:
         pre_specs = (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P())
 
         @jax.jit
-        def _build_d(vecs, norms, selectable, b, w, itrs):
-            def local(vecs, norms, selectable, b, w_loc, itrs):
-                step_fn, error_fn = _bind(vecs, norms, selectable, b)
+        def _build_d(vecs, norms, selectable, b, w, itrs, tol):
+            def local(vecs, norms, selectable, b, w_loc, itrs, tol):
+                step_fn, error_fn = _bind(vecs, norms, selectable, b, tol)
                 return snnls_base.build(step_fn, error_fn, w_loc, itrs)
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=pre_specs + (P(DATA_AXIS), P()),
+                in_specs=pre_specs + (P(DATA_AXIS), P(), P()),
                 out_specs=st_spec, check_vma=False,
-            )(vecs, norms, selectable, b, w, itrs)
+            )(vecs, norms, selectable, b, w, itrs, tol)
 
         @partial(jax.jit, static_argnums=5)
-        def _trace_d(vecs, norms, selectable, b, w, itrs: int):
-            def local(vecs, norms, selectable, b, w_loc):
-                step_fn, error_fn = _bind(vecs, norms, selectable, b)
+        def _trace_d(vecs, norms, selectable, b, w, itrs: int, tol=None):
+            if tol is None:
+                tol = jnp.asarray(errors.TOL, dtype=dtype)
+
+            def local(vecs, norms, selectable, b, w_loc, tol):
+                step_fn, error_fn = _bind(vecs, norms, selectable, b, tol)
                 return snnls_base.build_trace(step_fn, error_fn, w_loc, itrs)
 
             return jax.shard_map(
                 local, mesh=mesh,
-                in_specs=pre_specs + (P(DATA_AXIS),),
+                in_specs=pre_specs + (P(DATA_AXIS), P()),
                 out_specs=(P(None, DATA_AXIS), st_spec), check_vma=False,
-            )(vecs, norms, selectable, b, w)
+            )(vecs, norms, selectable, b, w, tol)
 
         @jax.jit
         def _error_d(vecs, norms, selectable, b, w):
             def local(vecs, norms, selectable, b, w_loc):
-                _, error_fn = _bind(vecs, norms, selectable, b)
+                error_fn = lambda w_: jnp.linalg.norm(
+                    jax.lax.psum(w_ @ vecs, DATA_AXIS) - b)
                 return error_fn(w_loc)
 
             return jax.shard_map(
@@ -199,7 +203,8 @@ class ShardedHilbertCoreset:
     def build(self, itrs: int) -> None:
         if self.reached_numeric_limit:
             return
-        st = self._build_d(*self._pre, self.w, jnp.asarray(int(itrs), dtype=jnp.int32))
+        st = self._build_d(*self._pre, self.w, jnp.asarray(int(itrs), dtype=jnp.int32),
+                           jnp.asarray(errors.TOL, dtype=self.data.dtype))
         self.w = st.w
         if bool(st.latched):
             self.reached_numeric_limit = True
@@ -207,7 +212,8 @@ class ShardedHilbertCoreset:
     def build_trace(self, itrs: int):
         """(itrs, N_padded) per-iteration weights, row m-1 == weights after m
         total iterations; stays sharded over the data axis on device."""
-        ws, st = self._trace_d(*self._pre, self.w, int(itrs))
+        ws, st = self._trace_d(*self._pre, self.w, int(itrs),
+                               jnp.asarray(errors.TOL, dtype=self.data.dtype))
         self.w = st.w
         if bool(st.latched):  # sticky, like SparseNNLS (snnls/base.py:209-211)
             self.reached_numeric_limit = True

@@ -97,16 +97,20 @@ def build_trace(step_fn: StepFn, error_fn: Callable, w0: jnp.ndarray, itrs: int,
 
 
 def optimize(A: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray, max_support: int,
-             n_iters: int = 400) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             n_iters: int = 400, tol=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Post-build exact weight re-solve on the active support with
     cost-increase rollback (reference snnls.py:82-97, scipy ``nnls``
     replaced by the jitted solver in snnls/nnls.py).
 
-    Returns (w_new, rolled_back)."""
+    Returns (w_new, rolled_back). ``tol`` is a traced operand (defaults to
+    the current ``errors.TOL`` at trace time; the eager API threads the
+    live value through so ``set_tolerance()`` affects compiled programs)."""
+    if tol is None:
+        tol = errors.TOL
     prev_err = jnp.linalg.norm(A @ w - b)
     w_new = nnls_on_support(A, b, w > 0, max_support, n_iters=n_iters)
     new_err = jnp.linalg.norm(A @ w_new - b)
-    ok = new_err <= prev_err * (1.0 + errors.TOL)
+    ok = new_err <= prev_err * (1.0 + tol)
     return jnp.where(ok, w_new, w), jnp.logical_not(ok)
 
 
@@ -144,27 +148,33 @@ class SparseNNLS:
         # compiled program as constants (an N-column A -> huge HLO, slow
         # tunnel compiles, one cache entry per dataset). itrs stays a traced
         # operand so one compilation serves all build sizes.
+        # tol is a traced OPERAND of every compiled entry (not a trace-time
+        # capture of the mutable errors.TOL): set_tolerance() between builds
+        # affects already-compiled programs without retracing.
         self._jit_build = jax.jit(
-            lambda pre, A, b, w0, itrs: build(
-                lambda w: self._step_pre(pre, w),
+            lambda pre, A, b, w0, itrs, tol: build(
+                lambda w: self._step_pre(pre, w, tol),
                 lambda w: jnp.linalg.norm(A @ w - b),
                 w0, itrs, self.check_error_monotone),
         )
         self._jit_trace = jax.jit(
-            lambda pre, A, b, w0, itrs: build_trace(
-                lambda w: self._step_pre(pre, w),
+            lambda pre, A, b, w0, itrs, tol: build_trace(
+                lambda w: self._step_pre(pre, w, tol),
                 lambda w: jnp.linalg.norm(A @ w - b),
                 w0, itrs, self.check_error_monotone),
             static_argnums=4,
         )
-        self._jit_optimize = jax.jit(lambda A, b, w: optimize(A, b, w, self.max_support))
+        self._jit_optimize = jax.jit(
+            lambda A, b, w, tol: optimize(A, b, w, self.max_support, tol=tol))
 
     # --- subclass hooks ---
     def _precompute(self):
         return None
 
-    def _step_pre(self, pre, w):
-        """One select+reweight step from the (traced) precompute pytree."""
+    def _step_pre(self, pre, w, tol):
+        """One select+reweight step from the (traced) precompute pytree.
+        ``tol`` is the traced numeric tolerance operand (solvers that don't
+        use it just ignore it)."""
         raise NotImplementedError
 
     # --- shared ---
@@ -191,7 +201,8 @@ class SparseNNLS:
         if self.A.size == 0:
             self.log.warning("no data; returning")
             return
-        st = self._jit_build(self._pre, self.A, self.b, self.w, int(itrs))
+        st = self._jit_build(self._pre, self.A, self.b, self.w, int(itrs),
+                             jnp.asarray(errors.TOL, dtype=self.A.dtype))
         self.w = st.w
         if bool(st.latched):
             self.reached_numeric_limit = True
@@ -204,14 +215,16 @@ class SparseNNLS:
         returns an on-device (itrs, N) array whose row m-1 equals the
         weights after ``build`` of m total iterations. Advances this
         solver's state to the final iteration."""
-        ws, st = self._jit_trace(self._pre, self.A, self.b, self.w, int(itrs))
+        ws, st = self._jit_trace(self._pre, self.A, self.b, self.w, int(itrs),
+                                 jnp.asarray(errors.TOL, dtype=self.A.dtype))
         self.w = st.w
         if bool(st.latched):
             self.reached_numeric_limit = True
         return ws
 
     def optimize(self) -> None:
-        w_new, rolled_back = self._jit_optimize(self.A, self.b, self.w)
+        w_new, rolled_back = self._jit_optimize(self.A, self.b, self.w,
+                                                jnp.asarray(errors.TOL, dtype=self.A.dtype))
         self.w = w_new
         if bool(rolled_back):
             self.reached_numeric_limit = True

@@ -61,5 +61,6 @@ class FrankWolfe(SparseNNLS):
             raise ValueError("FrankWolfe: A must not have any zero columns")
         return fw_precompute(self.A, self.b)
 
-    def _step_pre(self, pre, w):
+    def _step_pre(self, pre, w, tol):
+        del tol  # FW's precision guard is scale-relative (fw_step)
         return fw_step(pre, w)

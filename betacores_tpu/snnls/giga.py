@@ -62,10 +62,15 @@ def geodesic_reweight(xw, nw, xwn, xf, wf_old, bn, bnorm):
     return a, scale, new_wf, ok_geo
 
 
-def giga_step(pre: GigaPre, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def giga_step(pre: GigaPre, w: jnp.ndarray, tol=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One select+reweight step (reference giga.py:20-64). Returns
     (w_new, ok); any degenerate-geometry condition the reference signals via
-    NumericalPrecisionError maps to ok=False with w_new unused."""
+    NumericalPrecisionError maps to ok=False with w_new unused. ``tol`` is a
+    TRACED operand (defaults to the current ``errors.TOL``) so
+    ``set_tolerance()`` affects already-compiled programs when the caller
+    threads it through, per the eager API contract."""
+    if tol is None:
+        tol = errors.TOL
     A, An, bn, bnorm = pre
 
     # --- select (giga.py:20-38) ---
@@ -75,7 +80,7 @@ def giga_step(pre: GigaPre, w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     xwn = xw / nw
     cdir = bn - (bn @ xwn) * xwn
     cnrm = jnp.linalg.norm(cdir)
-    ok_select = cnrm >= errors.TOL
+    ok_select = cnrm >= tol
     cdirn = cdir / jnp.where(cnrm == 0.0, 1.0, cnrm)
     num = An.T @ cdirn
     dxw = An.T @ xwn
@@ -100,5 +105,5 @@ class GIGA(SparseNNLS):
             raise errors.NumericalPrecisionError("GIGA: norm of b must be > 0")
         return giga_precompute(self.A, self.b)
 
-    def _step_pre(self, pre, w):
-        return giga_step(pre, w)
+    def _step_pre(self, pre, w, tol):
+        return giga_step(pre, w, tol)

@@ -191,7 +191,7 @@ class AccIHT(SparseNNLS):
     def _precompute(self):
         return None
 
-    def _step_pre(self, pre, w):  # pragma: no cover - greedy path unused
+    def _step_pre(self, pre, w, tol=None):  # pragma: no cover - greedy path unused
         raise NotImplementedError("AccIHT overrides build()")
 
     def reset(self):

@@ -124,5 +124,6 @@ class LAR(SparseNNLS):
             raise ValueError("LAR: norm of b must be > 0 (reference lar.py:21)")
         return LARPre(A=self.A, An=self.A / norms, b=self.b)
 
-    def _step_pre(self, pre, w):
+    def _step_pre(self, pre, w, tol):
+        del tol
         return lar_step(pre, w, self.max_support)

@@ -45,5 +45,6 @@ class OrthoPursuit(SparseNNLS):
             raise ValueError("OrthoPursuit: A must not have any zero columns")
         return OMPPre(A=self.A, An=self.A / norms[None, :], b=self.b)
 
-    def _step_pre(self, pre, w):
+    def _step_pre(self, pre, w, tol):
+        del tol  # OMP's guards are geometric, not tolerance-based
         return omp_step(pre, w, self.max_support)

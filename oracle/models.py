@@ -37,6 +37,19 @@ def gauss_beta_likelihood(x, th, beta, Siginv):
     return np.exp(-0.5 * beta * d2) / beta - (1.0 + beta) ** (-0.5 * d - 1.0)
 
 
+def gauss_beta_gradient(x, th, beta, Siginv):
+    """Exact d/d(beta) of :func:`gauss_beta_likelihood` (the derivative the
+    live learn-beta path computes by autodiff):
+      d/db [ e^{-b d2/2}/b - (1+b)^{-d/2-1} ]
+        = -e^{-b d2/2} (1/b^2 + d2/(2 b)) + (d/2+1)(1+b)^{-d/2-2}.
+    NOT the reference's hand-derived gradient (gaussian.py:46-62), which
+    includes normalizer terms its own beta_likelihood drops."""
+    d = x.shape[-1]
+    d2 = gauss_maha_sq(x, th, Siginv)
+    e = np.exp(-0.5 * beta * d2)
+    return -e * (1.0 / beta**2 + d2 / (2.0 * beta)) + (0.5 * d + 1.0) * (1.0 + beta) ** (-0.5 * d - 2.0)
+
+
 def gauss_grad_x_log_likelihood(x, th, Siginv):
     return (th @ Siginv)[None, :, :] - (x @ Siginv)[:, None, :]
 

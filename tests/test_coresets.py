@@ -81,6 +81,79 @@ class TestIncrementalGolden:
         assert np.isfinite(beta) and beta >= 0.0
         assert len(w) >= 1 and (w >= 0).all()
 
+    def test_learn_beta_matches_oracle(self, rng):
+        """Deterministic golden trajectory for the JOINT (w, beta) refinement
+        — the reference's intended learn_beta update (bcores.py:126-140,
+        projector.py:56-61; its implementation crashes on a missing method)
+        reproduced by the independent NumPy oracle with the exact analytic
+        d/d(beta)."""
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng)
+        beta0 = 0.4
+        M, opt_itrs = 5, 20
+        sched = lambda i: 0.5 / (1.0 + i)
+
+        prj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                       model.beta_likelihood, model.log_likelihood,
+                                       model.beta_gradient)
+        alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=beta0, learn_beta=True,
+                             opt_itrs=opt_itrs, step_sched=sched, seed=1)
+        for m in range(1, M + 1):
+            alg.build(1, m)
+        w_got, p_got, i_got, beta_got = alg.get()
+
+        w_o, i_o, p_o, beta_o = ocs.incremental_build_learn_beta_deterministic(
+            X, M, opt_itrs, sched, lambda w, p: samples,
+            lambda pts, s, b: om.gauss_beta_likelihood(pts, s, b, Siginv),
+            lambda pts, s, b: om.gauss_beta_gradient(pts, s, b, Siginv),
+            beta0,
+        )
+        assert beta_got != pytest.approx(beta0), "beta never moved"
+        assert beta_got == pytest.approx(beta_o, rel=1e-6)
+        keep = w_o > 0
+        np.testing.assert_array_equal(np.sort(i_got), np.sort(i_o[keep]))
+        order_g, order_o = np.argsort(i_got), np.argsort(i_o[keep])
+        np.testing.assert_allclose(w_got[order_g], w_o[keep][order_o], rtol=1e-6, atol=1e-9)
+
+    def test_error_decreases_and_feeds_rollback(self, rng):
+        """error() is a real tangent-space residual (deviation from the
+        reference's hard-coded 0, PARITY.md): it must shrink as the build
+        grows the coreset, and optimize()'s rollback guard must FIRE when a
+        refinement pass degrades it (reference contract coreset.py:48-65)."""
+        X, samples, _, _, model = _setup_gauss(rng, N=60)
+        prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                   model.log_likelihood)
+        alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=30, seed=3,
+                                 step_sched=lambda i: 0.5 / (1.0 + i))
+        e0 = alg.error()
+        assert e0 > 0.0
+        for m in range(1, 9):
+            alg.build(1, m)
+        e1 = alg.error()
+        assert 0.0 < e1 < 0.8 * e0, (e0, e1)
+
+        # a "refinement" that corrupts the weights must be rolled back
+        good_state = alg.state
+        builder = alg._builder
+
+        class _Corrupting:
+            def optimize(self, key, st, ctx=None):
+                return st._replace(wts=st.wts * 100.0)
+
+            def __getattr__(self, name):
+                return getattr(builder, name)
+
+        alg._builder = _Corrupting()
+        alg.optimize()
+        alg._builder = builder
+        assert alg.reached_numeric_limit
+        np.testing.assert_array_equal(np.asarray(alg.state.wts),
+                                      np.asarray(good_state.wts))
+
+        # and a genuine optimize() on the restored instance must be accepted
+        alg.reached_numeric_limit = False
+        alg.optimize()
+        assert not alg.reached_numeric_limit
+
     def test_build_guard_and_reset(self, rng):
         X, samples, _, _, model = _setup_gauss(rng)
         prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],

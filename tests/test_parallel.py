@@ -365,3 +365,35 @@ def test_sharded_group_trace_matches_build(problem):
     np.testing.assert_array_equal(np.asarray(I[-1]), np.asarray(gbuild.core.idcs))
     np.testing.assert_array_equal(np.asarray(SEL[-1]), np.asarray(gbuild.selected))
     assert W.shape[0] == 5
+
+
+def test_aot_lowering_for_v5e8_tpu(problem):
+    """Multi-chip dress rehearsal (round-1 VERDICT item 7): the full sharded
+    build step must AOT-lower for the TPU platform on the v5e-8 mesh shape
+    (4 data x 2 samp per parallel.auto_mesh_shape(8)) — jax.export
+    cross-platform lowering needs no TPU hardware — and its StableHLO must
+    contain the expected ICI collectives (psum-reduced residuals /
+    distributed argmax gathers), and no host callbacks."""
+    from betacores_tpu.parallel import auto_mesh_shape
+
+    X, model, sampler, aux = problem
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                            n_subsample_opt=32, opt_itrs=5, i0=1.0, use_beta=True)
+    mesh = make_mesh(*auto_mesh_shape(8))
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    build = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    st0 = init_state(32, X.shape[1], dtype=ds.dtype)
+    key = jax.random.key(0)
+
+    exp = jax.export.export(
+        jax.jit(lambda k, st: build(k, st, 1)), platforms=["tpu"]
+    )(key, st0)
+    txt = exp.mlir_module()
+    counts = {k: txt.count(f"stablehlo.{k}") for k in
+              ("all_reduce", "all_gather", "collective_permute", "reduce_scatter")}
+    # the residual psums and the distributed argmax must be present
+    assert counts["all_reduce"] > 0, counts
+    # nothing in the step may fall back to the host
+    assert "stablehlo.custom_call @xla_python_cpu_callback" not in txt
+    # record for RESULTS.md: collective mix of one build step
+    print("v5e-8 AOT collectives per build step:", counts)

