@@ -89,12 +89,32 @@ def make_random_groups(rng: np.random.Generator, N: int, group_size: int) -> Lis
     return [perm[i : i + group_size].tolist() for i in range(0, N, group_size)]
 
 
+def _data_roots():
+    """Search order: $BETACORES_DATA, the repo-local ``data/`` output dir of
+    examples/preprocess.py, then the read-only reference mirror."""
+    repo_data = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "data")
+    return (os.environ.get("BETACORES_DATA", ""), repo_data,
+            "/root/reference/examples/data")
+
+
 def reference_dataset_path(name: str) -> Optional[str]:
-    """Resolve a packaged dataset from the reference checkout if present
-    (read-only mirror at /root/reference/examples/data)."""
-    for root in (os.environ.get("BETACORES_DATA", ""), "/root/reference/examples/data"):
+    """Resolve a packaged dataset (preprocessed local artifacts take
+    precedence over the read-only reference mirror)."""
+    for root in _data_roots():
         if root:
             p = os.path.join(root, f"{name}.npz")
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def groups_pickle_path(dataset: str) -> Optional[str]:
+    """Resolve a ``vq_groups_sensemake_<dataset>.pk`` group artifact
+    (reference preproc_adult.py:20-48 format) from the same roots."""
+    for root in _data_roots():
+        if root:
+            p = os.path.join(root, f"vq_groups_sensemake_{dataset}.pk")
             if os.path.exists(p):
                 return p
     return None

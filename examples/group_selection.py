@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import betacores_tpu as bc
 from betacores_tpu.coresets import group_ids_from_groups
 from betacores_tpu.data import gen_synthetic_logreg
-from betacores_tpu.data.loaders import load_groups_pickle, load_npz, reference_dataset_path, std_cov
+from betacores_tpu.data.loaders import (groups_pickle_path, load_groups_pickle,
+                                        load_npz, reference_dataset_path, std_cov)
 from betacores_tpu.inference import logreg_laplace_sampler
 from betacores_tpu.models import logreg
 from betacores_tpu.ops.projection import Groups
@@ -53,11 +54,7 @@ def rebalance_test(Xt, Yt, rnd):
 
 def load_problem(dataset, trial, f_rate):
     path = reference_dataset_path(dataset)
-    gpath = None
-    for root in ("/root/reference/examples/data",):
-        p = os.path.join(root, f"vq_groups_sensemake_{dataset}.pk")
-        if os.path.exists(p):
-            gpath = p
+    gpath = groups_pickle_path(dataset)
     if path is not None and gpath is not None:
         X, Y, Xt, Yt = load_npz(path)
         X, Y, Z, mean_, cov_ = std_cov(X, Y)

@@ -170,6 +170,81 @@ def cmd_mnist2(args):
     print(f"mnist2 ({args.a} vs {args.b}): N={X.shape[0]}")
 
 
+def cmd_movielens(args):
+    """MovieLens ratings (the repo's largest REAL dataset: ~100k rows; the
+    reference ships examples/data/movielens.csv but never wires it into any
+    driver) -> binary "will this user like this movie" logistic-regression
+    task + REAL per-user groups for the group-selection / data-valuation
+    experiment.
+
+    Features are leakage-free collaborative statistics: leave-one-out user
+    mean rating, leave-one-out movie mean rating (train-split only; test
+    rows use plain train means), log activity counts, and normalized
+    timestamp; label y = +1 iff rating >= 4. Groups: the --n-groups most
+    active users, each group = that user's train rows (capped at --cap),
+    written as a vq_groups_sensemake-style pickle (reference
+    preproc_adult.py:20-48 artifact format) over the grouped-row subset."""
+    import pandas as pd
+
+    df = pd.read_csv(args.raw[0])
+    rng = np.random.default_rng(42)
+    n = len(df)
+    is_test = np.zeros(n, dtype=bool)
+    is_test[rng.permutation(n)[: int(0.1 * n)]] = True
+    r = df["rating"].to_numpy(float)
+    y = np.where(r >= 4.0, 1.0, -1.0)
+    uid = df["userId"].to_numpy()
+    mid = df["movieId"].to_numpy()
+
+    tr = df.loc[~is_test]
+    gmean = float(tr["rating"].mean())
+    us = tr.groupby("userId")["rating"].agg(["sum", "count"])
+    ms = tr.groupby("movieId")["rating"].agg(["sum", "count"])
+    u_sum = us["sum"].reindex(uid).fillna(0.0).to_numpy()
+    u_cnt = us["count"].reindex(uid).fillna(0).to_numpy(float)
+    m_sum = ms["sum"].reindex(mid).fillna(0.0).to_numpy()
+    m_cnt = ms["count"].reindex(mid).fillna(0).to_numpy(float)
+    own = (~is_test).astype(float)  # train rows contribute to their own stats
+    u_loo = np.where(u_cnt - own > 0, (u_sum - r * own) / np.maximum(u_cnt - own, 1.0), gmean)
+    m_loo = np.where(m_cnt - own > 0, (m_sum - r * own) / np.maximum(m_cnt - own, 1.0), gmean)
+    ts = df["timestamp"].to_numpy(float)
+    feats = np.c_[u_loo - gmean, m_loo - gmean,
+                  np.log1p(u_cnt), np.log1p(m_cnt),
+                  (ts - ts[~is_test].mean()) / (ts[~is_test].std() + 1e-12)]
+    feats = (feats - feats[~is_test].mean(0)) / (feats[~is_test].std(0) + 1e-12)
+    X = add_intercept(feats)
+    np.savez(os.path.join(args.out_dir, "movielens.npz"),
+             X=X[~is_test], y=y[~is_test], Xt=X[is_test], yt=y[is_test])
+    print(f"movielens: N={int((~is_test).sum())} d={X.shape[1]} "
+          f"test={int(is_test.sum())} pos-rate={float((y[~is_test] > 0).mean()):.3f}")
+
+    # --- per-user groups over the most active users ---------------------
+    n_groups = getattr(args, "n_groups", 100)
+    top_users = us["count"].sort_values(ascending=False).index[:n_groups]
+    train_rows = np.where(~is_test)[0]
+    uid_train = uid[train_rows]
+    grouped_rows, groups, demos = [], [], []
+    cnt_max = float(us["count"].max())
+    for u in top_users:
+        rows = np.where(uid_train == u)[0][: args.cap]  # train-local indices
+        if len(rows) == 0:
+            continue
+        start = len(grouped_rows)
+        grouped_rows.extend(rows.tolist())
+        groups.append(list(range(start, start + len(rows))))
+        n_u = float(us.loc[u, "count"])
+        # corruption propensity: casual (low-activity) users are noisier —
+        # the driver corrupts each group proportional to demos[g][0]
+        # (reference group_selection.py:129-131 semantics)
+        demos.append((1.0 - n_u / cnt_max, int(u), int(n_u), float(us.loc[u, "sum"] / n_u)))
+    sel = np.asarray(grouped_rows)
+    np.savez(os.path.join(args.out_dir, "movielens_grouped.npz"),
+             X=X[~is_test][sel], y=y[~is_test][sel], Xt=X[is_test], yt=y[is_test])
+    with open(os.path.join(args.out_dir, "vq_groups_sensemake_movielens_grouped.pk"), "wb") as f:
+        pickle.dump((groups, demos), f)
+    print(f"movielens_grouped: {len(groups)} real user-groups over {len(sel)} rows")
+
+
 def postcode_to_int(code: str) -> int:
     """Reference's digit-concatenation postcode tag
     (process_housing_prices.py:17): per character, letters map to
@@ -226,7 +301,7 @@ def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ["adult", "diabetes", "phishing", "webspam", "covtype", "mnist2",
-                 "housing"]:
+                 "housing", "movielens"]:
         p = sub.add_parser(name)
         p.add_argument("--raw", nargs="+", required=True)
         p.add_argument("--out-dir", default="data")
@@ -236,6 +311,8 @@ def main():
         if name == "mnist2":
             p.add_argument("--a", type=int, default=3)
             p.add_argument("--b", type=int, default=8)
+        if name == "movielens":
+            p.add_argument("--n-groups", type=int, default=100)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     for f in args.raw:

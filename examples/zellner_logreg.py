@@ -74,6 +74,12 @@ def main():
                     help="HMC chains per evaluated size; >=2 enables "
                          "split-R-hat/ESS convergence checks (the reference "
                          "samples a single unchecked Stan chain)")
+    ap.add_argument("--eval-full-data", action="store_true",
+                    help="also evaluate a FULL-DATA posterior baseline, "
+                         "subsampled to --full-data-cap rows (the reference's "
+                         "mcmc_noXt.py:29-31 pattern: full-data NUTS on a 5k "
+                         "subsample when N is large)")
+    ap.add_argument("--full-data-cap", type=int, default=5000)
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -168,6 +174,31 @@ def main():
               f"accept={float(np.mean(stats['accept_stat'])):.2f} "
               f"rhat={rhat:.3f} ess={ess:.0f} ({mcmc_times[m]:.1f}s){flag}")
 
+    full = None
+    if args.eval_full_data:
+        # reference mcmc_noXt.py:29-31: the full-data MCMC baseline runs on a
+        # <= full_data_cap uniform subsample with weights N/n (same posterior
+        # target in expectation, bounded sampler cost at N >= 100k)
+        N = Z.shape[0]
+        n_fd = min(args.full_data_cap, N)
+        sub = (np.random.default_rng(args.trial).choice(N, n_fd, replace=False)
+               if n_fd < N else np.arange(N))
+        w_fd = jnp.full((n_fd,), N / n_fd, dtype=jnp.float32)
+        t1 = time.perf_counter()
+        chains, stats = hmc.run_chains_weighted_logreg(
+            jax.random.key(args.trial * 100 + 999), Z[jnp.asarray(sub)], w_fd,
+            jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, cfg)
+        chains = jax.block_until_ready(chains)
+        t_fd = time.perf_counter() - t1
+        samples = chains.reshape(-1, D)
+        full = {"n_subsample": int(n_fd),
+                "acc": float(compute_accuracy(Xt, Yt, samples)),
+                "pll": float(predictive_loglik(Zt, samples)),
+                "mcmc_time_s": t_fd,
+                "diag": {k: np.asarray(v) for k, v in summarize_chains(chains).items()}}
+        print(f"full-data baseline (n={n_fd}): acc={full['acc']:.4f} "
+              f"pll={full['pll']:.4f} ({t_fd:.1f}s)")
+
     os.makedirs(args.results_dir, exist_ok=True)
     # config-encoding filename (reference pattern, main.py:235): include
     # every swept hyperparameter or sweep points overwrite each other
@@ -176,7 +207,7 @@ def main():
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,
                      "build_time_s": build_time, "mcmc_times": mcmc_times,
-                     "mcmc_diagnostics": diags}, fh)
+                     "mcmc_diagnostics": diags, "full_data": full}, fh)
     print(f"saved -> {out}")
 
 

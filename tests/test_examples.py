@@ -228,3 +228,37 @@ def test_mvn_unknown_cov_driver(tmp_path, monkeypatch, alg):
     (f,) = _pickles(tmp_path)
     res = pickle.load(open(tmp_path / f, "rb"))
     assert np.isfinite(list(res["mu_err"].values())).all()
+
+
+def test_preprocess_movielens(tmp_path, monkeypatch):
+    """movielens subcommand: leakage-free features, balanced-ish labels,
+    per-user group artifact in the vq_groups_sensemake pickle format."""
+    import pickle
+
+    rng = np.random.default_rng(3)
+    n = 400
+    rows = ["userId,movieId,rating,timestamp"]
+    for _ in range(n):
+        rows.append(f"{rng.integers(1, 12)},{rng.integers(1, 30)},"
+                    f"{rng.choice([1.0, 2.0, 3.0, 4.0, 5.0])},{rng.integers(9e8, 1e9)}")
+    raw = tmp_path / "ml.csv"
+    raw.write_text("\n".join(rows))
+    _run("preprocess.py",
+         ["movielens", "--raw", str(raw), "--out-dir", str(tmp_path),
+          "--n-groups", "5", "--cap", "20"],
+         monkeypatch)
+    d = np.load(tmp_path / "movielens.npz")
+    assert d["X"].shape[1] == 6 and set(np.unique(d["y"])) <= {-1.0, 1.0}
+    assert len(d["y"]) + len(d["yt"]) == n
+    assert np.isfinite(d["X"]).all()
+    g = np.load(tmp_path / "movielens_grouped.npz")
+    groups, demos = pickle.load(open(tmp_path / "vq_groups_sensemake_movielens_grouped.pk", "rb"))
+    assert 1 <= len(groups) <= 5 and len(demos) == len(groups)
+    n_grouped = sum(len(x) for x in groups)
+    assert g["X"].shape[0] == n_grouped
+    assert all(len(x) <= 20 for x in groups)
+    # groups index the grouped npz contiguously and disjointly
+    flat = sorted(i for x in groups for i in x)
+    assert flat == list(range(n_grouped))
+    # demos: (corruption-propensity frac, userId, count, mean-rating)
+    assert all(0.0 <= t[0] <= 1.0 and t[2] >= 1 for t in demos)
