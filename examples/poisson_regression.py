@@ -118,11 +118,12 @@ def main():
             w.append(np.zeros(1))
             p.append(np.zeros((1, d + 1), dtype=np.float32))
     elif args.alg == "RAND":
-        for m in range(1, args.M + 1):
-            alg.build(1, m)
-            got = alg.get()
-            w.append(got[0])
-            p.append(got[1])
+        # one host-RNG pass + one device gather (build_trace), not M
+        # per-size round trips — each trip is one more chance for a
+        # transient tunnel FailedPrecondition to kill the sweep
+        for wm, pm, im in alg.build_trace(args.M):
+            w.append(wm)
+            p.append(pm)
     else:
         for wm, pm, im, bm in alg.build_trace(args.M):
             w.append(wm)

@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--graddiag", action="store_true")
     ap.add_argument("--i0", type=float, default=1.0)
     ap.add_argument("--f-rate", type=float, default=0.1)
+    ap.add_argument("--structured", action="store_true",
+                    help="structured boundary attack instead of unstructured "
+                         "noise+flips (reference model_lr.py:44-60 gen_synthetic "
+                         "adversary)")
     ap.add_argument("--M", type=int, default=100)
     ap.add_argument("--proj-dim", type=int, default=100)
     ap.add_argument("--opt-itrs", type=int, default=500)
@@ -85,7 +89,8 @@ def main():
 
     X, Y, Z, Xt, Yt, Zt = (jnp.asarray(a) for a in load_dataset(args.dataset, args.trial))
     kp = jax.random.key(args.trial)
-    X, Y, Z, out_idx = perturb_logreg(kp, X, Y, f_rate=args.f_rate)
+    X, Y, Z, out_idx = perturb_logreg(kp, X, Y, f_rate=args.f_rate,
+                                      structured=args.structured)
     D = X.shape[1]
     print(f"dataset {args.dataset}: N={X.shape[0]} d={D}, corrupted {len(out_idx)}")
 
@@ -203,6 +208,8 @@ def main():
     # config-encoding filename (reference pattern, main.py:235): include
     # every swept hyperparameter or sweep points overwrite each other
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}_i{args.i0}"
+    if args.structured:
+        tag += "_struct"
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,

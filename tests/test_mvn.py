@@ -201,11 +201,12 @@ def test_niw_kl_closed_form():
     kl_qp = float(mvn.niw_kl(q, p))
     assert kl_pq > 0 and kl_qp > 0 and abs(kl_pq - kl_qp) > 1e-3
 
-    th = mvn.sample_niw(jax.random.key(0), p, 200_000)
+    # 60k draws: enough for rtol 0.05 in f64; 200k took ~37 s of suite time
+    th = mvn.sample_niw(jax.random.key(0), p, 60_000)
     lp = jax.vmap(lambda t: mvn.niw_logpdf(t, p))(th)
     lq = jax.vmap(lambda t: mvn.niw_logpdf(t, q))(th)
     mc = float(jnp.mean(lp - lq))
-    np.testing.assert_allclose(mc, kl_pq, rtol=0.03)
+    np.testing.assert_allclose(mc, kl_pq, rtol=0.05)
     # and the log-pdf itself is a normalized density: E_p[log p] finite,
     # MC of E_p[1] trivially 1 — sanity: quantiles of lp are finite
     assert np.isfinite(np.asarray(lp)).all()
@@ -221,7 +222,7 @@ def test_predictive_logpdf_matches_monte_carlo(rng):
                             nu=jnp.asarray(8.0))
     xs = jnp.asarray(rng.normal(size=(6, d)) * 1.5)
     closed = np.asarray(mvn.predictive_logpdf(xs, post))
-    th = mvn.sample_niw(jax.random.key(0), post, 150_000)
+    th = mvn.sample_niw(jax.random.key(0), post, 60_000)
     ll = np.asarray(mvn.log_likelihood(xs, th))        # (6, S)
     mc = np.log(np.exp(ll).mean(axis=1))
-    np.testing.assert_allclose(closed, mc, atol=0.03)
+    np.testing.assert_allclose(closed, mc, atol=0.05)
