@@ -143,7 +143,8 @@ def main():
             traceback.print_exc(file=sys.stderr)
             print(f"attempt {attempt} failed; {'retrying' if attempt == 0 else 'giving up'}",
                   file=sys.stderr)
-            time.sleep(5.0)
+            if attempt == 0:
+                time.sleep(5.0)
     print(json.dumps({
         "metric": METRIC,
         "value": -1.0,

@@ -261,12 +261,19 @@ class _IncrementalCoreset(Coreset):
                 initialized=int(self.state.m) if initialized else 0)
         # real tangent-space error (the reference returns 0 here, making its
         # optimize() rollback vacuous — deviation documented in PARITY.md).
-        # The key is refreshed once per _build, NOT per error() call, so the
+        # The key is refreshed once per build, NOT per error() call, so the
         # before/after comparison inside optimize() shares one projection.
-        self._error_fn = make_tangent_error(self.data, ll_projector.model,
-                                            ll_projector.sampler, cfg,
-                                            contextual=contextual)
-        self._error_key = self.keys()
+        # Keys come from a SEPARATE seed-derived sequence: drawing them from
+        # self.keys would shift the build key stream and change every
+        # published fixed-seed trajectory.
+        if groups is None:
+            self._error_fn = self._builder.error
+        else:
+            self._error_fn = make_tangent_error(self.data, ll_projector.model,
+                                                ll_projector.sampler, cfg,
+                                                contextual=contextual)
+        self._error_keys = KeySequence(seed ^ 0x5EED0)
+        self._error_key = self._error_keys()
 
     @property
     def selected_groups(self):
@@ -287,7 +294,7 @@ class _IncrementalCoreset(Coreset):
             self._gstate = self._gstate._replace(core=self.state)
             self._gstate = self._builder(self.keys(), self._gstate, int(itrs), self.ctx)
             self.state = self._gstate.core
-        self._error_key = self.keys()
+        self._error_key = self._error_keys()
 
     def error(self) -> float:
         """Tangent-space residual norm of the current coreset under a fresh
@@ -333,6 +340,7 @@ class _IncrementalCoreset(Coreset):
         st, (W, I, B) = self._builder.build_trace(self.keys(), self.state,
                                                   int(itrs), self.ctx)
         self.state = st
+        self._error_key = self._error_keys()  # same per-build refresh as _build
         W, I, B = np.asarray(W), np.asarray(I), np.asarray(B)
         # one padded gather for every iteration's points: (itrs, cap, d)
         P = np.asarray(self.data[jnp.asarray(np.maximum(I, 0))])

@@ -109,9 +109,18 @@ def reference_dataset_path(name: str) -> Optional[str]:
     return None
 
 
-def groups_pickle_path(dataset: str) -> Optional[str]:
+def groups_pickle_path(dataset: str, dataset_path: Optional[str] = None) -> Optional[str]:
     """Resolve a ``vq_groups_sensemake_<dataset>.pk`` group artifact
-    (reference preproc_adult.py:20-48 format) from the same roots."""
+    (reference preproc_adult.py:20-48 format).
+
+    When ``dataset_path`` (the resolved npz) is given, ONLY its own
+    directory is searched: group indices encode that preprocessing run's
+    row ordering, and a pickle from a different root would silently index
+    the wrong rows of a re-preprocessed npz."""
+    if dataset_path is not None:
+        p = os.path.join(os.path.dirname(dataset_path),
+                         f"vq_groups_sensemake_{dataset}.pk")
+        return p if os.path.exists(p) else None
     for root in _data_roots():
         if root:
             p = os.path.join(root, f"vq_groups_sensemake_{dataset}.pk")

@@ -43,6 +43,13 @@ from ..utils import errors
 from .mesh import DATA_AXIS, require_axes
 
 
+def _tangent_error_local(vecs_loc, b, w_loc):
+    """||psum(w @ vecs) - b||: the ONE residual definition shared by the
+    build-time monotone check and the public error() (they must not
+    diverge)."""
+    return jnp.linalg.norm(jax.lax.psum(w_loc @ vecs_loc, DATA_AXIS) - b)
+
+
 def _giga_step_local(vecs_loc, norms_loc, selectable, bn, bnorm, tol, w_loc):
     """One distributed GIGA select+reweight (reference snnls/giga.py:20-64).
 
@@ -145,8 +152,7 @@ class ShardedHilbertCoreset:
             bnorm = jnp.linalg.norm(b)
             bn = b / jnp.where(bnorm == 0.0, 1.0, bnorm)
             step_fn = partial(_giga_step_local, vecs, norms, selectable, bn, bnorm, tol)
-            error_fn = lambda w: jnp.linalg.norm(jax.lax.psum(w @ vecs, DATA_AXIS) - b)
-            return step_fn, error_fn
+            return step_fn, partial(_tangent_error_local, vecs, b)
 
         st_spec = snnls_base.BuildState(w=P(DATA_AXIS), retried=P(), latched=P())
         pre_specs = (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P())
@@ -181,9 +187,7 @@ class ShardedHilbertCoreset:
         @jax.jit
         def _error_d(vecs, norms, selectable, b, w):
             def local(vecs, norms, selectable, b, w_loc):
-                error_fn = lambda w_: jnp.linalg.norm(
-                    jax.lax.psum(w_ @ vecs, DATA_AXIS) - b)
-                return error_fn(w_loc)
+                return _tangent_error_local(vecs, b, w_loc)
 
             return jax.shard_map(
                 local, mesh=mesh,

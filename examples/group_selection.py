@@ -54,7 +54,7 @@ def rebalance_test(Xt, Yt, rnd):
 
 def load_problem(dataset, trial, f_rate):
     path = reference_dataset_path(dataset)
-    gpath = groups_pickle_path(dataset)
+    gpath = None if path is None else groups_pickle_path(dataset, dataset_path=path)
     if path is not None and gpath is not None:
         X, Y, Xt, Yt = load_npz(path)
         X, Y, Z, mean_, cov_ = std_cov(X, Y)

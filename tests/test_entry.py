@@ -35,7 +35,7 @@ def test_dryrun_multichip_self_bootstraps():
          "import jax, __graft_entry__ as g; "
          "assert len(jax.devices()) == 1, jax.devices(); "
          "g.dryrun_multichip(8); print('BOOTSTRAP_OK')"],
-        env=_fresh_env(), cwd=ROOT, capture_output=True, text=True, timeout=900)
+        env=_fresh_env(), cwd=ROOT, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BOOTSTRAP_OK" in r.stdout
 
