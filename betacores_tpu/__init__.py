@@ -25,6 +25,8 @@ from .coresets import (
     HilbertCoreset,
     SparseVICoreset,
     UniformSamplingCoreset,
+    select_beta,
+    trimmed_mean,
 )
 from .utils import NumericalPrecisionError, set_tolerance, set_verbosity
 
@@ -45,6 +47,8 @@ __all__ = [
     "SparseVICoreset",
     "UniformSamplingCoreset",
     "NumericalPrecisionError",
+    "select_beta",
     "set_tolerance",
     "set_verbosity",
+    "trimmed_mean",
 ]

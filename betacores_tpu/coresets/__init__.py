@@ -20,9 +20,12 @@ from .dpbpsvi import DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon, m
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
 from .psvi import PseudoSparseVICoreset, make_psvi_builder
 from .refine import refine_weights
+from .select_beta import select_beta, trimmed_mean
 from .state import CoresetState, get, init_state, warm_start_state
 
 __all__ = [
+    "select_beta",
+    "trimmed_mean",
     "BatchPSVICoreset",
     "BetaBlackBoxProjector",
     "BetaCoreset",

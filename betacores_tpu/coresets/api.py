@@ -220,7 +220,8 @@ class _IncrementalCoreset(Coreset):
 
     def __init__(self, data, ll_projector, n_subsample_select=None, n_subsample_opt=None,
                  opt_itrs: int = 100, step_sched: Callable = lambda i: 1.0 / (1.0 + i),
-                 beta: float = 0.5, learn_beta: Optional[bool] = None, seed: int = 0,
+                 beta: float = 0.5, learn_beta: Optional[bool] = None,
+                 beta_cap: float = 1.0, seed: int = 0,
                  max_size: int = 0, groups=None, initialized: bool = False, **kw):
         if groups is not None and not max_size:
             # group appends add up to max-group-size slots per iteration
@@ -237,6 +238,7 @@ class _IncrementalCoreset(Coreset):
             opt_itrs=opt_itrs,
             use_beta=self._use_beta,
             learn_beta=self._learn_beta,
+            beta_cap=beta_cap,
         )
         self._cfg = cfg
         self.groups = groups

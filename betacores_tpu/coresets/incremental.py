@@ -57,6 +57,7 @@ class IncrementalConfig:
     use_beta: bool = False             # project with the beta-likelihood
     learn_beta: bool = False
     beta_grad_scale: float = 1e-5      # reference bcores.py:134 damping
+    beta_cap: float = 1.0              # learn_beta clamp ceiling (see below)
 
     def __post_init__(self):
         if self.learn_beta and not self.use_beta:
@@ -197,14 +198,23 @@ def make_incremental_builder(
 
             # learn_beta: joint (w, beta) refinement, all coordinates projected
             # to >= 0 (reference partial_nn_opt over arange, bcores.py:136-139).
-            # beta is additionally clamped to a positive floor: the
-            # beta-likelihood has a 1/beta pole at 0, and Adam's sign-normalized
-            # steps would otherwise walk beta onto it (the reference's >= 0
-            # projection alone would NaN the same way).
+            # beta is additionally clamped to (beta_floor, beta_cap]:
+            # - floor: the beta-likelihood has a 1/beta pole at 0, and Adam's
+            #   sign-normalized steps would otherwise walk beta onto it (the
+            #   reference's >= 0 projection alone would NaN the same way);
+            # - cap (default 1.0): the raw tangent residual has a DEGENERATE
+            #   minimum at beta -> inf (every projection scales like
+            #   exp(beta*ll) -> 0, so the residual vanishes identically and
+            #   Adam walks beta off to ~30, measured). The density-power
+            #   divergence is the KL<->L2 interpolation only on (0, 1]
+            #   (Basu et al. 1998), so the clamp is the statistically
+            #   meaningful range, not just a numerical guard.
             beta_floor = jnp.asarray(1e-3, dtype=data.dtype)
+            beta_cap = jnp.asarray(config.beta_cap, dtype=data.dtype)
+            clamp_b = lambda b: jnp.clip(b, beta_floor, beta_cap)
 
             def grad_fn(x, aux, k):
-                w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
+                w, beta = x[:-1], clamp_b(x[-1])
                 vecs, corevecs, scaling, _, _, aux, betagrads = _tangent(
                     k, w, st, beta, n_opt, aux, ctx, with_beta_grad=True)
                 resid = scaling * vecs.sum(axis=0) - w @ corevecs
@@ -214,7 +224,7 @@ def make_incremental_builder(
 
             x0 = jnp.concatenate([st.wts, st.beta[None]])
             xf, aux = nn_adam(x0, grad_fn, st.sampler_aux, key, step_sizes)
-            return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor), sampler_aux=aux)
+            return st._replace(wts=xf[:-1], beta=clamp_b(xf[-1]), sampler_aux=aux)
 
         return _select, _optimize
 

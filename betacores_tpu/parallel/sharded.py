@@ -173,12 +173,16 @@ def make_sharded_incremental_builder(
         # learn_beta: joint (w, beta) refinement, replicated like the weight
         # Adam (same update as coresets/incremental.py's learn_beta branch:
         # reference bcores.py:127-140 with the working autodiff beta-gradient;
-        # beta floored off the beta-likelihood's 1/beta pole). The extra
-        # collective is one psum('samp') for the betagrads inner product.
+        # beta clamped to (floor, beta_cap] exactly like
+        # coresets/incremental.py — see the degenerate beta->inf minimum
+        # note there). The extra collective is one psum('samp') for the
+        # betagrads inner product.
         beta_floor = jnp.asarray(1e-3, dtype=dtype)
+        beta_cap = jnp.asarray(config.beta_cap, dtype=dtype)
+        clamp_b = lambda b: jnp.clip(b, beta_floor, beta_cap)
 
         def grad_fn_b(x, aux, k):
-            w, beta = x[:-1], jnp.maximum(x[-1], beta_floor)
+            w, beta = x[:-1], clamp_b(x[-1])
             vecs_o, corevecs_o, total_o, _, aux, betagrads = _tangent(
                 k, w, st, beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid,
                 with_beta_grad=True,
@@ -190,8 +194,7 @@ def make_sharded_incremental_builder(
 
         x0 = jnp.concatenate([st.wts, st.beta[None]])
         xf, aux = nn_adam(x0, grad_fn_b, st.sampler_aux, k_opt, step_sizes)
-        return st._replace(wts=xf[:-1], beta=jnp.maximum(xf[-1], beta_floor),
-                           sampler_aux=aux)
+        return st._replace(wts=xf[:-1], beta=clamp_b(xf[-1]), sampler_aux=aux)
 
     def _build_local(data_local, key, itrs, st):
         # itrs is traced (fori_loop -> while_loop): one compiled program for

@@ -71,7 +71,7 @@ def incremental_build_deterministic(
 
 def incremental_build_learn_beta_deterministic(
     data, M, opt_itrs, step_sched, sampler_fn, beta_lik_fn, beta_grad_fn,
-    beta0, beta_grad_scale=1e-5, beta_floor=1e-3,
+    beta0, beta_grad_scale=1e-5, beta_floor=1e-3, beta_cap=1.0,
 ):
     """Greedy incremental beta-coreset with JOINT (w, beta) refinement — the
     reference's intended-but-crashing learn_beta path (bcores.py:126-140:
@@ -79,7 +79,9 @@ def incremental_build_learn_beta_deterministic(
     betagrad = -scale * w . (betagrads @ resid) / S, all coordinates
     Adam-projected to >= 0 via partial_nn_opt over arange). Adds the
     positive beta floor the live build uses (the beta-likelihood has a
-    1/beta pole at 0, which the reference's >= 0 projection alone hits).
+    1/beta pole at 0, which the reference's >= 0 projection alone hits)
+    and the beta_cap ceiling (the raw residual objective has a degenerate
+    minimum at beta -> inf; see coresets/incremental.py).
 
     beta_lik_fn(pts, samples, beta) -> (N, S) un-centered;
     beta_grad_fn(pts, samples, beta) -> (N, S) un-centered d/d(beta).
@@ -114,7 +116,7 @@ def incremental_build_learn_beta_deterministic(
 
         # --- joint (w, beta) optimize (spec: bcores.py:126-140) ---
         def grd(x, i):
-            w, b = x[:-1], max(x[-1], beta_floor)
+            w, b = x[:-1], min(max(x[-1], beta_floor), beta_cap)
             samples_ = sampler_fn(w, pts)
             vecs_ = center(beta_lik_fn(data, samples_, b))
             corevecs_ = center(beta_lik_fn(pts, samples_, b))
@@ -126,7 +128,7 @@ def incremental_build_learn_beta_deterministic(
             return np.concatenate([wgrad, [betagrad]])
 
         x = nn_adam(np.concatenate([wts, [beta]]), grd, opt_itrs, step_sched)
-        wts, beta = x[:-1], max(float(x[-1]), beta_floor)
+        wts, beta = x[:-1], min(max(float(x[-1]), beta_floor), beta_cap)
 
     return wts, idcs, pts, beta
 

@@ -114,6 +114,24 @@ class TestIncrementalGolden:
         order_g, order_o = np.argsort(i_got), np.argsort(i_o[keep])
         np.testing.assert_allclose(w_got[order_g], w_o[keep][order_o], rtol=1e-6, atol=1e-9)
 
+    def test_learn_beta_respects_cap(self, rng):
+        """The joint (w, beta) refinement clamps beta to (floor, beta_cap]:
+        the raw tangent residual has a degenerate minimum at beta -> inf
+        (see coresets/incremental.py), so an uncapped Adam walk can leave
+        the density-power range (0, 1]. Both the default cap and an explicit
+        one must bound the learned beta."""
+        X, samples, Siginv, logdetSig, model = _setup_gauss(rng)
+        prj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                                       model.beta_likelihood, model.log_likelihood,
+                                       model.beta_gradient)
+        for cap in (1.0, 0.45):
+            alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.4, learn_beta=True,
+                                 opt_itrs=25, seed=2, beta_cap=cap,
+                                 step_sched=lambda i: 5.0)  # huge steps force the clamp
+            alg.build(3, 3)
+            beta = float(np.ravel(alg.get()[3])[-1])
+            assert 1e-3 <= beta <= cap + 1e-7
+
     def test_error_decreases_and_feeds_rollback(self, rng):
         """error() is a real tangent-space residual (deviation from the
         reference's hard-coded 0, PARITY.md): it must shrink as the build
@@ -399,3 +417,85 @@ def test_uniform_sampling_keeps_warm_start(rng):
     for k in range(4):
         row = p[np.asarray(i) == 10_000_000 + k][0]
         np.testing.assert_allclose(row, wpts[k], rtol=1e-6)
+
+
+class TestSelectBeta:
+    """External robust selection of beta (coresets/select_beta.py): the
+    in-build tangent residual cannot identify the clean-posterior optimum
+    (RESULTS.md learn_beta validation), so beta is chosen by trimmed
+    held-out predictive log-likelihood over a build grid."""
+
+    def test_trimmed_mean_drops_lower_tail_only(self):
+        x = jnp.asarray([-100.0, -50.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])
+        # trim=0.2 drops exactly the two contaminated values
+        got = float(bc.trimmed_mean(x, 0.2))
+        assert got == pytest.approx(np.mean([1, 2, 3, 4, 5, 6, 7, 8.0]))
+        # trim=0 is the plain mean; trim is clipped at 0.5
+        assert float(bc.trimmed_mean(x, 0.0)) == pytest.approx(float(x.mean()))
+        assert float(bc.trimmed_mean(x, 0.9)) == pytest.approx(
+            float(jnp.sort(x)[5:].mean()))
+
+    def test_select_beta_picks_trimmed_argmax(self):
+        """With per-point scores whose plain mean and trimmed mean disagree,
+        the selector must follow the TRIMMED mean (the contamination-robust
+        criterion), and report one score per candidate."""
+        betas = [0.1, 0.5, 0.9]
+        # beta=0.1: great mean, poisoned tail after trimming is mediocre.
+        # beta=0.5: best trimmed mean. beta=0.9: worst everywhere.
+        per_beta = {
+            0.1: np.array([10.0] * 2 + [0.0] * 8),   # mean 2.0, trim20 -> 1.25 avg of top8? no:
+            0.5: np.array([-50.0] * 2 + [3.0] * 8),  # mean -9.7, trim20 -> 3.0
+            0.9: np.array([-1.0] * 10),              # trim20 -> -1.0
+        }
+        built = []
+        def build_fn(b):
+            built.append(b)
+            return np.full(3, b), np.zeros((3, 2))
+        def score_fn(w, p):
+            return per_beta[float(w[0])]
+        best, scores = bc.select_beta(build_fn, betas, score_fn, trim=0.2)
+        assert built == betas  # one build per candidate
+        assert scores.shape == (3,)
+        # trimmed means: 0.1 -> mean of sorted[2:] = (10+10+0*6)/8 = 2.5,
+        # 0.5 -> 3.0, 0.9 -> -1.0  => argmax at beta=0.5
+        assert best == 0.5
+        assert scores[1] == pytest.approx(3.0)
+
+    def test_select_beta_end_to_end_prefers_robust_beta(self, rng):
+        """Contaminated gaussian: score each beta-coreset posterior by
+        trimmed held-out predictive ll. Large beta (robust) must beat the
+        near-KL limit beta -> 0, matching the reverse-KL ranking."""
+        d, N, M = 2, 300, 12
+        mu_true = np.zeros(d)
+        Xc_clean = rng.normal(size=(N, d)) + mu_true
+        X_out = rng.normal(size=(N // 10, d)) * 0.3 + 8.0   # shifted cluster
+        X = np.concatenate([Xc_clean, X_out]).astype(np.float32)
+        X_val = np.concatenate([rng.normal(size=(80, d)) + mu_true,
+                                rng.normal(size=(20, d)) * 0.3 + 8.0]).astype(np.float32)
+        Siginv = jnp.eye(d)
+        mu0, Sig0inv = jnp.zeros(d), jnp.eye(d)
+        model = gmod.bundle(Siginv, 0.0)
+        sampler = gaussian_conjugate_sampler(mu0, Sig0inv, Siginv)
+        prj = bc.BetaBlackBoxProjector(sampler, 64, model.beta_likelihood,
+                                       model.log_likelihood, model.beta_gradient)
+
+        def build_fn(b):
+            alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=b, learn_beta=False,
+                                 opt_itrs=60, seed=3, max_size=M)
+            alg.build(M, M)
+            w, p = alg.get()[:2]
+            return w, p
+
+        def score_fn(w, p):
+            post = gmod.weighted_post(mu0, Sig0inv, Siginv, jnp.asarray(p),
+                                      jnp.asarray(w))
+            # predictive ll per held-out point under N(mu_post, Sig + Sig_post)
+            cov = jnp.linalg.inv(Siginv) + post.cov
+            dx = jnp.asarray(X_val) - post.mu
+            quad = jnp.einsum('nd,dk,nk->n', dx, jnp.linalg.inv(cov), dx)
+            return -0.5 * (quad + jnp.linalg.slogdet(cov)[1]
+                           + d * jnp.log(2 * jnp.pi))
+
+        best, scores = bc.select_beta(build_fn, [0.01, 0.7], score_fn, trim=0.25)
+        assert np.all(np.isfinite(scores))
+        assert best == 0.7, scores
