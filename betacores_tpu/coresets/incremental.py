@@ -142,14 +142,27 @@ def make_incremental_builder(
             _project_ = lambda pts, samples, beta: _project(mdl, pts, samples, beta)
             k_samp, k_sub = jax.random.split(key)
             samples, aux = smp(k_samp, S, w, st.pts, aux)
+            mask = st.slot_mask[:, None].astype(data.dtype)
+            fused_rows = n_sub is not None and not with_beta_grad
             if n_sub is None:
                 vecs = _project_(data, samples, beta)
                 scaling = jnp.asarray(1.0, dtype=data.dtype)
                 sub_idcs = None
+            elif fused_rows:
+                # one projection pass over [subsample; coreset buffer]: the
+                # centering is per-row, so splitting afterwards is identical
+                # to two separate calls — but costs one matmul+transform
+                # kernel chain instead of two (the build is latency-bound:
+                # 50k dependent steps in the headline config).
+                sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
+                allvecs = _project_(
+                    jnp.concatenate([data[sub_idcs], st.pts], axis=0), samples, beta)
+                vecs = allvecs[:n_sub]
+                corevecs, betagrads = allvecs[n_sub:] * mask, None
+                return vecs, corevecs, scaling, sub_idcs, samples, aux, betagrads
             else:
                 sub_idcs, scaling = draw_subsample(k_sub, N, n_sub)
                 vecs = _project_(data[sub_idcs], samples, beta)
-            mask = st.slot_mask[:, None].astype(data.dtype)
             if with_beta_grad:
                 corevecs, betagrads = project_beta_with_grad(mdl, st.pts, samples, beta)
                 corevecs, betagrads = corevecs * mask, betagrads * mask
@@ -186,6 +199,47 @@ def make_incremental_builder(
         def _optimize(key, st: CoresetState, ctx) -> CoresetState:
             """Reference bcores.py:126-150 / sparsevi.py:128-136."""
             if not config.learn_beta:
+                mdl, smp = _resolve(ctx)
+                from_noise = getattr(smp, "from_noise", None)
+                if from_noise is not None and n_opt is not None:
+                    # Pre-draw the WHOLE refinement loop's posterior noise and
+                    # subsample indices in batched kernels, and pre-gather the
+                    # subsample rows in one pass, instead of one
+                    # randn+randint+gather kernel chain per Adam step — the
+                    # build is latency-bound (50k dependent steps in the
+                    # headline config), so each removed per-step kernel is
+                    # wall-clock. The draws replay nn_adam's exact key stream
+                    # (split(key, T) then split(k) -> (k_samp, k_sub)), so
+                    # every value is bit-identical to the per-step path.
+                    T = config.opt_itrs
+                    aux0 = st.sampler_aux
+                    td = getattr(smp, "theta_dim", None)
+                    d_theta = td if td is not None else aux0.shape[-1]
+                    z_dtype = getattr(smp, "theta_dtype", None) or aux0.dtype
+                    keys = jax.random.split(key, T)
+                    pair = jax.vmap(jax.random.split)(keys)        # (T, 2)
+                    k_samp, k_sub = pair[:, 0], pair[:, 1]
+                    z_all = jax.vmap(
+                        lambda k: jax.random.normal(k, (S, d_theta), dtype=z_dtype))(k_samp)
+                    idx_all = jax.vmap(
+                        lambda k: jax.random.randint(k, (n_opt,), 0, N))(k_sub)
+                    rows_all = data[idx_all]                       # (T, n_opt, D)
+                    scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
+                    mask = st.slot_mask[:, None].astype(data.dtype)
+
+                    def grad_fn(w, aux, k, xsl):
+                        z, rows = xsl
+                        samples, aux = from_noise(z, w, st.pts, aux)
+                        allvecs = _project(
+                            mdl, jnp.concatenate([rows, st.pts], axis=0),
+                            samples, st.beta)
+                        vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
+                        resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                        return -(corevecs @ resid) / S, aux
+
+                    w_new, aux = nn_adam(st.wts, grad_fn, aux0, key, step_sizes,
+                                         xs=(z_all, rows_all))
+                    return st._replace(wts=w_new, sampler_aux=aux)
 
                 def grad_fn(w, aux, k):
                     vecs, corevecs, scaling, _, _, aux, _ = _tangent(

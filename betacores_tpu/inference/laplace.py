@@ -40,6 +40,7 @@ def newton_laplace(
     hess: Callable[[jnp.ndarray], jnp.ndarray],
     mu0: jnp.ndarray,
     n_iters: int = 8,
+    exact_final: bool = True,
 ) -> LaplaceApprox:
     """Maximize a concave log-joint by damped Newton with a static
     backtracking grid (each candidate evaluation is O(M d) — tiny next to
@@ -50,7 +51,20 @@ def newton_laplace(
     (affine-invariant; quadratic convergence makes the remaining mode error
     O(lambda^4)). Warm-started refits inside the Adam hot loop therefore pay
     1-2 iterations instead of the full ``n_iters`` budget — measured 2.4x
-    off the N=1M headline build — while cold starts keep the full budget."""
+    off the N=1M headline build — while cold starts keep the full budget.
+
+    ``exact_final=True`` (default) refactorizes -H at the final iterate, so
+    ``prec_chol`` is the exact Cholesky factor at the returned mode (the
+    standalone-Laplace contract). ``exact_final=False`` is the hot-loop
+    variant for samplers: the mode trajectory is IDENTICAL (same steps, same
+    warm-start stream, same iteration counts), but the factor carried out of
+    the last executed iteration is returned instead of refactorizing —
+    saving one hess+cholesky chain per call (~25% of the per-Adam-step
+    latency in the headline build; a 10x10 TPU Cholesky alone costs ~3 us of
+    serial latency). That factor is evaluated one (converged, hence O(tol)-
+    sized) backtracking step before the returned mode, a relative covariance
+    perturbation far below the Monte-Carlo noise of any projection built
+    from S posterior samples."""
 
     tol = 1e-7 if mu0.dtype == jnp.float64 else 1e-5
 
@@ -62,6 +76,7 @@ def newton_laplace(
         p = jax.scipy.linalg.cho_solve((L, True), g)
         f0 = log_joint(mu)
         lam2 = g @ p  # Newton decrement^2: predicted improvement scale
+        converged = lam2 <= tol * (1.0 + jnp.abs(f0))
         # grid cast to the carry dtype: f64 _TS must not promote an f32 mu
         # (scan carry type mismatch under enable_x64)
         cands = mu[None, :] + jnp.asarray(_TS, dtype=mu.dtype)[:, None] * p[None, :]
@@ -70,21 +85,28 @@ def newton_laplace(
         best = jnp.argmax(vals)
         improved = vals[best] > f0
         mu_new = jnp.where(improved, cands[best], mu)
-        converged = lam2 <= tol * (1.0 + jnp.abs(f0))
-        return mu_new, converged
+        return mu_new, L, converged
 
     def cond(carry):
-        _, it, done = carry
+        _, _, it, done = carry
         return (it < n_iters) & ~done
 
     def body(carry):
-        mu, it, _ = carry
-        mu_new, converged = step(mu)
-        return mu_new, it + 1, converged
+        mu, _, it, _ = carry
+        mu_new, L, converged = step(mu)
+        return mu_new, L, it + 1, converged
 
-    mu, _, _ = jax.lax.while_loop(
-        cond, body, (mu0, jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False)))
-    L = jnp.linalg.cholesky(-hess(mu))
+    L0 = jnp.eye(mu0.shape[0], dtype=mu0.dtype)
+    mu, L, _, done = jax.lax.while_loop(
+        cond, body, (mu0, L0, jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False)))
+    if exact_final:
+        L = jnp.linalg.cholesky(-hess(mu))
+    # else: the carried L — exact at the last executed iteration's entry
+    # point, O(tol) stale at the returned mode on the (typical) converged
+    # exit, one Newton step stale on a budget-exhausted exit. A lax.cond
+    # refactorization for the budget case was measured SLOWER than the
+    # factorization it saved (conditionals break fusion in the hot loop),
+    # so the fast path accepts the staleness unconditionally.
     return LaplaceApprox(mu=mu, prec_chol=L)
 
 
@@ -115,6 +137,14 @@ def newton_laplace_diag(
     return LaplaceApprox(mu=mu, prec_chol=L)
 
 
+def sample_laplace_from_noise(lap: LaplaceApprox, z: jnp.ndarray) -> jnp.ndarray:
+    """theta = mu + L^{-T} z for pre-drawn standard normals z (n, d): the
+    noise-in half of ``sample_laplace``, used by builders that pre-draw the
+    whole refinement loop's noise in one vmapped call (bit-identical values,
+    one kernel instead of one per step)."""
+    return lap.mu + solve_triangular(lap.prec_chol.T, z.T, lower=False).T
+
+
 def sample_laplace(key: jax.Array, lap: LaplaceApprox, n_samples: int) -> jnp.ndarray:
     """(S, d) draws theta = mu + L^{-T} z with the *correct* covariance
     Sig = L^{-T} L^{-1} = (-H)^{-1}. (The reference draws mu + z @ LSig.T
@@ -122,4 +152,4 @@ def sample_laplace(key: jax.Array, lap: LaplaceApprox, n_samples: int) -> jnp.nd
     documented in models/gaussian.py; not reproduced.)"""
     d = lap.mu.shape[0]
     z = jax.random.normal(key, (n_samples, d), dtype=lap.mu.dtype)
-    return lap.mu + solve_triangular(lap.prec_chol.T, z.T, lower=False).T
+    return sample_laplace_from_noise(lap, z)

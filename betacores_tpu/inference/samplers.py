@@ -26,9 +26,19 @@ from ..models import gaussian as gauss_model
 from ..models import linreg as linreg_model
 from ..models import logreg as logreg_model
 from ..models import poisson as poisson_model
-from .laplace import newton_laplace, newton_laplace_diag, sample_laplace
+from .laplace import (newton_laplace, newton_laplace_diag, sample_laplace,
+                      sample_laplace_from_noise)
 
 SamplerFn = Callable  # (key, n, wts, pts, aux) -> (samples, aux)
+# Samplers may additionally carry a ``from_noise`` attribute:
+#     sampler.from_noise(z, wts, pts, aux) -> (samples, aux)
+# with z an (n, theta_dim) block of pre-drawn standard normals, plus a
+# ``theta_dim`` attribute (int, or None meaning "same as pts.shape[1]").
+# Builders use it to pre-draw a whole refinement loop's noise in ONE vmapped
+# call (bit-identical values to the per-step key path — the PRNG is
+# functional) instead of one randn kernel per Adam step; the build loop is
+# latency-bound, so each removed per-step kernel is wall-clock off the
+# headline build.
 
 
 def gaussian_conjugate_sampler(mu0, Sig0inv, Siginv) -> SamplerFn:
@@ -40,6 +50,13 @@ def gaussian_conjugate_sampler(mu0, Sig0inv, Siginv) -> SamplerFn:
         post = gauss_model.weighted_post(mu0, Sig0inv, Siginv, pts, wts)
         return gauss_model.sample_gaussian_prec(key, post, n), aux
 
+    def from_noise(z, wts, pts, aux):
+        post = gauss_model.weighted_post(mu0, Sig0inv, Siginv, pts, wts)
+        return gauss_model.sample_gaussian_prec_from_noise(post, z), aux
+
+    sampler.from_noise = from_noise
+    sampler.theta_dim = int(mu0.shape[0])
+    sampler.theta_dtype = jnp.asarray(mu0).dtype
     return sampler
 
 
@@ -51,47 +68,83 @@ def linreg_conjugate_sampler(mu0, Sig0inv, sigsq) -> SamplerFn:
         post = linreg_model.weighted_post(mu0, Sig0inv, sigsq, pts, wts)
         return gauss_model.sample_gaussian_prec(key, post, n), aux
 
+    def from_noise(z, wts, pts, aux):
+        post = linreg_model.weighted_post(mu0, Sig0inv, sigsq, pts, wts)
+        return gauss_model.sample_gaussian_prec_from_noise(post, z), aux
+
+    sampler.from_noise = from_noise
+    sampler.theta_dim = int(mu0.shape[0])
+    sampler.theta_dtype = jnp.asarray(mu0).dtype
     return sampler
 
 
-def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bool = True) -> SamplerFn:
+def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bool = True,
+                           exact_final: bool = False) -> SamplerFn:
     """Laplace-approximation sampler for Bayesian logistic regression
     (reference zellner_logreg/main.py:139-144). ``aux`` is the previous mode
-    (warm start); pass zeros initially."""
+    (warm start); pass zeros initially.
 
-    def sampler(key, n, wts, pts, aux):
+    ``exact_final=False`` (default): the converged Newton iteration reuses
+    its factor instead of refactorizing at the mode — the mode is O(tol)
+    less polished, far below the S-sample Monte-Carlo noise this sampler
+    feeds, and one 10x10 hess+cholesky chain (~4.4 us serial latency on
+    v5e) is saved per refit (laplace.py::newton_laplace)."""
+
+    def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
         lj = lambda th: logreg_model.log_joint(pts, th, wts)
         g = lambda th: logreg_model.grad_th_log_joint(pts, th, wts)
         if diag:
             dh = lambda th: logreg_model.diag_hess_th_log_joint(pts, th, wts)
-            lap = newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
-        else:
-            h = lambda th: logreg_model.hess_th_log_joint(pts, th, wts)
-            lap = newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
+            return newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
+        h = lambda th: logreg_model.hess_th_log_joint(pts, th, wts)
+        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton,
+                              exact_final=exact_final)
+
+    def sampler(key, n, wts, pts, aux):
+        lap = _fit(wts, pts, aux)
         return sample_laplace(key, lap, n), lap.mu
 
+    def from_noise(z, wts, pts, aux):
+        lap = _fit(wts, pts, aux)
+        return sample_laplace_from_noise(lap, z), lap.mu
+
+    sampler.from_noise = from_noise
+    sampler.theta_dim = None  # theta lives in the data row space; dtype = aux's
+    sampler.theta_dtype = None
     return sampler
 
 
 def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
-                            warm_start: bool = True) -> SamplerFn:
+                            warm_start: bool = True,
+                            exact_final: bool = False) -> SamplerFn:
     """Laplace sampler for Poisson regression (softplus link). Newton uses
     the expected (Fisher) Hessian — globally negative definite — so this is
-    Fisher scoring, the standard GLM fit (models/poisson.py docstring)."""
+    Fisher scoring, the standard GLM fit (models/poisson.py docstring).
+    ``exact_final`` as in ``logreg_laplace_sampler``."""
 
-    def sampler(key, n, wts, pts, aux):
+    def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
         lj = lambda th: poisson_model.log_joint(pts, th, wts)
         g = lambda th: poisson_model.grad_th_log_joint(pts, th, wts)
         if diag:
             dh = lambda th: poisson_model.diag_hess_th_log_joint(pts, th, wts)
-            lap = newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
-        else:
-            h = lambda th: poisson_model.hess_th_log_joint(pts, th, wts)
-            lap = newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
+            return newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
+        h = lambda th: poisson_model.hess_th_log_joint(pts, th, wts)
+        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton,
+                              exact_final=exact_final)
+
+    def sampler(key, n, wts, pts, aux):
+        lap = _fit(wts, pts, aux)
         return sample_laplace(key, lap, n), lap.mu
 
+    def from_noise(z, wts, pts, aux):
+        lap = _fit(wts, pts, aux)
+        return sample_laplace_from_noise(lap, z), lap.mu
+
+    sampler.from_noise = from_noise
+    sampler.theta_dim = None
+    sampler.theta_dtype = None
     return sampler
 
 

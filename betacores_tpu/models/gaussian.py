@@ -116,6 +116,13 @@ def weighted_post(th0, Sig0inv, Siginv, x, w) -> GaussianPosterior:
     return GaussianPosterior(mu=mu, prec_chol=L)
 
 
+def sample_gaussian_prec_from_noise(post: GaussianPosterior, z: jnp.ndarray) -> jnp.ndarray:
+    """theta = mu + L^{-T} z for pre-drawn standard normals z (n, d) — the
+    noise-in half of ``sample_gaussian_prec`` (builders pre-draw a whole
+    refinement loop's noise in one vmapped call; values are bit-identical)."""
+    return post.mu + solve_triangular(post.prec_chol.T, z.T, lower=False).T
+
+
 def sample_gaussian_prec(key, post: GaussianPosterior, n_samples: int) -> jnp.ndarray:
     """Draw (S, d) samples theta = mu + L^{-T} z, z ~ N(0, I): exact
     covariance Sigp = L^{-T} L^{-1}. (The reference draws mu + z @ LSig.T
@@ -124,7 +131,7 @@ def sample_gaussian_prec(key, post: GaussianPosterior, n_samples: int) -> jnp.nd
     d = post.mu.shape[0]
     z = jax.random.normal(key, (n_samples, d), dtype=post.mu.dtype)
     # theta_s = mu + L^{-T} z_s  ==  mu + solve(L.T, z_s)
-    return post.mu + solve_triangular(post.prec_chol.T, z.T, lower=False).T
+    return sample_gaussian_prec_from_noise(post, z)
 
 
 def gaussian_KL(mu0, Sig0, mu1, Sig1inv):

@@ -46,18 +46,27 @@ def nn_adam(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    xs=None,
 ) -> Tuple[jnp.ndarray, Aux]:
     """Projected Adam. ``nn_mask`` selects coordinates clipped to >= 0
     (None = all coordinates, matching ``nn_opt``; a boolean mask gives
     ``partial_nn_opt`` used by BPSVI to keep weights non-negative while
-    point locations stay free)."""
+    point locations stay free).
+
+    ``xs`` (optional) is a pytree of per-step inputs with leading dimension
+    ``n_steps``; when given, ``grad_fn`` is called as
+    ``grad_fn(x, aux, k, xs_i)`` with step i's slice. Builders use this to
+    feed pre-drawn posterior noise / pre-gathered data subsamples into the
+    loop (one batched kernel outside instead of one per step — the builds
+    are latency-bound). The per-step keys are unchanged, so a callback that
+    ignores ``xs_i`` sees the exact previous behavior."""
     n_steps = step_sizes.shape[0]
     mask = jnp.ones_like(x0, dtype=bool) if nn_mask is None else nn_mask
 
     def body(carry, inp):
         x, m1, m2, aux = carry
-        lr, k, i = inp
-        g, aux = grad_fn(x, aux, k)
+        lr, k, i, xsl = inp
+        g, aux = grad_fn(x, aux, k) if xs is None else grad_fn(x, aux, k, xsl)
         g = g.astype(x.dtype)  # keep the scan carry dtype stable under mixed-precision callbacks
         m1 = b1 * m1 + (1.0 - b1) * g
         m2 = b2 * m2 + (1.0 - b2) * g * g
@@ -71,5 +80,7 @@ def nn_adam(
     keys = jax.random.split(key, n_steps)
     steps = jnp.arange(n_steps, dtype=x0.dtype)
     init = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), aux0)
-    (x, _, _, aux), _ = jax.lax.scan(body, init, (step_sizes, keys, steps))
+    zeros = jnp.zeros((n_steps,), dtype=x0.dtype)  # placeholder when xs is None
+    (x, _, _, aux), _ = jax.lax.scan(
+        body, init, (step_sizes, keys, steps, xs if xs is not None else zeros))
     return x, aux
