@@ -172,12 +172,30 @@ def predictive_loglik(Zt, thetas):
     return jnp.mean(jax.scipy.special.logsumexp(ll, axis=1) - jnp.log(S))
 
 
-def bundle(k_max: int = 64, gaussian_mass: bool = False) -> ModelFns:
+def bundle(k_max: int = 64, gaussian_mass: bool = False,
+           fused: bool | None = None) -> ModelFns:
+    """``fused=None`` auto-enables the single-pass Pallas projection kernels
+    on TPU backends (ops/pallas_kernels.py::poisson_projection_fused). The
+    fused beta path folds the truncated mass sum into the row tile — the XLA
+    path materializes an (N, S, k_max+1) intermediate, so at large N the
+    kernel saves ~k_max x the HBM traffic."""
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
     blik = lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max,
                                             gaussian_mass=gaussian_mass)
+    fused_ll = fused_beta = None
+    if fused:
+        from ..ops.pallas_kernels import poisson_projection_fused
+
+        fused_ll = lambda pts, th: poisson_projection_fused(
+            pts, th, use_beta=False, k_max=k_max, gaussian_mass=gaussian_mass)
+        fused_beta = lambda pts, th, b: poisson_projection_fused(
+            pts, th, beta=b, use_beta=True, k_max=k_max, gaussian_mass=gaussian_mass)
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=blik,
         beta_gradient=beta_gradient_from_autodiff(blik),
         grad_z_log_likelihood=grad_z_log_likelihood,
+        fused_ll_projection=fused_ll,
+        fused_beta_projection=fused_beta,
     )

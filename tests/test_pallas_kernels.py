@@ -49,6 +49,29 @@ def test_gaussian_fused_matches_xla(shapes, rng):
     np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=5e-4)
 
 
+def test_poisson_fused_matches_xla(rng):
+    from betacores_tpu.models import poisson as pmod
+    from betacores_tpu.ops.pallas_kernels import poisson_projection_fused
+
+    N, D, S = 700, 5, 50
+    x = rng.normal(size=(N, D - 1)).astype(np.float32)
+    y = rng.poisson(lam=3.0, size=N).astype(np.float32)
+    Z = jnp.asarray(np.concatenate([x, y[:, None]], axis=1))
+    TH = jnp.asarray(0.5 * rng.normal(size=(S, D - 1)).astype(np.float32))
+
+    ref = center(pmod.log_likelihood(Z, TH))
+    got = poisson_projection_fused(Z, TH, use_beta=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+    for beta in (0.1, 0.5):
+        refb = center(pmod.beta_likelihood(Z, TH, beta, k_max=32))
+        gotb = poisson_projection_fused(Z, TH, beta=beta, use_beta=True, k_max=32)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=5e-5)
+    # closed-form gaussian mass variant
+    refg = center(pmod.beta_likelihood(Z, TH, 0.3, gaussian_mass=True))
+    gotg = poisson_projection_fused(Z, TH, beta=0.3, use_beta=True, gaussian_mass=True)
+    np.testing.assert_allclose(np.asarray(gotg), np.asarray(refg), atol=5e-5)
+
+
 def test_fused_dispatch_threshold(rng):
     """project_ll routes big blocks to the fused kernel when the bundle has
     one, small blocks to XLA."""
