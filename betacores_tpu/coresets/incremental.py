@@ -224,15 +224,22 @@ def make_incremental_builder(
                     idx_all = jax.vmap(
                         lambda k: jax.random.randint(k, (n_opt,), 0, N))(k_sub)
                     rows_all = data[idx_all]                       # (T, n_opt, D)
+                    # pre-append the coreset buffer (constant across this
+                    # refinement pass) to every step's subsample rows: ONE
+                    # batched concat here instead of a concat kernel inside
+                    # each of the T dependent steps (latency-bound loop)
+                    M_buf = st.pts.shape[0]
+                    rows_all = jnp.concatenate(
+                        [rows_all,
+                         jnp.broadcast_to(st.pts, (T, M_buf) + st.pts.shape[1:])],
+                        axis=1)                                    # (T, n_opt+M, D)
                     scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
                     mask = st.slot_mask[:, None].astype(data.dtype)
 
                     def grad_fn(w, aux, k, xsl):
                         z, rows = xsl
                         samples, aux = from_noise(z, w, st.pts, aux)
-                        allvecs = _project(
-                            mdl, jnp.concatenate([rows, st.pts], axis=0),
-                            samples, st.beta)
+                        allvecs = _project(mdl, rows, samples, st.beta)
                         vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
                         resid = scaling * vecs.sum(axis=0) - w @ corevecs
                         return -(corevecs @ resid) / S, aux

@@ -46,67 +46,63 @@ def newton_laplace(
     backtracking grid (each candidate evaluation is O(M d) — tiny next to
     the N x S projection work).
 
-    The loop is adaptive: it stops early once the Newton decrement
+    The loop is adaptive: it stops once the Newton decrement
     lambda^2 = g . (-H)^{-1} g falls below ``tol`` relative to |log_joint|
     (affine-invariant; quadratic convergence makes the remaining mode error
     O(lambda^4)). Warm-started refits inside the Adam hot loop therefore pay
     1-2 iterations instead of the full ``n_iters`` budget — measured 2.4x
     off the N=1M headline build — while cold starts keep the full budget.
 
-    ``exact_final=True`` (default) refactorizes -H at the final iterate, so
-    ``prec_chol`` is the exact Cholesky factor at the returned mode (the
-    standalone-Laplace contract). ``exact_final=False`` is the hot-loop
-    variant for samplers: the mode trajectory is IDENTICAL (same steps, same
-    warm-start stream, same iteration counts), but the factor carried out of
-    the last executed iteration is returned instead of refactorizing —
-    saving one hess+cholesky chain per call (~25% of the per-Adam-step
-    latency in the headline build; a 10x10 TPU Cholesky alone costs ~3 us of
-    serial latency). That factor is evaluated one (converged, hence O(tol)-
-    sized) backtracking step before the returned mode, a relative covariance
-    perturbation far below the Monte-Carlo noise of any projection built
-    from S posterior samples."""
+    The loop is structured so the decrement test runs BEFORE each line
+    search, and the line search reuses the previous iteration's best value
+    as its f0. The build hot loop is latency-bound (50k dependent refits in
+    the headline config), and versus the test-after-stepping form this
+    removes one 8-candidate line search plus one log_joint evaluation from
+    EVERY refit — a converged-at-entry warm start costs exactly one
+    grad+hess+cholesky+solve chain and nothing else. It also means the
+    returned ``prec_chol`` is always the exact factor at the returned mode,
+    so ``exact_final`` no longer buys anything: it is kept for API
+    compatibility and ignored (a lax.cond refactorization variant was
+    measured SLOWER than the factorization it saved — conditionals break
+    fusion in the hot loop — which is moot now that exactness is free)."""
 
+    del exact_final  # always exact at the mode now (see docstring)
     tol = 1e-7 if mu0.dtype == jnp.float64 else 1e-5
 
-    def step(mu):
+    def eval_at(mu):
         g = grad(mu)
         H = hess(mu)
         # Newton direction: solve (-H) p = g ; -H is SPD for concave targets.
         L = jnp.linalg.cholesky(-H)
         p = jax.scipy.linalg.cho_solve((L, True), g)
-        f0 = log_joint(mu)
         lam2 = g @ p  # Newton decrement^2: predicted improvement scale
-        converged = lam2 <= tol * (1.0 + jnp.abs(f0))
+        return L, p, lam2
+
+    f0 = log_joint(mu0)
+    L0, p0, lam20 = eval_at(mu0)
+    done0 = lam20 <= tol * (1.0 + jnp.abs(f0))
+
+    def cond(carry):
+        return (carry[4] < n_iters) & ~carry[5]
+
+    def body(carry):
+        mu, f, _, p, it, _ = carry
         # grid cast to the carry dtype: f64 _TS must not promote an f32 mu
         # (scan carry type mismatch under enable_x64)
         cands = mu[None, :] + jnp.asarray(_TS, dtype=mu.dtype)[:, None] * p[None, :]
         vals = jax.vmap(log_joint)(cands)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         best = jnp.argmax(vals)
-        improved = vals[best] > f0
+        improved = vals[best] > f
         mu_new = jnp.where(improved, cands[best], mu)
-        return mu_new, L, converged
+        f_new = jnp.where(improved, vals[best], f)
+        L2, p2, lam2 = eval_at(mu_new)
+        # ~improved exits: retrying the identical step cannot succeed
+        done = (lam2 <= tol * (1.0 + jnp.abs(f_new))) | ~improved
+        return mu_new, f_new, L2, p2, it + 1, done
 
-    def cond(carry):
-        _, _, it, done = carry
-        return (it < n_iters) & ~done
-
-    def body(carry):
-        mu, _, it, _ = carry
-        mu_new, L, converged = step(mu)
-        return mu_new, L, it + 1, converged
-
-    L0 = jnp.eye(mu0.shape[0], dtype=mu0.dtype)
-    mu, L, _, done = jax.lax.while_loop(
-        cond, body, (mu0, L0, jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False)))
-    if exact_final:
-        L = jnp.linalg.cholesky(-hess(mu))
-    # else: the carried L — exact at the last executed iteration's entry
-    # point, O(tol) stale at the returned mode on the (typical) converged
-    # exit, one Newton step stale on a budget-exhausted exit. A lax.cond
-    # refactorization for the budget case was measured SLOWER than the
-    # factorization it saved (conditionals break fusion in the hot loop),
-    # so the fast path accepts the staleness unconditionally.
+    mu, _, L, _, _, _ = jax.lax.while_loop(
+        cond, body, (mu0, f0, L0, p0, jnp.asarray(0, dtype=jnp.int32), done0))
     return LaplaceApprox(mu=mu, prec_chol=L)
 
 

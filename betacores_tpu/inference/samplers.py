@@ -84,11 +84,10 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bo
     (reference zellner_logreg/main.py:139-144). ``aux`` is the previous mode
     (warm start); pass zeros initially.
 
-    ``exact_final=False`` (default): the converged Newton iteration reuses
-    its factor instead of refactorizing at the mode — the mode is O(tol)
-    less polished, far below the S-sample Monte-Carlo noise this sampler
-    feeds, and one 10x10 hess+cholesky chain (~4.4 us serial latency on
-    v5e) is saved per refit (laplace.py::newton_laplace)."""
+    ``exact_final`` is kept for API compatibility and ignored: the Newton
+    loop now tests the decrement before each line search and the returned
+    factor is always exact at the returned mode at no extra cost
+    (laplace.py::newton_laplace docstring)."""
 
     def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
@@ -121,7 +120,7 @@ def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
     """Laplace sampler for Poisson regression (softplus link). Newton uses
     the expected (Fisher) Hessian — globally negative definite — so this is
     Fisher scoring, the standard GLM fit (models/poisson.py docstring).
-    ``exact_final`` as in ``logreg_laplace_sampler``."""
+    ``exact_final`` is ignored, as in ``logreg_laplace_sampler``."""
 
     def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)

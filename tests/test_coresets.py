@@ -172,6 +172,35 @@ class TestIncrementalGolden:
         alg.optimize()
         assert not alg.reached_numeric_limit
 
+    def test_predrawn_fast_path_matches_per_step(self, rng):
+        """The refinement loop's from_noise fast path (pre-drawn noise and
+        subsample indices, pre-gathered + pre-concatenated rows,
+        incremental.py::_optimize) claims BIT-IDENTICAL values to the
+        per-step path — it replays nn_adam's exact key stream. Pin it:
+        the same build with the from_noise attribute stripped must produce
+        byte-equal selections and weights."""
+        X, _, Siginv, logdetSig, model = _setup_gauss(rng, N=50, d=3)
+        smp = gaussian_conjugate_sampler(jnp.zeros(3), jnp.eye(3),
+                                         jnp.asarray(Siginv))
+        slow = lambda key, n, w, pts, aux: smp(key, n, w, pts, aux)
+        assert getattr(slow, "from_noise", None) is None
+
+        def run(sampler):
+            prj = bc.BetaBlackBoxProjector(sampler, 8, model.beta_likelihood,
+                                           model.log_likelihood,
+                                           model.beta_gradient)
+            alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.4, opt_itrs=12,
+                                 n_subsample_opt=16, n_subsample_select=20,
+                                 seed=11)
+            alg.build(4, 4)
+            return alg.get()
+
+        w_f, p_f, i_f, _ = run(smp)
+        w_s, p_s, i_s, _ = run(slow)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_s))
+        np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_s))
+        np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_s))
+
     def test_build_guard_and_reset(self, rng):
         X, samples, _, _, model = _setup_gauss(rng)
         prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
