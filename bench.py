@@ -126,7 +126,34 @@ def run() -> float:
     return t_build
 
 
+def _backend_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe TPU backend init in a throwaway subprocess with a hard timeout.
+
+    Backend init under the axon plugin is a tunnel RPC with no client-side
+    deadline: if the tunnel is wedged, ``jax.devices()`` hangs forever and
+    this script would never print its JSON line (observed 2026-08-17, a
+    multi-hour relay outage). Normal init is ~3-5 s, so 300 s is generous."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print("backend init probe failed/timed out — tunnel down?", file=sys.stderr)
+        print(json.dumps({
+            "metric": METRIC,
+            "value": -1.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "error": "TimeoutError: jax backend init unreachable (TPU tunnel down)",
+        }))
+        return 1
     err = None
     for attempt in range(2):
         try:
