@@ -60,3 +60,20 @@ def test_bench_failure_still_prints_json():
     rec = json.loads(lines[0])
     assert rec["metric"] == "bcores_build_n1m_m100_logreg_seconds"
     assert rec["value"] == -1.0 and "injected failure" in rec["error"]
+
+
+def test_dryrun_axon_env_never_probes_backend():
+    """Under the axon TPU platform, backend init is a tunnel RPC that can
+    hang indefinitely during an outage (observed 2026-08-17), so the parent
+    must decide to bootstrap from the ENVIRONMENT alone. Pin it by setting
+    JAX_PLATFORMS=axon without the axon plugin on PYTHONPATH: any
+    jax.devices() call in the parent would raise 'unknown backend', so
+    reaching the child proves backend init was never touched."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; "
+         "g.dryrun_multichip(2); print('AXON_GATE_OK')"],
+        env=_fresh_env(JAX_PLATFORMS="axon"), cwd=ROOT,
+        capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "AXON_GATE_OK" in r.stdout
