@@ -126,6 +126,22 @@ def make_incremental_builder(
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
 
+    def _joint_rows_identical(mdl, n_rows_joint: int) -> bool:
+        """True when projecting [subsample; coreset buffer] as ONE block is
+        bit-identical to two separate calls. Centering is per-row, so the
+        only way the joint call can differ is kernel ROUTING: projection.py
+        picks the fused Pallas kernel by row count, and a joint block can
+        cross FUSED_MIN_ROWS where the separate coreset call (M rows) never
+        would — silently moving corevecs onto the f32 kernel and flipping
+        near-tie selections. Joint-project only when every row stays on the
+        XLA path either way."""
+        field = ("fused_beta_projection" if config.use_beta
+                 else "fused_ll_projection")
+        if getattr(mdl, field, None) is None:
+            return True
+        from ..ops.pallas_kernels import maybe_fused
+        return not maybe_fused(n_rows_joint)
+
     def _bind(data):
         # ``data`` is a jit argument of the entry points below, NOT a
         # closure constant: a closed-over dataset is embedded into the
@@ -143,7 +159,8 @@ def make_incremental_builder(
             k_samp, k_sub = jax.random.split(key)
             samples, aux = smp(k_samp, S, w, st.pts, aux)
             mask = st.slot_mask[:, None].astype(data.dtype)
-            fused_rows = n_sub is not None and not with_beta_grad
+            fused_rows = (n_sub is not None and not with_beta_grad
+                          and _joint_rows_identical(mdl, n_sub + st.pts.shape[0]))
             if n_sub is None:
                 vecs = _project_(data, samples, beta)
                 scaling = jnp.asarray(1.0, dtype=data.dtype)
@@ -201,7 +218,8 @@ def make_incremental_builder(
             if not config.learn_beta:
                 mdl, smp = _resolve(ctx)
                 from_noise = getattr(smp, "from_noise", None)
-                if from_noise is not None and n_opt is not None:
+                draw_noise = getattr(smp, "draw_noise", None)
+                if from_noise is not None and draw_noise is not None and n_opt is not None:
                     # Pre-draw the WHOLE refinement loop's posterior noise and
                     # subsample indices in batched kernels, and pre-gather the
                     # subsample rows in one pass, instead of one
@@ -209,40 +227,53 @@ def make_incremental_builder(
                     # build is latency-bound (50k dependent steps in the
                     # headline config), so each removed per-step kernel is
                     # wall-clock. The draws replay nn_adam's exact key stream
-                    # (split(key, T) then split(k) -> (k_samp, k_sub)), so
-                    # every value is bit-identical to the per-step path.
+                    # (split(key, T) then split(k) -> (k_samp, k_sub)) through
+                    # the SAME functions the per-step path uses — the
+                    # sampler's own draw_noise and ops.projection's
+                    # draw_subsample — so every value is bit-identical by
+                    # construction, not by keeping inline copies in sync.
                     T = config.opt_itrs
                     aux0 = st.sampler_aux
-                    td = getattr(smp, "theta_dim", None)
-                    d_theta = td if td is not None else aux0.shape[-1]
-                    z_dtype = getattr(smp, "theta_dtype", None) or aux0.dtype
                     keys = jax.random.split(key, T)
                     pair = jax.vmap(jax.random.split)(keys)        # (T, 2)
                     k_samp, k_sub = pair[:, 0], pair[:, 1]
                     z_all = jax.vmap(
-                        lambda k: jax.random.normal(k, (S, d_theta), dtype=z_dtype))(k_samp)
-                    idx_all = jax.vmap(
-                        lambda k: jax.random.randint(k, (n_opt,), 0, N))(k_sub)
+                        lambda k: draw_noise(k, S, st.wts, st.pts, aux0))(k_samp)
+                    idx_all, _ = jax.vmap(
+                        lambda k: draw_subsample(k, N, n_opt))(k_sub)
                     rows_all = data[idx_all]                       # (T, n_opt, D)
-                    # pre-append the coreset buffer (constant across this
-                    # refinement pass) to every step's subsample rows: ONE
-                    # batched concat here instead of a concat kernel inside
-                    # each of the T dependent steps (latency-bound loop)
-                    M_buf = st.pts.shape[0]
-                    rows_all = jnp.concatenate(
-                        [rows_all,
-                         jnp.broadcast_to(st.pts, (T, M_buf) + st.pts.shape[1:])],
-                        axis=1)                                    # (T, n_opt+M, D)
                     scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
                     mask = st.slot_mask[:, None].astype(data.dtype)
+                    M_buf = st.pts.shape[0]
 
-                    def grad_fn(w, aux, k, xsl):
-                        z, rows = xsl
-                        samples, aux = from_noise(z, w, st.pts, aux)
-                        allvecs = _project(mdl, rows, samples, st.beta)
-                        vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
-                        resid = scaling * vecs.sum(axis=0) - w @ corevecs
-                        return -(corevecs @ resid) / S, aux
+                    if _joint_rows_identical(mdl, n_opt + M_buf):
+                        # pre-append the coreset buffer (constant across this
+                        # refinement pass) to every step's subsample rows: ONE
+                        # batched concat here instead of a concat kernel
+                        # inside each of the T dependent steps
+                        rows_all = jnp.concatenate(
+                            [rows_all,
+                             jnp.broadcast_to(st.pts, (T, M_buf) + st.pts.shape[1:])],
+                            axis=1)                                # (T, n_opt+M, D)
+
+                        def grad_fn(w, aux, k, xsl):
+                            z, rows = xsl
+                            samples, aux = from_noise(z, w, st.pts, aux)
+                            allvecs = _project(mdl, rows, samples, st.beta)
+                            vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
+                            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                            return -(corevecs @ resid) / S, aux
+                    else:
+                        # joint block would cross the fused-kernel row
+                        # threshold: project separately, exactly as the
+                        # per-step path would (_joint_rows_identical)
+                        def grad_fn(w, aux, k, xsl):
+                            z, rows = xsl
+                            samples, aux = from_noise(z, w, st.pts, aux)
+                            vecs = _project(mdl, rows, samples, st.beta)
+                            corevecs = _project(mdl, st.pts, samples, st.beta) * mask
+                            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                            return -(corevecs @ resid) / S, aux
 
                     w_new, aux = nn_adam(st.wts, grad_fn, aux0, key, step_sizes,
                                          xs=(z_all, rows_all))

@@ -40,7 +40,6 @@ def newton_laplace(
     hess: Callable[[jnp.ndarray], jnp.ndarray],
     mu0: jnp.ndarray,
     n_iters: int = 8,
-    exact_final: bool = True,
 ) -> LaplaceApprox:
     """Maximize a concave log-joint by damped Newton with a static
     backtracking grid (each candidate evaluation is O(M d) — tiny next to
@@ -60,14 +59,11 @@ def newton_laplace(
     removes one 8-candidate line search plus one log_joint evaluation from
     EVERY refit — a converged-at-entry warm start costs exactly one
     grad+hess+cholesky+solve chain and nothing else. It also means the
-    returned ``prec_chol`` is always the exact factor at the returned mode,
-    so ``exact_final`` no longer buys anything: it is kept for API
-    compatibility and ignored (a lax.cond refactorization variant was
-    measured SLOWER than the factorization it saved — conditionals break
-    fusion in the hot loop — which is moot now that exactness is free)."""
-
-    del exact_final  # always exact at the mode now (see docstring)
-    tol = 1e-7 if mu0.dtype == jnp.float64 else 1e-5
+    returned ``prec_chol`` is always the exact factor at the returned mode
+    for free (an earlier variant carried a one-step-stale factor out of the
+    loop to save a refactorization; a lax.cond refactorization was measured
+    SLOWER than the factorization it saved — conditionals break fusion in
+    the hot loop — all moot now that exactness costs nothing)."""
 
     def eval_at(mu):
         g = grad(mu)
@@ -80,6 +76,11 @@ def newton_laplace(
 
     f0 = log_joint(mu0)
     L0, p0, lam20 = eval_at(mu0)
+    # the body promotes mu through the Newton step (e.g. an f32 warm-start
+    # mode against f64 data), so the carry must start at the promoted dtype
+    # or while_loop rejects the carry type mismatch
+    mu0 = mu0.astype(jnp.result_type(mu0, p0))
+    tol = 1e-7 if mu0.dtype == jnp.float64 else 1e-5
     done0 = lam20 <= tol * (1.0 + jnp.abs(f0))
 
     def cond(carry):
@@ -128,6 +129,8 @@ def newton_laplace_diag(
         improved = vals[best] > log_joint(mu)
         return jnp.where(improved, cands[best], mu), None
 
+    # promote the carry as in newton_laplace (f32 warm start vs f64 data)
+    mu0 = mu0.astype(jnp.result_type(mu0, grad(mu0)))
     mu, _ = jax.lax.scan(body, mu0, None, length=n_iters)
     L = jnp.diag(jnp.sqrt(-diag_hess(mu)))
     return LaplaceApprox(mu=mu, prec_chol=L)

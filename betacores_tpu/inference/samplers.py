@@ -26,17 +26,22 @@ from ..models import gaussian as gauss_model
 from ..models import linreg as linreg_model
 from ..models import logreg as logreg_model
 from ..models import poisson as poisson_model
-from .laplace import (newton_laplace, newton_laplace_diag, sample_laplace,
+from .laplace import (newton_laplace, newton_laplace_diag,
                       sample_laplace_from_noise)
 
 SamplerFn = Callable  # (key, n, wts, pts, aux) -> (samples, aux)
-# Samplers may additionally carry a ``from_noise`` attribute:
+# Samplers may additionally carry a noise-split pair of attributes:
+#     sampler.draw_noise(key, n, wts, pts, aux) -> z   (n, theta_dim) N(0,1)
 #     sampler.from_noise(z, wts, pts, aux) -> (samples, aux)
-# with z an (n, theta_dim) block of pre-drawn standard normals, plus a
-# ``theta_dim`` attribute (int, or None meaning "same as pts.shape[1]").
-# Builders use it to pre-draw a whole refinement loop's noise in ONE vmapped
-# call (bit-identical values to the per-step key path — the PRNG is
-# functional) instead of one randn kernel per Adam step; the build loop is
+# with sampler(key, n, w, p, a) == from_noise(draw_noise(key, n, w, p, a),
+# w, p, a) BIT-IDENTICALLY — each sampler below is literally defined as that
+# composition, so the contract cannot drift. ``wts``/``pts``/``aux`` enter
+# draw_noise for their shapes/dtypes only (the z dtype must match what the
+# composed sampler's arithmetic promotes to, or the pre-drawn stream would
+# diverge from the per-step stream — a real bug once: a f32 prior with f64
+# data drew f32 noise in the fast path and f64 in the per-step path).
+# Builders use the pair to pre-draw a whole refinement loop's noise in ONE
+# vmapped call instead of one randn kernel per Adam step; the build loop is
 # latency-bound, so each removed per-step kernel is wall-clock off the
 # headline build.
 
@@ -46,17 +51,23 @@ def gaussian_conjugate_sampler(mu0, Sig0inv, Siginv) -> SamplerFn:
     model (reference zellner_gaussian/main.py:87-94, exact instead of the
     reference's wrong-factor-order draw)."""
 
-    def sampler(key, n, wts, pts, aux):
+    def draw_noise(key, n, wts, pts, aux):
+        # dtype via the posterior itself (the shape/dtype read costs nothing:
+        # XLA CSEs the weighted_post with from_noise's identical call), so the
+        # pre-drawn stream matches sample_gaussian_prec's exactly under any
+        # input-dtype promotion.
         post = gauss_model.weighted_post(mu0, Sig0inv, Siginv, pts, wts)
-        return gauss_model.sample_gaussian_prec(key, post, n), aux
+        return jax.random.normal(key, (n, post.mu.shape[0]), dtype=post.mu.dtype)
 
     def from_noise(z, wts, pts, aux):
         post = gauss_model.weighted_post(mu0, Sig0inv, Siginv, pts, wts)
         return gauss_model.sample_gaussian_prec_from_noise(post, z), aux
 
+    def sampler(key, n, wts, pts, aux):
+        return from_noise(draw_noise(key, n, wts, pts, aux), wts, pts, aux)
+
+    sampler.draw_noise = draw_noise
     sampler.from_noise = from_noise
-    sampler.theta_dim = int(mu0.shape[0])
-    sampler.theta_dtype = jnp.asarray(mu0).dtype
     return sampler
 
 
@@ -64,30 +75,37 @@ def linreg_conjugate_sampler(mu0, Sig0inv, sigsq) -> SamplerFn:
     """Exact weighted-posterior sampler for Bayesian linear regression /
     neural-linear last layer (reference model_neurlinr.py:115-122)."""
 
-    def sampler(key, n, wts, pts, aux):
+    def draw_noise(key, n, wts, pts, aux):
         post = linreg_model.weighted_post(mu0, Sig0inv, sigsq, pts, wts)
-        return gauss_model.sample_gaussian_prec(key, post, n), aux
+        return jax.random.normal(key, (n, post.mu.shape[0]), dtype=post.mu.dtype)
 
     def from_noise(z, wts, pts, aux):
         post = linreg_model.weighted_post(mu0, Sig0inv, sigsq, pts, wts)
         return gauss_model.sample_gaussian_prec_from_noise(post, z), aux
 
+    def sampler(key, n, wts, pts, aux):
+        return from_noise(draw_noise(key, n, wts, pts, aux), wts, pts, aux)
+
+    sampler.draw_noise = draw_noise
     sampler.from_noise = from_noise
-    sampler.theta_dim = int(mu0.shape[0])
-    sampler.theta_dtype = jnp.asarray(mu0).dtype
     return sampler
 
 
-def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bool = True,
-                           exact_final: bool = False) -> SamplerFn:
+def _laplace_noise(key, n, wts, pts, aux):
+    """Standard-normal block matching ``sample_laplace``'s internal draw: the
+    Laplace mode lives in aux's space, and Newton's arithmetic promotes its
+    dtype over (wts, pts, aux) — asserted equal to the fitted ``lap.mu.dtype``
+    by tests/test_inference.py (mixed f32/f64 cases), since a mismatch would
+    silently fork the pre-drawn stream from the per-step stream."""
+    dt = jnp.result_type(wts, pts, aux)
+    return jax.random.normal(key, (n, aux.shape[-1]), dtype=dt)
+
+
+def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
+                           warm_start: bool = True) -> SamplerFn:
     """Laplace-approximation sampler for Bayesian logistic regression
     (reference zellner_logreg/main.py:139-144). ``aux`` is the previous mode
-    (warm start); pass zeros initially.
-
-    ``exact_final`` is kept for API compatibility and ignored: the Newton
-    loop now tests the decrement before each line search and the returned
-    factor is always exact at the returned mode at no extra cost
-    (laplace.py::newton_laplace docstring)."""
+    (warm start); pass zeros initially."""
 
     def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
@@ -97,30 +115,25 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8, warm_start: bo
             dh = lambda th: logreg_model.diag_hess_th_log_joint(pts, th, wts)
             return newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
         h = lambda th: logreg_model.hess_th_log_joint(pts, th, wts)
-        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton,
-                              exact_final=exact_final)
-
-    def sampler(key, n, wts, pts, aux):
-        lap = _fit(wts, pts, aux)
-        return sample_laplace(key, lap, n), lap.mu
+        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
 
     def from_noise(z, wts, pts, aux):
         lap = _fit(wts, pts, aux)
         return sample_laplace_from_noise(lap, z), lap.mu
 
+    def sampler(key, n, wts, pts, aux):
+        return from_noise(_laplace_noise(key, n, wts, pts, aux), wts, pts, aux)
+
+    sampler.draw_noise = _laplace_noise
     sampler.from_noise = from_noise
-    sampler.theta_dim = None  # theta lives in the data row space; dtype = aux's
-    sampler.theta_dtype = None
     return sampler
 
 
 def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
-                            warm_start: bool = True,
-                            exact_final: bool = False) -> SamplerFn:
+                            warm_start: bool = True) -> SamplerFn:
     """Laplace sampler for Poisson regression (softplus link). Newton uses
     the expected (Fisher) Hessian — globally negative definite — so this is
-    Fisher scoring, the standard GLM fit (models/poisson.py docstring).
-    ``exact_final`` is ignored, as in ``logreg_laplace_sampler``."""
+    Fisher scoring, the standard GLM fit (models/poisson.py docstring)."""
 
     def _fit(wts, pts, aux):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
@@ -130,20 +143,17 @@ def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
             dh = lambda th: poisson_model.diag_hess_th_log_joint(pts, th, wts)
             return newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
         h = lambda th: poisson_model.hess_th_log_joint(pts, th, wts)
-        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton,
-                              exact_final=exact_final)
-
-    def sampler(key, n, wts, pts, aux):
-        lap = _fit(wts, pts, aux)
-        return sample_laplace(key, lap, n), lap.mu
+        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
 
     def from_noise(z, wts, pts, aux):
         lap = _fit(wts, pts, aux)
         return sample_laplace_from_noise(lap, z), lap.mu
 
+    def sampler(key, n, wts, pts, aux):
+        return from_noise(_laplace_noise(key, n, wts, pts, aux), wts, pts, aux)
+
+    sampler.draw_noise = _laplace_noise
     sampler.from_noise = from_noise
-    sampler.theta_dim = None
-    sampler.theta_dtype = None
     return sampler
 
 

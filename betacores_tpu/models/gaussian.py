@@ -152,16 +152,28 @@ def bundle(Siginv, logdetSig, fused: bool | None = None) -> ModelFns:
     def _blik(pts, thetas, beta):
         return blik(pts, thetas, beta=beta)
 
-    if fused is None:
-        fused = jax.default_backend() not in ("cpu",)
+    # fused=None resolves lazily at trace time: kernel on TPU, XLA path on
+    # every other backend, no backend init at bundle construction (see
+    # logreg.bundle docstring; fused=True forces CPU interpret mode).
     fused_ll = fused_beta = None
-    if fused:
+    if fused is None or fused:
         from ..ops.pallas_kernels import gaussian_projection_fused
+        from ..ops.projection import center
 
-        fused_ll = lambda pts, th: gaussian_projection_fused(
-            pts, th, Siginv, float(logdetSig), use_beta=False)
-        fused_beta = lambda pts, th, b: gaussian_projection_fused(
-            pts, th, Siginv, float(logdetSig), beta=b, use_beta=True)
+        def _use_kernel() -> bool:
+            return fused or jax.default_backend() == "tpu"
+
+        def fused_ll(pts, th):
+            if _use_kernel():
+                return gaussian_projection_fused(
+                    pts, th, Siginv, float(logdetSig), use_beta=False)
+            return center(log_likelihood(pts, th, Siginv, logdetSig))
+
+        def fused_beta(pts, th, b):
+            if _use_kernel():
+                return gaussian_projection_fused(
+                    pts, th, Siginv, float(logdetSig), beta=b, use_beta=True)
+            return center(_blik(pts, th, b))
     return ModelFns(
         log_likelihood=lambda pts, thetas: log_likelihood(pts, thetas, Siginv, logdetSig),
         beta_likelihood=_blik,

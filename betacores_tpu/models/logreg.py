@@ -129,16 +129,30 @@ def predictive_loglik(Zt, thetas):
 
 
 def bundle(fused: bool | None = None) -> ModelFns:
-    """``fused=None`` auto-enables the single-pass Pallas projection kernels
-    on TPU backends (ops/pallas_kernels.py)."""
-    if fused is None:
-        fused = jax.default_backend() not in ("cpu",)
+    """``fused=None`` (default) auto-enables the single-pass Pallas
+    projection kernels (ops/pallas_kernels.py), resolved lazily at trace
+    time: compiled only on TPU (the pltpu memory specs do not lower on
+    GPU/Metal; other backends fall back to the plain XLA projection), and
+    bundle construction never initializes a backend. ``fused=True`` forces
+    the kernel everywhere (CPU interpret mode, as the kernel tests do);
+    ``fused=False`` disables it."""
     fused_ll = fused_beta = None
-    if fused:
+    if fused is None or fused:
         from ..ops.pallas_kernels import logreg_projection_fused
+        from ..ops.projection import center
 
-        fused_ll = lambda pts, th: logreg_projection_fused(pts, th, use_beta=False)
-        fused_beta = lambda pts, th, b: logreg_projection_fused(pts, th, beta=b, use_beta=True)
+        def _use_kernel() -> bool:
+            return fused or jax.default_backend() == "tpu"
+
+        def fused_ll(pts, th):
+            if _use_kernel():
+                return logreg_projection_fused(pts, th, use_beta=False)
+            return center(log_likelihood(pts, th))
+
+        def fused_beta(pts, th, b):
+            if _use_kernel():
+                return logreg_projection_fused(pts, th, beta=b, use_beta=True)
+            return center(beta_likelihood(pts, th, b))
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=beta_likelihood,

@@ -174,23 +174,42 @@ def predictive_loglik(Zt, thetas):
 
 def bundle(k_max: int = 64, gaussian_mass: bool = False,
            fused: bool | None = None) -> ModelFns:
-    """``fused=None`` auto-enables the single-pass Pallas projection kernels
-    on TPU backends (ops/pallas_kernels.py::poisson_projection_fused). The
-    fused beta path folds the truncated mass sum into the row tile — the XLA
-    path materializes an (N, S, k_max+1) intermediate, so at large N the
-    kernel saves ~k_max x the HBM traffic."""
-    if fused is None:
-        fused = jax.default_backend() not in ("cpu",)
+    """``fused=None`` (default) auto-enables the single-pass Pallas
+    projection kernels (ops/pallas_kernels.py::poisson_projection_fused),
+    resolved lazily AT TRACE TIME: the kernel runs compiled only on TPU —
+    its pltpu memory specs do not lower on GPU/Metal — so other backends
+    fall back to the plain XLA projection, and constructing a bundle never
+    initializes a backend (backend init is a tunnel RPC on this setup).
+    ``fused=True`` forces the kernel everywhere (CPU runs it in interpret
+    mode — how the kernel tests exercise it); ``fused=False`` disables it.
+    The fused beta path folds the truncated mass sum into the row tile —
+    the XLA path materializes an (N, S, k_max+1) intermediate, so at large
+    N the kernel saves ~k_max x the HBM traffic."""
     blik = lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max,
                                             gaussian_mass=gaussian_mass)
     fused_ll = fused_beta = None
-    if fused:
+    if fused is None or fused:
         from ..ops.pallas_kernels import poisson_projection_fused
+        from ..ops.projection import center
 
-        fused_ll = lambda pts, th: poisson_projection_fused(
-            pts, th, use_beta=False, k_max=k_max, gaussian_mass=gaussian_mass)
-        fused_beta = lambda pts, th, b: poisson_projection_fused(
-            pts, th, beta=b, use_beta=True, k_max=k_max, gaussian_mass=gaussian_mass)
+        def _use_kernel() -> bool:
+            # trace-time: by the time a projection is traced the operands
+            # live on a device, so default_backend() is already resolved
+            return fused or jax.default_backend() == "tpu"
+
+        def fused_ll(pts, th):
+            if _use_kernel():
+                return poisson_projection_fused(
+                    pts, th, use_beta=False, k_max=k_max,
+                    gaussian_mass=gaussian_mass)
+            return center(log_likelihood(pts, th))
+
+        def fused_beta(pts, th, b):
+            if _use_kernel():
+                return poisson_projection_fused(
+                    pts, th, beta=b, use_beta=True, k_max=k_max,
+                    gaussian_mass=gaussian_mass)
+            return center(blik(pts, th, b))
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=blik,

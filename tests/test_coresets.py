@@ -201,6 +201,72 @@ class TestIncrementalGolden:
         np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_s))
         np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_s))
 
+    def test_predrawn_fast_path_mixed_dtypes(self, rng):
+        """f32 prior hyperparameters with f64 data promote the per-step
+        posterior draw to f64; the pre-drawn path must draw through the SAME
+        sampler.draw_noise. (Real bug: the fast path drew f32 noise via a
+        cached theta_dtype attribute while the per-step path drew f64 —
+        silently forked streams, max |dw| = 2.09 on this config.)"""
+        X, _, Siginv, logdetSig, model = _setup_gauss(rng, N=50, d=3)
+        smp = gaussian_conjugate_sampler(jnp.zeros(3, jnp.float32),
+                                         jnp.eye(3, dtype=jnp.float32),
+                                         jnp.asarray(Siginv, dtype=jnp.float32))
+        slow = lambda key, n, w, pts, aux: smp(key, n, w, pts, aux)
+
+        def run(sampler):
+            prj = bc.BetaBlackBoxProjector(sampler, 8, model.beta_likelihood,
+                                           model.log_likelihood,
+                                           model.beta_gradient)
+            alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.4, opt_itrs=12,
+                                 n_subsample_opt=16, n_subsample_select=20,
+                                 seed=11)
+            alg.build(4, 4)
+            return alg.get()
+
+        w_f, p_f, i_f, _ = run(smp)
+        w_s, p_s, i_s, _ = run(slow)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_s))
+        np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_s))
+
+    def test_joint_projection_routing_guard(self, rng, monkeypatch):
+        """Projecting [subsample; coreset buffer] as one block must not
+        change fused-kernel ROUTING: when the joint row count crosses the
+        threshold but the separate calls would stay below it, the build
+        must fall back to separate projections (else corevecs silently move
+        onto the f32 kernel and near-tie selections can flip)."""
+        from betacores_tpu.ops import pallas_kernels
+        from betacores_tpu.ops.projection import center, project_beta
+
+        monkeypatch.setattr(pallas_kernels, "maybe_fused", lambda n: n >= 30)
+        X, _, Siginv, logdetSig, model = _setup_gauss(rng, N=60, d=3)
+        kernel_rows = []
+
+        def fake_beta(pts, th, b):
+            kernel_rows.append(pts.shape[0])
+            return center(model.beta_likelihood(pts, th, b))
+
+        fmodel = model._replace(fused_beta_projection=fake_beta)
+        # the patch routes a 36-row block to the 'kernel' when called directly
+        project_beta(fmodel, jnp.asarray(X[:36]), jnp.asarray(X[:8]), 0.4)
+        assert kernel_rows == [36]
+        kernel_rows.clear()
+
+        from betacores_tpu.coresets import (IncrementalConfig, init_state,
+                                            make_incremental_builder)
+
+        smp = gaussian_conjugate_sampler(jnp.zeros(3), jnp.eye(3),
+                                         jnp.asarray(Siginv))
+        # n_opt=16 + M_buf=20 = 36 and n_sel=20 + 20 = 40 cross the patched
+        # threshold jointly; separately every block stays below it
+        cfg = IncrementalConfig(projection_dim=8, n_subsample_select=20,
+                                n_subsample_opt=16, opt_itrs=6, i0=0.5,
+                                use_beta=True)
+        builder = make_incremental_builder(jnp.asarray(X), fmodel, smp, cfg)
+        st = builder.build(jax.random.key(3),
+                           init_state(20, 3, beta=0.4, dtype=jnp.float64), 3)
+        assert int(st.m) >= 1
+        assert kernel_rows == [], f"joint blocks reached the kernel: {kernel_rows}"
+
     def test_build_guard_and_reset(self, rng):
         X, samples, _, _, model = _setup_gauss(rng)
         prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],

@@ -262,3 +262,63 @@ def test_stuck_chains_flag_infinite_rhat():
     # identical constant chains (B == 0 too): no evidence of divergence
     s2 = jnp.ones((2, 100, 2))
     np.testing.assert_allclose(np.asarray(split_rhat(s2)), 1.0)
+
+
+class TestSamplerNoiseContract:
+    """sampler(key, ...) must equal from_noise(draw_noise(key, ...), ...)
+    bit-for-bit, and the pre-drawn noise dtype must equal the fitted mode's
+    dtype under EVERY input promotion combo — a mismatch silently forks the
+    builder's pre-drawn stream from the per-step stream (a real bug once:
+    f32 prior + f64 data)."""
+
+    @pytest.mark.parametrize("diag", [False, True])
+    @pytest.mark.parametrize("dt_pts,dt_aux", [
+        (jnp.float32, jnp.float32), (jnp.float64, jnp.float64),
+        (jnp.float64, jnp.float32), (jnp.float32, jnp.float64)])
+    def test_laplace_noise_dtype_matches_mode(self, rng, diag, dt_pts, dt_aux):
+        from betacores_tpu.inference import poisson_laplace_sampler
+
+        for maker in (logreg_laplace_sampler, poisson_laplace_sampler):
+            smp = maker(diag=diag)
+            x = rng.normal(size=(12, 3))
+            if maker is logreg_laplace_sampler:
+                y = np.where(rng.uniform(size=12) > 0.5, 1.0, -1.0)
+                rows = y[:, None] * x          # z = y*x, theta in row space
+            else:
+                cnt = rng.integers(0, 4, size=12).astype(float)
+                rows = np.concatenate([x, cnt[:, None]], axis=1)
+            pts = jnp.asarray(rows, dt_pts)
+            wts = jnp.ones(12, dt_pts)
+            aux = jnp.zeros(3, dt_aux)
+            key = jax.random.key(7)
+            z = smp.draw_noise(key, 5, wts, pts, aux)
+            s_fast, mode = smp.from_noise(z, wts, pts, aux)
+            assert z.dtype == mode.dtype, (maker, z.dtype, mode.dtype)
+            s_direct, mode2 = smp(key, 5, wts, pts, aux)
+            np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_direct))
+            np.testing.assert_array_equal(np.asarray(mode), np.asarray(mode2))
+
+    def test_conjugate_noise_dtype_matches_posterior(self, rng):
+        from betacores_tpu.inference import (gaussian_conjugate_sampler,
+                                             linreg_conjugate_sampler)
+
+        d = 3
+        pts64 = jnp.asarray(rng.normal(size=(10, d)))
+        ptsr = jnp.asarray(np.concatenate(
+            [rng.normal(size=(10, d - 1)), rng.normal(size=(10, 1))], axis=1))
+        for smp, pts in (
+            (gaussian_conjugate_sampler(jnp.zeros(d, jnp.float32),
+                                        jnp.eye(d, dtype=jnp.float32),
+                                        jnp.eye(d, dtype=jnp.float32)), pts64),
+            (linreg_conjugate_sampler(jnp.zeros(d - 1, jnp.float32),
+                                      jnp.eye(d - 1, dtype=jnp.float32),
+                                      2.0), ptsr),
+        ):
+            wts = jnp.ones(10)
+            aux = jnp.zeros(1)
+            key = jax.random.key(3)
+            z = smp.draw_noise(key, 6, wts, pts, aux)
+            s_fast, _ = smp.from_noise(z, wts, pts, aux)
+            s_direct, _ = smp(key, 6, wts, pts, aux)
+            assert z.dtype == s_direct.dtype or z.dtype == jnp.float64
+            np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_direct))
