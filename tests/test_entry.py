@@ -23,6 +23,10 @@ def _fresh_env(**extra):
                         "_BETACORES_DRYRUN_CHILD")}
     env["PYTHONPATH"] = ROOT
     env["JAX_PLATFORMS"] = "cpu"
+    # fresh children don't run conftest: hand them the suite's persistent
+    # compilation cache (compile-bound tests; see tests/conftest.py)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(ROOT, ".cache", "jax_test_compile"))
     env.update(extra)
     return env
 
