@@ -22,8 +22,10 @@ from .psvi import PseudoSparseVICoreset, make_psvi_builder
 from .refine import refine_weights
 from .select_beta import select_beta, trimmed_mean
 from .state import CoresetState, get, init_state, warm_start_state
+from .streaming import merge_reduce_build
 
 __all__ = [
+    "merge_reduce_build",
     "select_beta",
     "trimmed_mean",
     "BatchPSVICoreset",

@@ -98,13 +98,27 @@ def make_incremental_builder(
     config: IncrementalConfig,
     step_sizes: Optional[jnp.ndarray] = None,
     contextual: bool = False,
+    data_weights: Optional[jnp.ndarray] = None,
 ) -> IncrementalBuilder:
     """Returns compiled ``IncrementalBuilder`` closed over the dataset,
     model bundle and sampler. ``step_sizes`` overrides the default
     i0/(1+i) schedule (shape (opt_itrs,)). With ``contextual=True``,
     ``model`` and ``sampler`` are factories ``ctx -> ModelFns`` /
     ``ctx -> sampler_fn`` resolved at trace time from the traced ``ctx``
-    pytree passed to ``build`` (e.g. neural-linear encoder params)."""
+    pytree passed to ``build`` (e.g. neural-linear encoder params).
+
+    ``data_weights`` (optional (N,) array, a jit argument like ``data``)
+    makes row n count ``u_n`` times in the residual target
+    ``resid = scaling * sum_n u_n v_n - w . corevecs`` — the full-data
+    target becomes the WEIGHTED posterior's tangent vector. Selection
+    scoring stays per-row (the reference normalizes candidate scores by
+    ||v_n||, so a base weight cancels there anyway). This is what a
+    merge-reduce streaming build needs: leaf coresets carry weights, and
+    the final build summarizes the union of weighted leaf points
+    (coresets/streaming.py). ``None`` (default) is bit-identical to the
+    unweighted path. Integer weights are exactly equivalent to duplicating
+    rows on the full-data (no-subsample) path; under subsampling the
+    estimator stays unbiased: E[N/n * sum_sub u v] = sum u v."""
     N = data.shape[0]
     S = config.projection_dim
     if (config.learn_beta and not contextual
@@ -115,6 +129,12 @@ def make_incremental_builder(
     if step_sizes is None:
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=data.dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=data.dtype)
+
+    weighted = data_weights is not None
+    if weighted:
+        data_weights = jnp.asarray(data_weights, dtype=data.dtype)
+        if data_weights.shape != (N,):
+            raise ValueError(f"data_weights must be ({N},), got {data_weights.shape}")
 
     def _resolve(ctx):
         if contextual:
@@ -142,12 +162,21 @@ def make_incremental_builder(
         from ..ops.pallas_kernels import maybe_fused
         return not maybe_fused(n_rows_joint)
 
-    def _bind(data):
-        # ``data`` is a jit argument of the entry points below, NOT a
-        # closure constant: a closed-over dataset is embedded into the
-        # compiled program (an N x D constant -> multi-hundred-MB HLO,
-        # minutes of compile through the TPU tunnel, and a cache entry
-        # per dataset); as a parameter the program is dataset-independent.
+    def _bind(data, u):
+        # ``data`` (and ``u``, the optional (N,) base weights) are jit
+        # arguments of the entry points below, NOT closure constants: a
+        # closed-over dataset is embedded into the compiled program (an
+        # N x D constant -> multi-hundred-MB HLO, minutes of compile
+        # through the TPU tunnel, and a cache entry per dataset); as
+        # parameters the program is dataset-independent.
+
+        def _target_sum(vecs, sub_idcs):
+            # sum_n u_n v_n over the (sub)sampled rows; u=None keeps the
+            # plain sum so the unweighted program is bit-identical
+            if u is None:
+                return vecs.sum(axis=0)
+            usub = u if sub_idcs is None else u[sub_idcs]
+            return usub @ vecs
         def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx,
                      with_beta_grad: bool = False):
             """Posterior samples + centered projections of a data (sub)sample and
@@ -192,10 +221,16 @@ def make_incremental_builder(
             vecs, corevecs, scaling, sub_idcs, _, aux, _ = _tangent(
                 key, st.wts, st, st.beta, n_sel, st.sampler_aux, ctx
             )
-            resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
+            resid = scaling * _target_sum(vecs, sub_idcs) - st.wts @ corevecs
             vn = jnp.sqrt(jnp.sum(vecs * vecs, axis=1))
             vn = jnp.where(vn > 0, vn, jnp.inf)  # zero projections score 0 (reference NaNs)
             corrs = (vecs @ resid) / vn / S
+            if u is not None:
+                # zero-base-weight rows are non-data (merge-reduce padding /
+                # dead leaf slots): they contribute nothing to the target,
+                # so they must never be selectable either
+                usub = u if sub_idcs is None else u[sub_idcs]
+                corrs = jnp.where(usub > 0, corrs, -jnp.inf)
             cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
             cn = jnp.where(cn > 0, cn, jnp.inf)
             corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
@@ -245,8 +280,15 @@ def make_incremental_builder(
                     scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
                     mask = st.slot_mask[:, None].astype(data.dtype)
                     M_buf = st.pts.shape[0]
+                    if u is None:
+                        unpack = lambda xsl: (xsl[0], xsl[1], None)
+                        sum_sub = lambda vecs, usub: vecs.sum(axis=0)
+                    else:
+                        unpack = lambda xsl: xsl
+                        sum_sub = lambda vecs, usub: usub @ vecs
 
-                    if _joint_rows_identical(mdl, n_opt + M_buf):
+                    joint = _joint_rows_identical(mdl, n_opt + M_buf)
+                    if joint:
                         # pre-append the coreset buffer (constant across this
                         # refinement pass) to every step's subsample rows: ONE
                         # batched concat here instead of a concat kernel
@@ -255,34 +297,37 @@ def make_incremental_builder(
                             [rows_all,
                              jnp.broadcast_to(st.pts, (T, M_buf) + st.pts.shape[1:])],
                             axis=1)                                # (T, n_opt+M, D)
+                    xs = ((z_all, rows_all) if u is None
+                          else (z_all, rows_all, u[idx_all]))      # pre-gathered
 
+                    if joint:
                         def grad_fn(w, aux, k, xsl):
-                            z, rows = xsl
+                            z, rows, usub = unpack(xsl)
                             samples, aux = from_noise(z, w, st.pts, aux)
                             allvecs = _project(mdl, rows, samples, st.beta)
                             vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
-                            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                            resid = scaling * sum_sub(vecs, usub) - w @ corevecs
                             return -(corevecs @ resid) / S, aux
                     else:
                         # joint block would cross the fused-kernel row
                         # threshold: project separately, exactly as the
                         # per-step path would (_joint_rows_identical)
                         def grad_fn(w, aux, k, xsl):
-                            z, rows = xsl
+                            z, rows, usub = unpack(xsl)
                             samples, aux = from_noise(z, w, st.pts, aux)
                             vecs = _project(mdl, rows, samples, st.beta)
                             corevecs = _project(mdl, st.pts, samples, st.beta) * mask
-                            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                            resid = scaling * sum_sub(vecs, usub) - w @ corevecs
                             return -(corevecs @ resid) / S, aux
 
                     w_new, aux = nn_adam(st.wts, grad_fn, aux0, key, step_sizes,
-                                         xs=(z_all, rows_all))
+                                         xs=xs)
                     return st._replace(wts=w_new, sampler_aux=aux)
 
                 def grad_fn(w, aux, k):
-                    vecs, corevecs, scaling, _, _, aux, _ = _tangent(
+                    vecs, corevecs, scaling, sub_idcs, _, aux, _ = _tangent(
                         k, w, st, st.beta, n_opt, aux, ctx)
-                    resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                    resid = scaling * _target_sum(vecs, sub_idcs) - w @ corevecs
                     return -(corevecs @ resid) / S, aux
 
                 w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
@@ -307,9 +352,9 @@ def make_incremental_builder(
 
             def grad_fn(x, aux, k):
                 w, beta = x[:-1], clamp_b(x[-1])
-                vecs, corevecs, scaling, _, _, aux, betagrads = _tangent(
+                vecs, corevecs, scaling, sub_idcs, _, aux, betagrads = _tangent(
                     k, w, st, beta, n_opt, aux, ctx, with_beta_grad=True)
-                resid = scaling * vecs.sum(axis=0) - w @ corevecs
+                resid = scaling * _target_sum(vecs, sub_idcs) - w @ corevecs
                 wgrad = -(corevecs @ resid) / S
                 betagrad = -config.beta_grad_scale * (w @ (betagrads @ resid)) / S
                 return jnp.concatenate([wgrad, betagrad[None]]), aux
@@ -321,14 +366,14 @@ def make_incremental_builder(
         return _select, _optimize
 
     @jax.jit
-    def _build_d(data, key, st: CoresetState, itrs, ctx=None) -> CoresetState:
+    def _build_d(data, u, key, st: CoresetState, itrs, ctx=None) -> CoresetState:
         # itrs is a traced operand (fori_loop -> while_loop): one compiled
         # program serves build(1, m) loops and one-shot build(M, M) alike —
         # compilations through the TPU tunnel cost tens of seconds each.
         # Per-iteration keys fold the loop counter into ``key``, so REPEATED
         # calls must pass FRESH keys (the eager wrappers do) or the same
         # subsample stream repeats.
-        _select, _optimize = _bind(data)
+        _select, _optimize = _bind(data, u)
 
         def body(i, st):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
@@ -338,9 +383,9 @@ def make_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
-    @partial(jax.jit, static_argnums=3)
-    def _build_trace_d(data, key, st: CoresetState, itrs: int, ctx=None):
-        _select, _optimize = _bind(data)
+    @partial(jax.jit, static_argnums=4)
+    def _build_trace_d(data, u, key, st: CoresetState, itrs: int, ctx=None):
+        _select, _optimize = _bind(data, u)
 
         def body(st, i):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
@@ -352,17 +397,25 @@ def make_incremental_builder(
         return st, per_itr
 
     @jax.jit
-    def _optimize_d(data, key, st: CoresetState, ctx=None) -> CoresetState:
-        return _bind(data)[1](key, st, ctx)
+    def _optimize_d(data, u, key, st: CoresetState, ctx=None) -> CoresetState:
+        return _bind(data, u)[1](key, st, ctx)
 
-    build = lambda key, st, itrs, ctx=None: _build_d(data, key, st, itrs, ctx)
+    uw = data_weights if weighted else None
+    build = lambda key, st, itrs, ctx=None: _build_d(data, uw, key, st, itrs, ctx)
     build._cache_size = _build_d._cache_size  # test/introspection passthrough
     builder = IncrementalBuilder(
         build,
-        lambda key, st, ctx=None: _optimize_d(data, key, st, ctx),
-        lambda key, st, itrs, ctx=None: _build_trace_d(data, key, st, int(itrs), ctx),
+        lambda key, st, ctx=None: _optimize_d(data, uw, key, st, ctx),
+        lambda key, st, itrs, ctx=None: _build_trace_d(data, uw, key, st, int(itrs), ctx),
     )
-    builder.error = make_tangent_error(data, model, sampler, config, contextual=contextual)
+    # same compiled program, caller-supplied (data, weights): data is a jit
+    # ARGUMENT by design, so same-shape chunks reuse the compile — the
+    # merge-reduce streaming driver (coresets/streaming.py) runs one leaf
+    # build per chunk through this without K recompiles.
+    builder.build_with_data = (
+        lambda d2, u2, key, st, itrs, ctx=None: _build_d(d2, u2, key, st, itrs, ctx))
+    builder.error = make_tangent_error(data, model, sampler, config,
+                                       contextual=contextual, data_weights=uw)
     return builder
 
 
@@ -372,9 +425,11 @@ def make_tangent_error(
     sampler: Callable,
     config: IncrementalConfig,
     contextual: bool = False,
+    data_weights: Optional[jnp.ndarray] = None,
 ) -> Callable:
-    """Tangent-space residual norm ``||scaling * sum_n v_n - w . corevecs|| / S``
-    under a fresh posterior draw keyed by ``key``.
+    """Tangent-space residual norm ``||scaling * sum_n u_n v_n - w . corevecs|| / S``
+    under a fresh posterior draw keyed by ``key`` (u_n = 1 without
+    ``data_weights``).
 
     The reference's incremental coresets hard-code ``error() -> 0``
     (bcores.py:152-153 / sparsevi.py:138-139), which makes the
@@ -389,7 +444,7 @@ def make_tangent_error(
     n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
 
     @jax.jit
-    def _error_d(data, key, st: CoresetState, ctx=None):
+    def _error_d(data, u, key, st: CoresetState, ctx=None):
         mdl = model(ctx) if contextual else model
         smp = sampler(ctx) if contextual else sampler
         if config.use_beta:
@@ -401,11 +456,13 @@ def make_tangent_error(
         if n_opt is None:
             vecs = proj(data, samples)
             scaling = jnp.asarray(1.0, dtype=data.dtype)
+            tsum = vecs.sum(axis=0) if u is None else u @ vecs
         else:
             sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
             vecs = proj(data[sub_idcs], samples)
+            tsum = vecs.sum(axis=0) if u is None else u[sub_idcs] @ vecs
         corevecs = proj(st.pts, samples) * st.slot_mask[:, None].astype(data.dtype)
-        resid = scaling * vecs.sum(axis=0) - st.wts @ corevecs
+        resid = scaling * tsum - st.wts @ corevecs
         return jnp.sqrt(jnp.sum(resid * resid)) / S
 
-    return lambda key, st, ctx=None: _error_d(data, key, st, ctx)
+    return lambda key, st, ctx=None: _error_d(data, data_weights, key, st, ctx)

@@ -1,0 +1,117 @@
+"""Streaming coreset construction by merge-reduce (beyond reference).
+
+The reference (and our headline path) assumes the dataset fits next to the
+build on one device. For datasets beyond HBM — or data arriving in chunks —
+the classical merge-reduce composition applies: build an m_leaf-point
+coreset of every chunk, then summarize the UNION OF WEIGHTED LEAF POINTS
+with one final m_final-point build. The final build's residual target
+``sum_j u_j v_j`` (u_j = leaf weights) is an unbiased sparse surrogate of
+the full-data tangent vector ``sum_n v_n``, because each leaf build made
+``sum_i w_i v_i ~= sum_{n in chunk} v_n`` in the same tangent space — so
+the composition inherits the per-level approximation guarantees (merge &
+reduce in the coreset literature; Feldman et al.).
+
+TPU mapping:
+  * every chunk is padded to one static shape, so ALL leaf builds share ONE
+    compiled XLA program (the builder takes data + base-weights as jit
+    arguments — incremental.py::_bind);
+  * ``parallel_leaves=True`` vmaps the leaf builds into a single batched
+    device program (chunks must then fit on-device together; right when
+    you're sharding work, not memory);
+  * ``parallel_leaves=False`` (default) streams chunks host->device one at
+    a time: peak device memory is ONE chunk + the leaf coresets —
+    the out-of-core path;
+  * padding rows carry base weight 0: they contribute nothing to the
+    residual target and are masked out of selection
+    (incremental.py::_select), so padding is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .incremental import IncrementalConfig, make_incremental_builder
+from .state import CoresetState, init_state
+
+
+def merge_reduce_build(
+    key: jax.Array,
+    data,
+    model,
+    sampler: Callable,
+    leaf_config: IncrementalConfig,
+    final_config: IncrementalConfig,
+    chunk_size: int,
+    m_leaf: int,
+    m_final: int,
+    st_leaf: CoresetState,
+    st_final: Optional[CoresetState] = None,
+    parallel_leaves: bool = False,
+) -> Tuple[CoresetState, jnp.ndarray, jnp.ndarray]:
+    """Merge-reduce build: K = ceil(N / chunk_size) leaf builds of m_leaf
+    points each, then one final weighted build of m_final points over the
+    K x M_buf_leaf leaf slots.
+
+    ``data`` may be a host (numpy) array — with ``parallel_leaves=False``
+    chunks are transferred one at a time. ``st_leaf`` is the leaf state
+    template (init_state(M_buf, d, ...)); ``st_final`` defaults to a fresh
+    state with the same buffer size sized for m_final. Returns
+    ``(final_state, leaf_pts, leaf_wts)`` where leaf_pts/leaf_wts are the
+    (K * M_buf_leaf, ...) union fed to the final build (zero weight in
+    unused slots)."""
+    N, D = data.shape
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    K = math.ceil(N / chunk_size)
+    dtype = st_leaf.wts.dtype
+
+    builder = make_incremental_builder(
+        jnp.zeros((chunk_size, D), dtype=dtype), model, sampler, leaf_config)
+
+    leaf_keys = jax.random.split(key, K + 1)
+    if parallel_leaves:
+        pad = K * chunk_size - N
+        dpad = jnp.concatenate(
+            [jnp.asarray(data, dtype=dtype),
+             jnp.broadcast_to(jnp.asarray(data[:1], dtype=dtype), (pad, D))])
+        upad = jnp.concatenate(
+            [jnp.ones(N, dtype=dtype), jnp.zeros(pad, dtype=dtype)])
+        chunks = dpad.reshape(K, chunk_size, D)
+        uc = upad.reshape(K, chunk_size)
+        sts = jax.vmap(
+            lambda d, u, k: builder.build_with_data(d, u, k, st_leaf, m_leaf)
+        )(chunks, uc, leaf_keys[:K])
+        leaf_wts = jnp.reshape(sts.wts, (-1,))
+        leaf_pts = jnp.reshape(sts.pts, (-1, D))
+    else:
+        wts_list, pts_list = [], []
+        data = np.asarray(data)
+        for i in range(K):
+            chunk = data[i * chunk_size:(i + 1) * chunk_size]
+            n_i = chunk.shape[0]
+            u_i = np.ones(chunk_size)
+            if n_i < chunk_size:  # tail chunk: pad rows carry zero weight
+                u_i[n_i:] = 0.0
+                chunk = np.concatenate(
+                    [chunk, np.broadcast_to(chunk[:1], (chunk_size - n_i, D))])
+            st_i = builder.build_with_data(
+                jnp.asarray(chunk, dtype=dtype), jnp.asarray(u_i, dtype=dtype),
+                leaf_keys[i], st_leaf, m_leaf)
+            wts_list.append(st_i.wts)
+            pts_list.append(st_i.pts)
+        leaf_wts = jnp.concatenate(wts_list)
+        leaf_pts = jnp.concatenate(pts_list)
+
+    if st_final is None:
+        st_final = init_state(m_final, D, beta=float(st_leaf.beta), dtype=dtype)
+        st_final = st_final._replace(sampler_aux=st_leaf.sampler_aux)
+
+    final_builder = make_incremental_builder(
+        leaf_pts, model, sampler, final_config, data_weights=leaf_wts)
+    final_state = final_builder.build(leaf_keys[K], st_final, m_final)
+    return final_state, leaf_pts, leaf_wts

@@ -1,0 +1,146 @@
+"""Weighted-base-data builds and merge-reduce streaming (beyond reference).
+
+Correctness anchors:
+  * data_weights=ones reproduces the unweighted build (same selections,
+    weights equal to reduction-order tolerance);
+  * integer weights on the full-data path are EXACTLY row duplication;
+  * merge-reduce (chunked leaves -> weighted final build) matches the
+    single-shot coreset's posterior quality on the contaminated-Gaussian
+    flow, and the vmapped-leaves variant matches the streamed variant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betacores_tpu.coresets import (IncrementalConfig, init_state,
+                                    make_incremental_builder,
+                                    merge_reduce_build)
+from betacores_tpu.inference import gaussian_conjugate_sampler
+from betacores_tpu.models import gaussian as gmod
+
+
+def _gauss_problem(rng, N=60, d=3):
+    Sig = np.eye(d) * 2.0
+    Siginv = np.linalg.inv(Sig)
+    logdetSig = np.linalg.slogdet(Sig)[1]
+    X = rng.normal(size=(N, d))
+    model = gmod.bundle(jnp.asarray(Siginv), logdetSig)
+    smp = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.asarray(Siginv))
+    return jnp.asarray(X), model, smp, Siginv
+
+
+def test_unit_weights_match_unweighted(rng):
+    X, model, smp, _ = _gauss_problem(rng)
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=20,
+                            n_subsample_opt=16, opt_itrs=10, i0=0.5,
+                            use_beta=True)
+    st0 = init_state(10, 3, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(5)
+    b_plain = make_incremental_builder(X, model, smp, cfg)
+    b_ones = make_incremental_builder(X, model, smp, cfg,
+                                      data_weights=jnp.ones(X.shape[0]))
+    st_p = b_plain.build(key, st0, 6)
+    st_w = b_ones.build(key, st0, 6)
+    # same key stream, same subsamples; the only numeric difference is the
+    # reduction order of the target sum (sum vs ones-matvec)
+    np.testing.assert_array_equal(np.asarray(st_p.idcs), np.asarray(st_w.idcs))
+    np.testing.assert_allclose(np.asarray(st_p.wts), np.asarray(st_w.wts),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_integer_weights_equal_row_duplication(rng):
+    """Full-data path: u_n = 2 on the first k rows must build the same
+    coreset as physically duplicating those rows (duplicates appended, so
+    argmax tie-breaking picks the original occurrence)."""
+    X, model, smp, _ = _gauss_problem(rng, N=40)
+    k_dup = 7
+    u = jnp.asarray(np.concatenate([2.0 * np.ones(k_dup),
+                                    np.ones(40 - k_dup)]))
+    Xdup = jnp.concatenate([X, X[:k_dup]])
+
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=None,
+                            n_subsample_opt=None, opt_itrs=8, i0=0.5,
+                            use_beta=True)
+    st0 = init_state(8, 3, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(9)
+    st_w = make_incremental_builder(X, model, smp, cfg,
+                                    data_weights=u).build(key, st0, 5)
+    st_d = make_incremental_builder(Xdup, model, smp, cfg).build(key, st0, 5)
+    np.testing.assert_array_equal(np.asarray(st_w.idcs), np.asarray(st_d.idcs))
+    np.testing.assert_allclose(np.asarray(st_w.wts), np.asarray(st_d.wts),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_w.pts), np.asarray(st_d.pts),
+                               rtol=0, atol=0)
+
+
+def _contaminated(rng, N=1200, d=3, f=0.1):
+    X = rng.normal(size=(N, d)) + 1.0
+    Xout = rng.normal(size=(int(N * f), d)) * 2.0 + 9.0
+    return np.concatenate([X, Xout]), X
+
+
+def _rkl(w, p, Xclean, Siginv, d):
+    mu0, Sig0inv = jnp.zeros(d), jnp.eye(d)
+    post_w = gmod.weighted_post(mu0, Sig0inv, jnp.asarray(Siginv),
+                                jnp.asarray(p), jnp.asarray(w))
+    post_c = gmod.weighted_post(mu0, Sig0inv, jnp.asarray(Siginv),
+                                jnp.asarray(Xclean),
+                                jnp.ones(Xclean.shape[0]))
+    return float(gmod.gaussian_KL(post_w.mu, post_w.cov, post_c.mu,
+                                  jnp.linalg.inv(post_c.cov)))
+
+
+def test_merge_reduce_quality_and_parallel_equivalence(rng):
+    """4-chunk merge-reduce must track the clean posterior like the
+    single-shot build does on contaminated data (robust beta-build), and
+    vmapped leaves must match streamed leaves."""
+    d = 3
+    Xall_np, Xclean = _contaminated(rng, N=1200, d=d)
+    X = jnp.asarray(Xall_np)
+    _, model, smp, Siginv = _gauss_problem(rng, N=4)  # model/sampler only
+    leaf_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=100,
+                                 n_subsample_opt=60, opt_itrs=30, i0=1.0,
+                                 use_beta=True)
+    final_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=None,
+                                  n_subsample_opt=None, opt_itrs=30, i0=1.0,
+                                  use_beta=True)
+    st_leaf = init_state(10, d, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(2)
+
+    st_f, leaf_pts, leaf_wts = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=350,
+        m_leaf=8, m_final=12, st_leaf=st_leaf)
+    assert leaf_pts.shape == (4 * 10, d) and leaf_wts.shape == (40,)
+    # greedy selection saturates when no candidate beats the coreset —
+    # quality (below), not count, is the contract
+    assert int(st_f.m) >= 2
+    w = np.asarray(st_f.wts)
+    assert np.isfinite(w).all() and (w >= 0).all()
+
+    # quality: merged coreset stays near the clean posterior, far below the
+    # naive uniform-weight summary of the corrupted data
+    mask = np.asarray(st_f.slot_mask)
+    rkl_merged = _rkl(w[mask], np.asarray(st_f.pts)[mask], Xclean, Siginv, d)
+    rkl_corrupt = _rkl(np.ones(X.shape[0]), Xall_np, Xclean, Siginv, d)
+    assert rkl_merged < rkl_corrupt, (rkl_merged, rkl_corrupt)
+
+    # single-shot reference build at the same final size
+    b = make_incremental_builder(X, model, smp, leaf_cfg)
+    st_s = b.build(jax.random.key(3), init_state(12, d, beta=0.4,
+                                                 dtype=jnp.float64), 12)
+    sm = np.asarray(st_s.slot_mask)
+    rkl_single = _rkl(np.asarray(st_s.wts)[sm], np.asarray(st_s.pts)[sm],
+                      Xclean, Siginv, d)
+    assert rkl_merged < 10 * max(rkl_single, 1e-3), (rkl_merged, rkl_single)
+
+    # vmapped leaves == streamed leaves (same keys, same padding)
+    st_f2, leaf_pts2, leaf_wts2 = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=350,
+        m_leaf=8, m_final=12, st_leaf=st_leaf, parallel_leaves=True)
+    np.testing.assert_allclose(np.asarray(leaf_wts), np.asarray(leaf_wts2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_f.idcs), np.asarray(st_f2.idcs))
+    np.testing.assert_allclose(np.asarray(st_f.wts), np.asarray(st_f2.wts),
+                               rtol=1e-7, atol=1e-10)
