@@ -52,6 +52,7 @@ def merge_reduce_build(
     st_leaf: CoresetState,
     st_final: Optional[CoresetState] = None,
     parallel_leaves: bool = False,
+    mesh=None,
 ) -> Tuple[CoresetState, jnp.ndarray, jnp.ndarray]:
     """Merge-reduce build: K = ceil(N / chunk_size) leaf builds of m_leaf
     points each, then one final weighted build of m_final points over the
@@ -63,7 +64,16 @@ def merge_reduce_build(
     state with the same buffer size sized for m_final. Returns
     ``(final_state, leaf_pts, leaf_wts)`` where leaf_pts/leaf_wts are the
     (K * M_buf_leaf, ...) union fed to the final build (zero weight in
-    unused slots)."""
+    unused slots).
+
+    ``mesh`` (implies ``parallel_leaves``) shards the LEAF axis over the
+    mesh's data axis: leaf builds are independent, so the vmapped program
+    partitions with ZERO collectives — the natural multi-chip shape for
+    streaming summarization (each chip builds its chunks' coresets; only
+    the tiny (K*M_buf, D) leaf union is gathered for the final build). K is
+    padded up to a multiple of the data-axis size with all-zero-weight
+    chunks, whose leaf weights provably come out zero (zero target, zero
+    gradient) — inert in the final build."""
     N, D = data.shape
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
@@ -73,21 +83,48 @@ def merge_reduce_build(
     builder = make_incremental_builder(
         jnp.zeros((chunk_size, D), dtype=dtype), model, sampler, leaf_config)
 
-    leaf_keys = jax.random.split(key, K + 1)
+    if mesh is not None:
+        parallel_leaves = True
+        from ..parallel.mesh import DATA_AXIS
+        n_lanes = mesh.shape[DATA_AXIS]
+        K_pad = math.ceil(K / n_lanes) * n_lanes
+    else:
+        K_pad = K
+
+    all_keys = jax.random.split(key, K + 1)
+    final_key = all_keys[K]
+    # pad chunks (mesh lane rounding) are all-zero-weight: their build
+    # result is inert whatever key they get, so reuse key 0 — the real-leaf
+    # key stream (and thus the result) is independent of the lane count
+    leaf_keys = all_keys[np.concatenate(
+        [np.arange(K), np.zeros(K_pad - K, dtype=np.int64)])]
     if parallel_leaves:
-        pad = K * chunk_size - N
+        pad = K_pad * chunk_size - N
         dpad = jnp.concatenate(
             [jnp.asarray(data, dtype=dtype),
              jnp.broadcast_to(jnp.asarray(data[:1], dtype=dtype), (pad, D))])
         upad = jnp.concatenate(
             [jnp.ones(N, dtype=dtype), jnp.zeros(pad, dtype=dtype)])
-        chunks = dpad.reshape(K, chunk_size, D)
-        uc = upad.reshape(K, chunk_size)
+        chunks = dpad.reshape(K_pad, chunk_size, D)
+        uc = upad.reshape(K_pad, chunk_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            chunks = jax.device_put(chunks, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+            uc = jax.device_put(uc, NamedSharding(mesh, P(DATA_AXIS, None)))
+            kv = jax.device_put(leaf_keys[:K_pad], NamedSharding(mesh, P(DATA_AXIS)))
+        else:
+            kv = leaf_keys[:K_pad]
         sts = jax.vmap(
             lambda d, u, k: builder.build_with_data(d, u, k, st_leaf, m_leaf)
-        )(chunks, uc, leaf_keys[:K])
+        )(chunks, uc, kv)
         leaf_wts = jnp.reshape(sts.wts, (-1,))
         leaf_pts = jnp.reshape(sts.pts, (-1, D))
+        if mesh is not None:
+            # gather the tiny leaf union off the lanes: the final build is a
+            # single replicated program, not a lane-partitioned one
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            leaf_wts = jax.device_put(leaf_wts, NamedSharding(mesh, P()))
+            leaf_pts = jax.device_put(leaf_pts, NamedSharding(mesh, P()))
     else:
         wts_list, pts_list = [], []
         data = np.asarray(data)
@@ -113,5 +150,5 @@ def merge_reduce_build(
 
     final_builder = make_incremental_builder(
         leaf_pts, model, sampler, final_config, data_weights=leaf_wts)
-    final_state = final_builder.build(leaf_keys[K], st_final, m_final)
+    final_state = final_builder.build(final_key, st_final, m_final)
     return final_state, leaf_pts, leaf_wts

@@ -144,3 +144,40 @@ def test_merge_reduce_quality_and_parallel_equivalence(rng):
     np.testing.assert_array_equal(np.asarray(st_f.idcs), np.asarray(st_f2.idcs))
     np.testing.assert_allclose(np.asarray(st_f.wts), np.asarray(st_f2.wts),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_mesh_sharded_leaves_match_plain(rng):
+    """mesh= shards the leaf axis over the mesh's data axis (independent
+    leaf builds -> zero collectives). K=4 chunks round up to 8 lanes with
+    zero-weight pad chunks; real leaf results and the final coreset must
+    match the unsharded vmapped build."""
+    from betacores_tpu.parallel import make_mesh
+
+    d = 3
+    Xall_np, _ = _contaminated(rng, N=1200, d=d)
+    X = jnp.asarray(Xall_np)
+    _, model, smp, _ = _gauss_problem(rng, N=4)
+    leaf_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=100,
+                                 n_subsample_opt=60, opt_itrs=20, i0=1.0,
+                                 use_beta=True)
+    final_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=None,
+                                  n_subsample_opt=None, opt_itrs=20, i0=1.0,
+                                  use_beta=True)
+    st_leaf = init_state(10, d, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(4)
+
+    st_p, lp_p, lw_p = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=350,
+        m_leaf=6, m_final=10, st_leaf=st_leaf, parallel_leaves=True)
+    mesh = make_mesh(8, 1)
+    st_m, lp_m, lw_m = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=350,
+        m_leaf=6, m_final=10, st_leaf=st_leaf, mesh=mesh)
+
+    assert lw_m.shape == (8 * 10,) and lw_p.shape == (4 * 10,)
+    np.testing.assert_allclose(np.asarray(lw_m)[:40], np.asarray(lw_p),
+                               rtol=1e-9, atol=1e-12)
+    assert float(jnp.abs(lw_m[40:]).max()) == 0.0  # pad chunks are inert
+    np.testing.assert_array_equal(np.asarray(st_m.idcs), np.asarray(st_p.idcs))
+    np.testing.assert_allclose(np.asarray(st_m.wts), np.asarray(st_p.wts),
+                               rtol=1e-7, atol=1e-10)
