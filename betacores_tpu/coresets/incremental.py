@@ -170,13 +170,16 @@ def make_incremental_builder(
         # through the TPU tunnel, and a cache entry per dataset); as
         # parameters the program is dataset-independent.
 
+        def _sum_rows(vecs, usub):
+            # sum_n u_n v_n over already-gathered rows; u=None keeps the
+            # plain sum so the unweighted program is bit-identical. The ONE
+            # implementation of the weighted target — the pre-gathered fast
+            # path delegates here too, so the paths cannot diverge.
+            return vecs.sum(axis=0) if u is None else usub @ vecs
+
         def _target_sum(vecs, sub_idcs):
-            # sum_n u_n v_n over the (sub)sampled rows; u=None keeps the
-            # plain sum so the unweighted program is bit-identical
-            if u is None:
-                return vecs.sum(axis=0)
-            usub = u if sub_idcs is None else u[sub_idcs]
-            return usub @ vecs
+            usub = None if u is None else (u if sub_idcs is None else u[sub_idcs])
+            return _sum_rows(vecs, usub)
         def _tangent(key, w, st: CoresetState, beta, n_sub, aux, ctx,
                      with_beta_grad: bool = False):
             """Posterior samples + centered projections of a data (sub)sample and
@@ -241,6 +244,12 @@ def make_incremental_builder(
             already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
             M_max = st.wts.shape[0]
             add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+            if u is not None:
+                # the m==0 arm of take_new bypasses the -inf mask above: an
+                # all-padding subsample at iteration 0 would install a u==0
+                # row as the first coreset point (and Adam would then grow
+                # its weight). Never add a masked candidate.
+                add = jnp.logical_and(add, jnp.isfinite(corrs[fcand]))
 
             slot = jnp.minimum(st.m, M_max - 1)
             idcs_new = jnp.where(add, st.idcs.at[slot].set(f), st.idcs)
@@ -280,12 +289,9 @@ def make_incremental_builder(
                     scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
                     mask = st.slot_mask[:, None].astype(data.dtype)
                     M_buf = st.pts.shape[0]
-                    if u is None:
-                        unpack = lambda xsl: (xsl[0], xsl[1], None)
-                        sum_sub = lambda vecs, usub: vecs.sum(axis=0)
-                    else:
-                        unpack = lambda xsl: xsl
-                        sum_sub = lambda vecs, usub: usub @ vecs
+                    unpack = ((lambda xsl: (xsl[0], xsl[1], None)) if u is None
+                              else (lambda xsl: xsl))
+                    sum_sub = _sum_rows
 
                     joint = _joint_rows_identical(mdl, n_opt + M_buf)
                     if joint:

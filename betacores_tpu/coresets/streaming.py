@@ -73,15 +73,18 @@ def merge_reduce_build(
     the tiny (K*M_buf, D) leaf union is gathered for the final build). K is
     padded up to a multiple of the data-axis size with all-zero-weight
     chunks, whose leaf weights provably come out zero (zero target, zero
-    gradient) — inert in the final build."""
+    gradient); the pad lanes are sliced off before the final build, so the
+    returned union shape and the final coreset are mesh-shape independent."""
     N, D = data.shape
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
     K = math.ceil(N / chunk_size)
     dtype = st_leaf.wts.dtype
 
+    # host-side template: the builder only reads shape/dtype from it (leaves
+    # run through build_with_data), so never park a chunk-sized dummy in HBM
     builder = make_incremental_builder(
-        jnp.zeros((chunk_size, D), dtype=dtype), model, sampler, leaf_config)
+        np.zeros((chunk_size, D), dtype=dtype), model, sampler, leaf_config)
 
     if mesh is not None:
         parallel_leaves = True
@@ -99,26 +102,34 @@ def merge_reduce_build(
     leaf_keys = all_keys[np.concatenate(
         [np.arange(K), np.zeros(K_pad - K, dtype=np.int64)])]
     if parallel_leaves:
+        # assemble the padded chunk tensor ON HOST: device_put from a numpy
+        # array lands each shard directly on its lane — materializing the
+        # padded dataset on the default device first would cap N at one
+        # chip's HBM, defeating the mesh scale-out
         pad = K_pad * chunk_size - N
-        dpad = jnp.concatenate(
-            [jnp.asarray(data, dtype=dtype),
-             jnp.broadcast_to(jnp.asarray(data[:1], dtype=dtype), (pad, D))])
-        upad = jnp.concatenate(
-            [jnp.ones(N, dtype=dtype), jnp.zeros(pad, dtype=dtype)])
-        chunks = dpad.reshape(K_pad, chunk_size, D)
-        uc = upad.reshape(K_pad, chunk_size)
+        dh = np.asarray(data, dtype=dtype)
+        chunks = np.concatenate(
+            [dh, np.broadcast_to(dh[:1], (pad, D))]).reshape(K_pad, chunk_size, D)
+        uc = np.concatenate(
+            [np.ones(N, dtype=dtype),
+             np.zeros(pad, dtype=dtype)]).reshape(K_pad, chunk_size)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             chunks = jax.device_put(chunks, NamedSharding(mesh, P(DATA_AXIS, None, None)))
             uc = jax.device_put(uc, NamedSharding(mesh, P(DATA_AXIS, None)))
             kv = jax.device_put(leaf_keys[:K_pad], NamedSharding(mesh, P(DATA_AXIS)))
         else:
+            chunks, uc = jnp.asarray(chunks), jnp.asarray(uc)
             kv = leaf_keys[:K_pad]
         sts = jax.vmap(
             lambda d, u, k: builder.build_with_data(d, u, k, st_leaf, m_leaf)
         )(chunks, uc, kv)
-        leaf_wts = jnp.reshape(sts.wts, (-1,))
-        leaf_pts = jnp.reshape(sts.pts, (-1, D))
+        # pad lanes (K..K_pad) are provably all-zero-weight; slice them off
+        # so the returned union honors the (K * M_buf_leaf, ...) contract
+        # regardless of mesh shape, and every path feeds the final build the
+        # same-shaped problem
+        leaf_wts = jnp.reshape(sts.wts, (-1,))[: K * sts.wts.shape[1]]
+        leaf_pts = jnp.reshape(sts.pts, (-1, D))[: K * sts.wts.shape[1]]
         if mesh is not None:
             # gather the tiny leaf union off the lanes: the final build is a
             # single replicated program, not a lane-partitioned one

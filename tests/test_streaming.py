@@ -174,10 +174,31 @@ def test_mesh_sharded_leaves_match_plain(rng):
         key, X, model, smp, leaf_cfg, final_cfg, chunk_size=350,
         m_leaf=6, m_final=10, st_leaf=st_leaf, mesh=mesh)
 
-    assert lw_m.shape == (8 * 10,) and lw_p.shape == (4 * 10,)
-    np.testing.assert_allclose(np.asarray(lw_m)[:40], np.asarray(lw_p),
+    # pad lanes are sliced off: the union contract is mesh-shape independent
+    assert lw_m.shape == (4 * 10,) and lw_p.shape == (4 * 10,)
+    np.testing.assert_allclose(np.asarray(lw_m), np.asarray(lw_p),
                                rtol=1e-9, atol=1e-12)
-    assert float(jnp.abs(lw_m[40:]).max()) == 0.0  # pad chunks are inert
     np.testing.assert_array_equal(np.asarray(st_m.idcs), np.asarray(st_p.idcs))
     np.testing.assert_allclose(np.asarray(st_m.wts), np.asarray(st_p.wts),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_zero_weight_rows_never_selected(rng):
+    """A u==0 row must never enter the coreset — including via take_new's
+    m==0 arm when an iteration-0 subsample happens to contain only masked
+    rows (confirmed bug: 9/12 seeds installed a phantom first point whose
+    corecorr then blocked all further selection)."""
+    X, model, smp, _ = _gauss_problem(rng, N=50)
+    u = np.zeros(50)
+    u[17] = 1.0
+    u[31] = 1.0
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=4,
+                            n_subsample_opt=8, opt_itrs=5, i0=0.5,
+                            use_beta=True)
+    b = make_incremental_builder(X, model, smp, cfg,
+                                 data_weights=jnp.asarray(u))
+    for seed in range(8):
+        st = b.build(jax.random.key(seed),
+                     init_state(6, 3, beta=0.4, dtype=jnp.float64), 4)
+        sel = np.asarray(st.idcs)[np.asarray(st.slot_mask)]
+        assert set(sel.tolist()).issubset({17, 31}), (seed, sel)
