@@ -425,7 +425,8 @@ class HilbertCoreset(Coreset):
     """Project once into a fixed tangent space, then sparse-NNLS
     (spec: reference coreset/hilbert.py)."""
 
-    def __init__(self, data, ll_projector, n_subsample=None, snnls=GIGA, seed: int = 0, **kw):
+    def __init__(self, data, ll_projector, n_subsample=None, snnls=GIGA, seed: int = 0,
+                 data_weights=None, **kw):
         self.projector = ll_projector  # before super(): _init_aux reads theta_dim
         super().__init__(data, seed=seed, **kw)
         key = self.keys()
@@ -447,12 +448,23 @@ class HilbertCoreset(Coreset):
         # all on-device (fused projection for large N; only the small
         # zero-row mask crosses to host — the (N, S) block never does)
         vecs = _project_ll_jit(ll_projector.model, x, samples)
-        nonzero = np.asarray(jnp.linalg.norm(vecs, axis=1) > 0.0)
+        norm_pos = np.asarray(jnp.linalg.norm(vecs, axis=1) > 0.0)
+        if data_weights is None:
+            nonzero = norm_pos
+            b = None  # computed from the filtered vecs below (bit-identical path)
+        else:
+            # weighted base data (merge-reduce leaf unions, row multiplicity):
+            # the snnls target is sum_n u_n v_n, computed over ALL rows before
+            # the candidate filter; u==0 rows are non-data and leave the pool
+            u = jnp.asarray(data_weights, dtype=self.data.dtype)
+            u_sel = u if sub_idcs is None else u[jnp.asarray(sub_idcs)]
+            b = u_sel @ vecs
+            nonzero = norm_pos & np.asarray(u_sel > 0)
         keep = np.where(nonzero)[0]
         if len(keep) != vecs.shape[0]:
             vecs = vecs[jnp.asarray(keep)]
         self._row_map = (sub_idcs[keep] if sub_idcs is not None else keep)
-        self.snnls = snnls(vecs.T, vecs.sum(axis=0))
+        self.snnls = snnls(vecs.T, vecs.sum(axis=0) if b is None else b)
 
     def reset(self):
         self.snnls.reset()

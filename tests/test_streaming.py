@@ -202,3 +202,36 @@ def test_zero_weight_rows_never_selected(rng):
                      init_state(6, 3, beta=0.4, dtype=jnp.float64), 4)
         sel = np.asarray(st.idcs)[np.asarray(st.slot_mask)]
         assert set(sel.tolist()).issubset({17, 31}), (seed, sel)
+
+
+def test_hilbert_weighted_base_data(rng):
+    """HilbertCoreset(data_weights=u): u=ones matches the unweighted build;
+    zero-weight rows leave the candidate pool; the weighted target makes a
+    Hilbert build over a merge-reduce leaf union approximate the full-data
+    Hilbert summary."""
+    import betacores_tpu as bc
+    from betacores_tpu.inference import fixed_sampler
+
+    X, model, smp, Siginv = _gauss_problem(rng, N=80)
+    samples = jnp.asarray(rng.normal(size=(12, 3)))
+    prj = bc.BlackBoxProjector(fixed_sampler(samples), 12,
+                               model.log_likelihood)
+
+    a1 = bc.HilbertCoreset(X, prj, seed=3)
+    a1.build(10, 10)
+    a2 = bc.HilbertCoreset(X, prj, seed=3,
+                           data_weights=jnp.ones(X.shape[0]))
+    a2.build(10, 10)
+    w1, p1, i1 = a1.get()
+    w2, p2, i2 = a2.get()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               rtol=1e-8, atol=1e-10)
+
+    # u==0 rows never selected
+    u = np.ones(80)
+    u[:70] = 0.0
+    a3 = bc.HilbertCoreset(X, prj, seed=3, data_weights=jnp.asarray(u))
+    a3.build(6, 6)
+    _, _, i3 = a3.get()
+    assert set(np.asarray(i3).tolist()).issubset(set(range(70, 80)))
