@@ -262,3 +262,16 @@ def test_preprocess_movielens(tmp_path, monkeypatch):
     assert flat == list(range(n_grouped))
     # demos: (corruption-propensity frac, userId, count, mean-rating)
     assert all(0.0 <= t[0] <= 1.0 and t[2] >= 1 for t in demos)
+
+
+def test_streaming_build_driver(capsys, monkeypatch):
+    _run("streaming_build.py",
+         ["--N", "1500", "--chunk-size", "500", "--m-leaf", "4",
+          "--m-final", "8", "--m-buf", "8", "--proj-dim", "12",
+          "--opt-itrs", "10"],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "streamed coreset m=" in out
+    acc = float(out.split("test acc ")[1].split(" ")[0])
+    prior = float(out.split("(prior ")[1].split(")")[0])
+    assert np.isfinite(acc) and acc > prior
