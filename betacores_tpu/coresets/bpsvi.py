@@ -38,27 +38,40 @@ class BPSVIConfig:
 
 
 def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSVIConfig,
-                       step_sizes=None) -> Callable:
+                       step_sizes=None, data_weights=None) -> Callable:
     """Returns jitted ``build(key, sz, aux0, size_mask=None) -> (wts, pts, idcs)``
     with ``sz`` static. ``size_mask`` (bool (sz,)) deactivates padding slots
     when called through the vmapped batch builder. ``step_sizes`` overrides
-    the default i0/(1+i) schedule."""
+    the default i0/(1+i) schedule.
+
+    ``data_weights`` (optional (N,), a jit argument like ``data``): row n
+    counts u_n times in the residual target (same contract as the
+    incremental/Hilbert builders — streaming merge-reduce leaf unions, row
+    multiplicity); pseudo-point init draws proportionally to u (u==0 rows
+    are never drawn) with total initial mass sum(u)."""
     N, D = data.shape
     S = config.projection_dim
     n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
     if step_sizes is None:
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=data.dtype)
     step_sizes = jnp.asarray(step_sizes, dtype=data.dtype)
+    uw = None if data_weights is None else jnp.asarray(data_weights, dtype=data.dtype)
 
-    def _build(data, key, sz: int, aux0, size_mask=None):
-        # data is a jit ARGUMENT: closed-over datasets embed into the HLO
-        # (see incremental.py _bind)
+    def _build(data, u, key, sz: int, aux0, size_mask=None):
+        # data (and the optional base weights u) are jit ARGUMENTS:
+        # closed-over datasets embed into the HLO (see incremental.py _bind)
         active = jnp.ones(sz, dtype=bool) if size_mask is None else size_mask
         n_active = jnp.sum(active).astype(data.dtype)
         k_init, k_opt = jax.random.split(key)
-        init_idcs = jax.random.choice(k_init, N, (sz,), replace=False)
+        if u is None:
+            init_idcs = jax.random.choice(k_init, N, (sz,), replace=False)
+            total = jnp.asarray(float(N), dtype=data.dtype)
+        else:
+            init_idcs = jax.random.choice(k_init, N, (sz,), replace=False,
+                                          p=u / u.sum())
+            total = u.sum()
         pts0 = data[init_idcs] * active[:, None].astype(data.dtype)
-        w0 = jnp.where(active, N / n_active, 0.0).astype(data.dtype)
+        w0 = jnp.where(active, total / n_active, 0.0).astype(data.dtype)
 
         def grad_fn(x, aux, k):
             w = x[:sz] * active
@@ -68,12 +81,14 @@ def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSV
             if n_opt is None:
                 vecs = project_ll(model, data, samples)
                 scaling = jnp.asarray(1.0, dtype=data.dtype)
+                tsum = vecs.sum(axis=0) if u is None else u @ vecs
             else:
                 sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
                 vecs = project_ll(model, data[sub_idcs], samples)
+                tsum = vecs.sum(axis=0) if u is None else u[sub_idcs] @ vecs
             corevecs, pgrads = project_ll_with_grad(model, p, samples)
             corevecs = corevecs * active[:, None].astype(data.dtype)
-            resid = scaling * vecs.sum(axis=0) - w @ corevecs
+            resid = scaling * tsum - w @ corevecs
             wgrad = -(corevecs @ resid) / S
             ugrad = -jnp.einsum("i,isd,s->id", w, pgrads, resid) / S
             act = active.astype(data.dtype)
@@ -86,8 +101,8 @@ def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSV
         pts = xf[sz:].reshape(sz, D)
         return wts, pts, init_idcs
 
-    _jit = jax.jit(_build, static_argnums=2)
-    return lambda key, sz, aux0, size_mask=None: _jit(data, key, sz, aux0, size_mask)
+    _jit = jax.jit(_build, static_argnums=3)
+    return lambda key, sz, aux0, size_mask=None: _jit(data, uw, key, sz, aux0, size_mask)
 
 
 def bpsvi_build_batch(builder: Callable, key: jax.Array, sizes, max_size: int, aux0) -> Tuple:

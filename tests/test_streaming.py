@@ -235,3 +235,37 @@ def test_hilbert_weighted_base_data(rng):
     a3.build(6, 6)
     _, _, i3 = a3.get()
     assert set(np.asarray(i3).tolist()).issubset(set(range(70, 80)))
+
+
+def test_bpsvi_weighted_base_data(rng):
+    """BPSVI with data_weights: init draws only from u>0 rows; the weighted
+    target makes the pseudo-coreset match the WEIGHTED posterior, not the
+    uniform one (u doubles rows 0..11 and zeroes the rest; the optimized
+    pseudo-coreset's exact conjugate posterior must sit near the
+    weighted-data posterior and beat the uniform-data posterior fit)."""
+    from betacores_tpu.coresets import BPSVIConfig, make_bpsvi_builder
+
+    d = 3
+    X, model, smp, Siginv = _gauss_problem(rng, N=60, d=d)
+    u = np.zeros(60)
+    u[:12] = 2.0
+    cfg = BPSVIConfig(projection_dim=32, n_subsample_opt=None,
+                      opt_itrs=150, i0=0.3)
+    b = make_bpsvi_builder(X, model, smp, cfg, data_weights=jnp.asarray(u))
+    wts, pts, idcs = b(jax.random.key(0), 6, jnp.zeros(d))
+    assert set(np.asarray(idcs).tolist()).issubset(set(range(12)))
+    assert np.isfinite(np.asarray(wts)).all()
+
+    mu0, Sig0inv = jnp.zeros(d), jnp.eye(d)
+    post_c = gmod.weighted_post(mu0, Sig0inv, jnp.asarray(Siginv), pts, wts)
+
+    def rkl_vs(Xref, wref):
+        post_t = gmod.weighted_post(mu0, Sig0inv, jnp.asarray(Siginv),
+                                    jnp.asarray(Xref), jnp.asarray(wref))
+        return float(gmod.gaussian_KL(post_c.mu, post_c.cov, post_t.mu,
+                                      jnp.linalg.inv(post_t.cov)))
+
+    rkl_weighted = rkl_vs(X, u)              # the target posterior
+    rkl_uniform = rkl_vs(X, np.ones(60))     # NOT the target
+    assert rkl_weighted < 0.5, rkl_weighted
+    assert rkl_weighted < rkl_uniform, (rkl_weighted, rkl_uniform)
