@@ -222,7 +222,8 @@ class _IncrementalCoreset(Coreset):
                  opt_itrs: int = 100, step_sched: Callable = lambda i: 1.0 / (1.0 + i),
                  beta: float = 0.5, learn_beta: Optional[bool] = None,
                  beta_cap: float = 1.0, seed: int = 0,
-                 max_size: int = 0, groups=None, initialized: bool = False, **kw):
+                 max_size: int = 0, groups=None, initialized: bool = False,
+                 data_weights=None, **kw):
         if groups is not None and not max_size:
             # group appends add up to max-group-size slots per iteration
             max_size = sum(len(g) for g in groups)
@@ -242,14 +243,18 @@ class _IncrementalCoreset(Coreset):
         )
         self._cfg = cfg
         self.groups = groups
+        self._data_weights = data_weights
         self.ctx = None  # traced context for contextual projectors
         contextual = getattr(ll_projector, "contextual", False)
         if groups is None:
             self._builder = make_incremental_builder(self.data, ll_projector.model,
                                                      ll_projector.sampler, cfg,
                                                      step_sizes=step_sizes,
-                                                     contextual=contextual)
+                                                     contextual=contextual,
+                                                     data_weights=data_weights)
         else:
+            if data_weights is not None:
+                raise NotImplementedError("data_weights: point mode only")
             from ..ops.projection import Groups
             from .groups import init_group_state, make_group_incremental_builder
 
@@ -322,6 +327,11 @@ class _IncrementalCoreset(Coreset):
         coresets/refine.py for why NOT to polish contaminated beta builds."""
         if self.groups is not None:
             raise NotImplementedError("refine: point mode only")
+        if self._data_weights is not None:
+            # refine_weights freezes an UNWEIGHTED tangent objective; running
+            # it on a weighted build would silently polish toward the wrong
+            # target posterior
+            raise NotImplementedError("refine: unweighted base data only")
         from .refine import refine_weights
 
         self.state = refine_weights(self.keys(), self.data, self.projector.model,
@@ -381,12 +391,13 @@ class BatchPSVICoreset(Coreset):
 
     def __init__(self, data, ll_projector, opt_itrs: int = 100, n_subsample_opt=None,
                  step_sched: Callable = lambda m: (lambda i: 1.0 / (1.0 + i)),
-                 seed: int = 0, **kw):
+                 seed: int = 0, data_weights=None, **kw):
         self.projector = ll_projector  # before super(): _init_aux reads theta_dim
         super().__init__(data, seed=seed, **kw)
         self.opt_itrs = opt_itrs
         self.n_subsample_opt = n_subsample_opt
         self.step_sched = step_sched
+        self._data_weights = data_weights
         self._builders = {}
 
     def _builder_for(self, sz: int):
@@ -400,7 +411,8 @@ class BatchPSVICoreset(Coreset):
             )
             self._builders[sz] = make_bpsvi_builder(self.data, self.projector.model,
                                                     self.projector.sampler, cfg,
-                                                    step_sizes=step_sizes)
+                                                    step_sizes=step_sizes,
+                                                    data_weights=self._data_weights)
         return self._builders[sz]
 
     def _build(self, itrs: int, sz: int) -> None:

@@ -269,3 +269,28 @@ def test_bpsvi_weighted_base_data(rng):
     rkl_uniform = rkl_vs(X, np.ones(60))     # NOT the target
     assert rkl_weighted < 0.5, rkl_weighted
     assert rkl_weighted < rkl_uniform, (rkl_weighted, rkl_uniform)
+
+
+def test_eager_api_data_weights_passthrough(rng):
+    """The eager classes expose data_weights: a BetaCoreset over a weighted
+    union matches the functional builder, and refine()/group-mode reject
+    weighted data explicitly."""
+    import betacores_tpu as bc
+    from betacores_tpu.inference import gaussian_conjugate_sampler
+
+    X, model, smp, _ = _gauss_problem(rng, N=50)
+    u = np.ones(50)
+    u[40:] = 0.0
+    prj = bc.BetaBlackBoxProjector(smp, 8, model.beta_likelihood,
+                                   model.log_likelihood, model.beta_gradient)
+    alg = bc.BetaCoreset(X, prj, beta=0.4, opt_itrs=8, n_subsample_opt=16,
+                         n_subsample_select=20, seed=7,
+                         data_weights=jnp.asarray(u))
+    alg.build(5, 5)
+    w, p, i, _ = alg.get()
+    assert set(np.asarray(i).tolist()).issubset(set(range(40)))
+    with pytest.raises(NotImplementedError):
+        alg.refine()
+    with pytest.raises(NotImplementedError):
+        bc.BetaCoreset(X, prj, groups=[[0, 1], [2, 3]],
+                       data_weights=jnp.asarray(u))
