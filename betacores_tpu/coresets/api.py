@@ -526,9 +526,22 @@ class UniformSamplingCoreset(Coreset):
     round trip per *read*, not several per build call (tunnel round trips
     dominate such loops)."""
 
-    def __init__(self, data, seed: int = 0, groups=None, **kw):
+    def __init__(self, data, seed: int = 0, groups=None, data_weights=None, **kw):
         self._dirty = False
         super().__init__(data, seed=seed, **kw)
+        # weighted base data (streaming leaf unions): draws become iid
+        # importance draws ~ u / sum(u), and the multiplicity weights scale
+        # by total mass sum(u) instead of N — the same estimator, targeting
+        # the weighted posterior. u==0 rows are never drawn.
+        if data_weights is not None:
+            if groups is not None:
+                raise NotImplementedError("data_weights: point mode only")
+            uw = np.asarray(data_weights, dtype=np.float64)
+            self._u_total = float(uw.sum())
+            self._u_p = uw / self._u_total
+        else:
+            self._u_total = None
+            self._u_p = None
         # constructor warm start becomes a persistent count-1 prefix
         # (reference sampling.py seeds cts=[1]*len(idcs)); the points may be
         # EXTERNAL to the dataset (sentinel indices, e.g. the neural-linear
@@ -581,7 +594,9 @@ class UniformSamplingCoreset(Coreset):
         if self.groups is None:
             if self.size() + itrs > sz:
                 raise ValueError("UniformSamplingCoreset._build(): size overrun")
-            for f in self._rng.integers(0, N, size=itrs):
+            draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
+                     else self._rng.choice(N, size=itrs, p=self._u_p))
+            for f in draws:
                 self.cts[int(f)] = self.cts.get(int(f), 0) + 1
         else:
             # group mode (reference sampling.py:37-52): draw groups; append
@@ -602,12 +617,15 @@ class UniformSamplingCoreset(Coreset):
         if self.groups is not None:
             raise NotImplementedError("build_trace: point mode only")
         N = self.data.shape[0]
+        total = float(N) if self._u_total is None else self._u_total
         snaps = []
-        for f in self._rng.integers(0, N, size=itrs):
+        draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
+                 else self._rng.choice(N, size=itrs, p=self._u_p))
+        for f in draws:
             self.cts[int(f)] = self.cts.get(int(f), 0) + 1
             idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
             cts = np.fromiter(self.cts.values(), dtype=np.float64)
-            snaps.append((idcs, N * cts / cts.sum()))
+            snaps.append((idcs, total * cts / cts.sum()))
         self._dirty = True
         all_idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
         row_of = {int(i): r for r, i in enumerate(all_idcs)}
@@ -635,7 +653,8 @@ class UniformSamplingCoreset(Coreset):
             idcs = np.concatenate([widcs, idcs])
             pts = np.concatenate([wpts.astype(pts.dtype), pts], axis=0)
             cts = np.concatenate([np.ones(len(widcs)), cts])
-        wts = N * cts / cts.sum()
+        total = float(N) if self._u_total is None else self._u_total
+        wts = total * cts / cts.sum()
         self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())

@@ -294,3 +294,20 @@ def test_eager_api_data_weights_passthrough(rng):
     with pytest.raises(NotImplementedError):
         bc.BetaCoreset(X, prj, groups=[[0, 1], [2, 3]],
                        data_weights=jnp.asarray(u))
+
+
+def test_uniform_sampling_weighted(rng):
+    """UniformSamplingCoreset(data_weights=u): draws ~ u (u==0 never drawn),
+    weights scale by total mass sum(u)."""
+    import betacores_tpu as bc
+
+    X, _, _, _ = _gauss_problem(rng, N=50)
+    u = np.zeros(50)
+    u[10:20] = 3.0
+    alg = bc.UniformSamplingCoreset(X, seed=2, data_weights=jnp.asarray(u))
+    alg.build(12, 12)
+    w, p, i = alg.get()
+    assert set(np.asarray(i).tolist()).issubset(set(range(10, 20)))
+    np.testing.assert_allclose(float(np.sum(w)), 30.0, rtol=1e-9)
+    with pytest.raises(NotImplementedError):
+        bc.UniformSamplingCoreset(X, groups=[[0, 1]], data_weights=jnp.asarray(u))
