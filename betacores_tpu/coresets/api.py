@@ -327,17 +327,13 @@ class _IncrementalCoreset(Coreset):
         coresets/refine.py for why NOT to polish contaminated beta builds."""
         if self.groups is not None:
             raise NotImplementedError("refine: point mode only")
-        if self._data_weights is not None:
-            # refine_weights freezes an UNWEIGHTED tangent objective; running
-            # it on a weighted build would silently polish toward the wrong
-            # target posterior
-            raise NotImplementedError("refine: unweighted base data only")
         from .refine import refine_weights
 
         self.state = refine_weights(self.keys(), self.data, self.projector.model,
                                     self.projector.sampler, self.state,
                                     n_samples=n_samples, n_subsample=n_subsample,
-                                    use_beta=self._use_beta)
+                                    use_beta=self._use_beta,
+                                    data_weights=self._data_weights)
 
     def build_trace(self, itrs: int):
         """Run ``itrs`` incremental iterations as ONE device program,

@@ -47,22 +47,39 @@ def refine_weights(
     n_subsample: Optional[int] = None,
     use_beta: bool = False,
     nnls_iters: int = 600,
+    data_weights: Optional[jnp.ndarray] = None,
 ) -> CoresetState:
     """Return ``state`` with weights re-solved on the frozen projection.
-    Jit-safe (static shapes); the support is the current slot mask."""
+    Jit-safe (static shapes); the support is the current slot mask.
+
+    ``data_weights`` (optional (N,) array) makes row n count ``u_n`` times in
+    the frozen target ``v_total = scaling * sum_n u_n v_n`` — the same
+    weighted-posterior tangent vector the incremental builders use
+    (incremental.py::_sum_rows), so the polish targets the WEIGHTED build's
+    posterior. Subsampled estimates keep the uniform-draw + ``u[sub]``
+    convention of ``make_tangent_error``. ``None`` is bit-identical to the
+    unweighted program."""
+    if data_weights is not None:
+        data_weights = jnp.asarray(data_weights, dtype=data.dtype)
+        if data_weights.shape != (data.shape[0],):
+            raise ValueError(
+                f"data_weights must be ({data.shape[0]},), got {data_weights.shape}")
 
     @jax.jit
-    def _refine(data, key, st: CoresetState) -> CoresetState:
+    def _refine(data, u, key, st: CoresetState) -> CoresetState:
         k_samp, k_sub = jax.random.split(key)
         samples, aux = sampler(k_samp, n_samples, st.wts, st.pts, st.sampler_aux)
         proj = (lambda p: project_beta(model, p, samples, st.beta)) if use_beta \
             else (lambda p: project_ll(model, p, samples))
         N = data.shape[0]
         if n_subsample is None or n_subsample >= N:
-            v_total = proj(data).sum(axis=0)
+            vecs = proj(data)
+            v_total = vecs.sum(axis=0) if u is None else u @ vecs
         else:
             sub_idcs, scaling = draw_subsample(k_sub, N, n_subsample)
-            v_total = scaling * proj(data[sub_idcs]).sum(axis=0)
+            vecs = proj(data[sub_idcs])
+            v_total = scaling * (vecs.sum(axis=0) if u is None
+                                 else u[sub_idcs] @ vecs)
         Vc = proj(st.pts) * st.slot_mask[:, None].astype(data.dtype)  # (M, S)
         M_max = st.wts.shape[0]
         w_new = nnls_on_support(Vc.T, v_total, st.slot_mask, M_max,
@@ -74,4 +91,4 @@ def refine_weights(
         return st._replace(wts=jnp.where(improved, w_new, st.wts),
                            sampler_aux=aux)
 
-    return _refine(data, key, state)
+    return _refine(data, data_weights, key, state)

@@ -273,8 +273,8 @@ def test_bpsvi_weighted_base_data(rng):
 
 def test_eager_api_data_weights_passthrough(rng):
     """The eager classes expose data_weights: a BetaCoreset over a weighted
-    union matches the functional builder, and refine()/group-mode reject
-    weighted data explicitly."""
+    union matches the functional builder, refine() polishes toward the
+    WEIGHTED target, and group mode rejects weighted data explicitly."""
     import betacores_tpu as bc
     from betacores_tpu.inference import gaussian_conjugate_sampler
 
@@ -289,11 +289,48 @@ def test_eager_api_data_weights_passthrough(rng):
     alg.build(5, 5)
     w, p, i, _ = alg.get()
     assert set(np.asarray(i).tolist()).issubset(set(range(40)))
-    with pytest.raises(NotImplementedError):
-        alg.refine()
+    # refine() threads the weights through to the frozen target
+    alg.refine(n_samples=64)
+    w2, _, i2, _ = alg.get()
+    assert np.all(np.asarray(w2) >= 0)
+    assert set(np.asarray(i2).tolist()).issubset(set(np.asarray(i).tolist()))
     with pytest.raises(NotImplementedError):
         bc.BetaCoreset(X, prj, groups=[[0, 1], [2, 3]],
                        data_weights=jnp.asarray(u))
+
+
+def test_refine_weighted_equals_row_duplication(rng):
+    """refine_weights(data_weights=u) with integer u must equal refining on
+    the physically duplicated dataset (same key => same frozen sample draw;
+    only the target-sum reduction differs), and u=ones must match the
+    unweighted call."""
+    from betacores_tpu.coresets.refine import refine_weights
+
+    X, model, smp, _ = _gauss_problem(rng, N=40)
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=None,
+                            n_subsample_opt=None, opt_itrs=8, i0=0.5,
+                            use_beta=False)
+    st0 = init_state(8, 3, beta=0.4, dtype=jnp.float64)
+    st = make_incremental_builder(X, model, smp, cfg).build(
+        jax.random.key(3), st0, 5)
+
+    key = jax.random.key(11)
+    kw = dict(n_samples=64, use_beta=False)
+    st_plain = refine_weights(key, X, model, smp, st, **kw)
+    st_ones = refine_weights(key, X, model, smp, st,
+                             data_weights=jnp.ones(40), **kw)
+    np.testing.assert_allclose(np.asarray(st_plain.wts),
+                               np.asarray(st_ones.wts), rtol=1e-9, atol=1e-12)
+
+    k_dup = 6
+    u = jnp.asarray(np.concatenate([2.0 * np.ones(k_dup), np.ones(40 - k_dup)]))
+    Xdup = jnp.concatenate([X, X[:k_dup]])
+    st_w = refine_weights(key, X, model, smp, st, data_weights=u, **kw)
+    st_d = refine_weights(key, Xdup, model, smp, st, **kw)
+    np.testing.assert_allclose(np.asarray(st_w.wts), np.asarray(st_d.wts),
+                               rtol=1e-8, atol=1e-11)
+    with pytest.raises(ValueError):
+        refine_weights(key, X, model, smp, st, data_weights=jnp.ones(7), **kw)
 
 
 def test_uniform_sampling_weighted(rng):
