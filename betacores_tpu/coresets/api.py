@@ -335,19 +335,31 @@ class _IncrementalCoreset(Coreset):
                                     use_beta=self._use_beta,
                                     data_weights=self._data_weights)
 
-    def build_trace(self, itrs: int):
+    def build_trace(self, itrs: int, return_selected: bool = False):
         """Run ``itrs`` incremental iterations as ONE device program,
         returning per-iteration compact coresets
         ``[(wts_m, pts_m, idcs_m, beta_m)] * itrs`` — what a
         ``for m: build(1, m); get()`` loop produces, without its hundreds
         of per-size host round trips (they dominate wall-clock through
-        tunneled TPU backends). Advances this coreset to the final size."""
+        tunneled TPU backends). Advances this coreset to the final size.
+
+        Group mode records the per-iteration selected-group mask alongside;
+        pass ``return_selected=True`` to get ``(out, selected)`` where
+        ``selected`` is the (itrs, G) boolean trace — the group-selection
+        order is the sequence of columns that turn on."""
         if self.groups is not None:
-            raise NotImplementedError("build_trace: point mode only")
-        self._ensure_capacity(int(self.state.m) + itrs)
-        st, (W, I, B) = self._builder.build_trace(self.keys(), self.state,
-                                                  int(itrs), self.ctx)
-        self.state = st
+            self._gstate = self._gstate._replace(core=self.state)
+            gst, (W, I, B, Sel) = self._builder.build_trace(
+                self.keys(), self._gstate, int(itrs), self.ctx)
+            self._gstate = gst
+            self.state = gst.core
+        else:
+            if return_selected:
+                raise ValueError("return_selected: group mode only")
+            self._ensure_capacity(int(self.state.m) + itrs)
+            st, (W, I, B) = self._builder.build_trace(self.keys(), self.state,
+                                                      int(itrs), self.ctx)
+            self.state = st
         self._error_key = self._error_keys()  # same per-build refresh as _build
         W, I, B = np.asarray(W), np.asarray(I), np.asarray(B)
         # one padded gather for every iteration's points: (itrs, cap, d)
@@ -356,6 +368,8 @@ class _IncrementalCoreset(Coreset):
         for m in range(itrs):
             keep = W[m] > 0
             out.append((W[m][keep], P[m][keep], I[m][keep], float(B[m])))
+        if return_selected:
+            return out, np.asarray(Sel)
         return out
 
 

@@ -206,4 +206,25 @@ def make_group_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, gst)
 
-    return lambda key, gst, itrs, ctx=None: _build_d(data, gid, key, gst, itrs, ctx)
+    @partial(jax.jit, static_argnums=4)
+    def _build_trace_d(data, gid, key, gst: GroupCoresetState, itrs: int, ctx=None):
+        # itrs iterations as ONE device program, recording per-iteration
+        # compact state AND the selected-group mask — the group-selection
+        # driver recovers the full selection ORDER from one device call
+        # instead of a `build(1); selected_groups` host loop per iteration
+        _select, _optimize = _bind(data, gid)
+
+        def body(gst, i):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            gst = _select(k1, gst, ctx)
+            gst = _optimize(k2, gst, ctx)
+            st = gst.core
+            return gst, (st.wts, st.idcs, st.beta, gst.selected)
+
+        gst, per_itr = jax.lax.scan(body, gst, jnp.arange(itrs))
+        return gst, per_itr
+
+    build = lambda key, gst, itrs, ctx=None: _build_d(data, gid, key, gst, itrs, ctx)
+    build.build_trace = (
+        lambda key, gst, itrs, ctx=None: _build_trace_d(data, gid, key, gst, int(itrs), ctx))
+    return build

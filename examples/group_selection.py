@@ -132,13 +132,18 @@ def main():
                              n_subsample_opt=args.n_subsample_opt,
                              groups=groups, seed=args.trial)
         # some iterations re-weight existing points instead of adding a
-        # group, so iterate until M distinct groups are selected (cap 4M)
+        # group, so iterate until M distinct groups are selected (cap 4M).
+        # Chunked build_trace: M iterations per DEVICE call (the selection
+        # order falls out of the recorded per-iteration selected masks)
+        # instead of a host round trip per iteration.
         order = []
-        for m in range(4 * args.M):
-            alg.build(1, Z.shape[0])
-            for g in alg.selected_groups:
-                if g not in order:
-                    order.append(g)
+        prev = np.zeros(G, dtype=bool)
+        for _ in range(4):
+            _, sel = alg.build_trace(args.M, return_selected=True)
+            for row in sel:
+                new = np.where(row & ~prev)[0]
+                order.extend(new.tolist())
+                prev = row
             if len(order) >= args.M:
                 break
         order = order[: args.M]

@@ -118,3 +118,30 @@ def test_uniform_sampling_group_mode(setup):
     want = set(x for g in alg.selected_groups for x in groups[g])
     assert got == want
     np.testing.assert_allclose(w.sum(), X.shape[0], rtol=1e-9)
+
+
+def test_group_build_trace_matches_build(setup):
+    """Group-mode build_trace: one device program == build(itrs) with the
+    same key-stream position; the selected trace is monotone and its final
+    row matches selected_groups; per-iteration compact coresets stay
+    whole-group unions."""
+    X, samples, model, groups, _ = setup
+    prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                               model.log_likelihood)
+    a1 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=4)
+    a2 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=4)
+    trace, sel = a1.build_trace(3, return_selected=True)
+    a2.build(3, X.shape[0])  # same KeySequence position: identical key stream
+    w2, p2, i2 = a2.get()
+    wl, pl, il, _ = trace[-1]
+    np.testing.assert_allclose(wl, w2, rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(il, i2)
+    assert sel.shape == (3, len(groups))
+    # monotone: once selected, always selected
+    assert ((sel[1:] >= sel[:-1]).all())
+    np.testing.assert_array_equal(np.where(sel[-1])[0], a1.selected_groups)
+    np.testing.assert_array_equal(np.where(sel[-1])[0], a2.selected_groups)
+    # point mode rejects return_selected explicitly
+    a3 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, seed=4, max_size=8)
+    with pytest.raises(ValueError):
+        a3.build_trace(2, return_selected=True)
