@@ -1,7 +1,8 @@
 from .bpsvi_batch import make_sharded_bpsvi_batch
 from .groups import make_sharded_group_builder, shard_group_ids
 from .hilbert import ShardedHilbertCoreset
-from .mesh import DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh, shard_data
+from .mesh import (DATA_AXIS, SAMP_AXIS, auto_mesh_shape, make_mesh,
+                   shard_data, shard_weights)
 from .sharded import make_sharded_incremental_builder
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "auto_mesh_shape",
     "make_mesh",
     "shard_data",
+    "shard_weights",
     "make_sharded_bpsvi_batch",
     "make_sharded_group_builder",
     "make_sharded_incremental_builder",

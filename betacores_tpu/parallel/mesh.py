@@ -62,3 +62,18 @@ def shard_data(data, mesh: Mesh):
     if pad:
         data = jnp.concatenate([data, jnp.zeros((pad, data.shape[1]), dtype=data.dtype)])
     return jax.device_put(data, NamedSharding(mesh, P(DATA_AXIS, None))), N
+
+
+def shard_weights(u, mesh: Mesh):
+    """Place an (N,) base-data weight vector row-sharded over the data axis,
+    replicated over samp, padded with ZEROS to the same length ``shard_data``
+    pads the rows to — zero-weight rows are masked out of both the target sum
+    and the candidate argmax by the weighted builders."""
+    import jax.numpy as jnp
+
+    n_data = mesh.shape[DATA_AXIS]
+    N = u.shape[0]
+    pad = (-N) % n_data
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((pad,), dtype=u.dtype)])
+    return jax.device_put(u, NamedSharding(mesh, P(DATA_AXIS)))

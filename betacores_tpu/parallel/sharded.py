@@ -48,16 +48,31 @@ def make_sharded_incremental_builder(
     config: IncrementalConfig,
     mesh,
     step_sizes: Optional[jnp.ndarray] = None,
+    data_weights: Optional[jnp.ndarray] = None,
 ) -> Callable:
     """Returns jitted ``build(key, state, itrs) -> state`` where
     ``data_sharded`` is row-sharded over the mesh's data axis (zero-padded
     to divisibility; ``n_true`` is the unpadded row count) and the state is
     replicated. Subsampled selection/optimization only (n_subsample_* must
-    be set: full-data mode on a shard is just the single-device builder)."""
+    be set: full-data mode on a shard is just the single-device builder).
+
+    ``data_weights`` (optional, the output of ``mesh.shard_weights`` — an
+    (N_pad,) vector sharded like the data rows, zero-padded) makes row n
+    count ``u_n`` times in the residual target, exactly like the
+    single-device weighted builder (incremental.py): the stratified local
+    estimate becomes ``shard_scale * sum_j u_j v_j`` and zero-weight rows
+    (padding / dead merge-reduce leaf slots) are masked out of the
+    distributed candidate argmax. ``None`` keeps the unweighted program
+    bit-identical."""
     if config.n_subsample_select is None or config.n_subsample_opt is None:
         raise ValueError("sharded builder requires n_subsample_select/opt")
     if config.learn_beta and getattr(model, "beta_gradient", None) is None:
         raise ValueError("learn_beta requires a model with beta_gradient")
+    weighted = data_weights is not None
+    if weighted and data_weights.shape != (data_sharded.shape[0],):
+        raise ValueError(
+            f"data_weights must be ({data_sharded.shape[0]},) (padded like the "
+            f"sharded rows — use shard_weights), got {data_weights.shape}")
 
     n_data, n_samp = require_axes(mesh)
     S = config.projection_dim
@@ -85,8 +100,8 @@ def make_sharded_incremental_builder(
         """Inner product over the sharded S axis."""
         return jax.lax.psum(a @ b, SAMP_AXIS)
 
-    def _tangent(key, w, st, beta, n_loc, aux, data_local, ax_d, ax_s, local_valid,
-                 with_beta_grad: bool = False):
+    def _tangent(key, w, st, beta, n_loc, aux, data_local, u_local, ax_d, ax_s,
+                 local_valid, with_beta_grad: bool = False):
         k_samp, k_sub = jax.random.split(key)
         # replicated sampler: same key on every device -> identical samples
         samples, aux = sampler(k_samp, S, w, st.pts, aux)
@@ -97,9 +112,12 @@ def make_sharded_incremental_builder(
         vecs = _proj(data_local[sub], samples_loc, beta)
         has_rows = (local_valid > 0).astype(dtype)
         vecs = vecs * has_rows
-        # unbiased stratified Sigma-over-N: per-shard rescale, then psum
+        # unbiased stratified Sigma-over-N (weighted: Sigma u_n v_n):
+        # per-shard rescale, then psum
+        usub = None if u_local is None else u_local[sub]
+        rowsum = vecs.sum(axis=0) if usub is None else usub @ vecs
         shard_scale = local_valid.astype(dtype) / n_loc
-        total = jax.lax.psum(shard_scale * vecs.sum(axis=0), DATA_AXIS)  # (S_loc,)
+        total = jax.lax.psum(shard_scale * rowsum, DATA_AXIS)  # (S_loc,)
         mask = st.slot_mask[:, None].astype(dtype)
         corevecs = _proj(st.pts, samples_loc, beta) * mask
         betagrads = None
@@ -107,9 +125,9 @@ def make_sharded_incremental_builder(
             # d/d(beta) of the coreset projections for learn-beta, centered
             # over the full S axis like the scalar projection
             betagrads = _center_S(model.beta_gradient(st.pts, samples_loc, beta)) * mask
-        return vecs, corevecs, total, sub, aux, betagrads
+        return vecs, corevecs, total, sub, usub, aux, betagrads
 
-    def _step(data_local, key, st: CoresetState) -> CoresetState:
+    def _step(data_local, u_local, key, st: CoresetState) -> CoresetState:
         ax_d = jax.lax.axis_index(DATA_AXIS)
         ax_s = jax.lax.axis_index(SAMP_AXIS)
         rows_loc = data_local.shape[0]
@@ -117,9 +135,9 @@ def make_sharded_incremental_builder(
         k_sel, k_opt = jax.random.split(key)
 
         # ---- select (distributed argmax) ----
-        vecs, corevecs, total, sub, aux, _ = _tangent(
+        vecs, corevecs, total, sub, usub, aux, _ = _tangent(
             k_sel, st.wts, st, st.beta, n_sel_loc, st.sampler_aux,
-            data_local, ax_d, ax_s, local_valid,
+            data_local, u_local, ax_d, ax_s, local_valid,
         )
         resid_loc = total - st.wts @ corevecs  # (S_loc,), sharded over samp
         corr_num = _dot_S(vecs, resid_loc)     # (n_loc,), replicated over samp
@@ -128,6 +146,10 @@ def make_sharded_incremental_builder(
         corrs = corr_num / vn / S
         # shards with no valid rows (padding-only) never win the argmax
         corrs = jnp.where(local_valid > 0, corrs, -jnp.inf)
+        if usub is not None:
+            # zero-base-weight rows contribute nothing to the target, so
+            # they must never be selectable (incremental.py weighted select)
+            corrs = jnp.where(usub > 0, corrs, -jnp.inf)
 
         cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
         cn = jnp.where(cn > 0, cn, jnp.inf)
@@ -147,6 +169,11 @@ def make_sharded_incremental_builder(
         already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
         M_max = st.wts.shape[0]
         add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+        if u_local is not None:
+            # the m==0 arm of take_new bypasses the -inf masks: an
+            # all-masked candidate round must never install a u==0 row
+            # (same guard as the single-device weighted select)
+            add = jnp.logical_and(add, jnp.isfinite(f_score))
         slot = jnp.minimum(st.m, M_max - 1)
         st = st._replace(
             idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),
@@ -161,8 +188,9 @@ def make_sharded_incremental_builder(
         if not config.learn_beta:
 
             def grad_fn(w, aux, k):
-                vecs_o, corevecs_o, total_o, _, aux, _ = _tangent(
-                    k, w, st, st.beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid
+                vecs_o, corevecs_o, total_o, _, _, aux, _ = _tangent(
+                    k, w, st, st.beta, n_opt_loc, aux, data_local, u_local,
+                    ax_d, ax_s, local_valid
                 )
                 resid = total_o - w @ corevecs_o
                 return -_dot_S(corevecs_o, resid) / S, aux
@@ -183,9 +211,9 @@ def make_sharded_incremental_builder(
 
         def grad_fn_b(x, aux, k):
             w, beta = x[:-1], clamp_b(x[-1])
-            vecs_o, corevecs_o, total_o, _, aux, betagrads = _tangent(
-                k, w, st, beta, n_opt_loc, aux, data_local, ax_d, ax_s, local_valid,
-                with_beta_grad=True,
+            vecs_o, corevecs_o, total_o, _, _, aux, betagrads = _tangent(
+                k, w, st, beta, n_opt_loc, aux, data_local, u_local,
+                ax_d, ax_s, local_valid, with_beta_grad=True,
             )
             resid = total_o - w @ corevecs_o
             wgrad = -_dot_S(corevecs_o, resid) / S
@@ -196,29 +224,58 @@ def make_sharded_incremental_builder(
         xf, aux = nn_adam(x0, grad_fn_b, st.sampler_aux, k_opt, step_sizes)
         return st._replace(wts=xf[:-1], beta=clamp_b(xf[-1]), sampler_aux=aux)
 
-    def _build_local(data_local, key, itrs, st):
+    def _build_local(data_local, u_local, key, itrs, st):
         # itrs is traced (fori_loop -> while_loop): one compiled program for
         # every build size, like the single-device builders (CLAUDE.md)
         def body(i, st):
-            return _step(data_local, jax.random.fold_in(key, i), st)
+            return _step(data_local, u_local, jax.random.fold_in(key, i), st)
 
         return jax.lax.fori_loop(0, itrs, body, st)
 
-    def _trace_local(data_local, key, itrs, st):
+    def _trace_local(data_local, u_local, key, itrs, st):
         def body(st, i):
-            st = _step(data_local, jax.random.fold_in(key, i), st)
+            st = _step(data_local, u_local, jax.random.fold_in(key, i), st)
             return st, (st.wts, st.idcs, st.beta)
 
         return jax.lax.scan(body, st, jnp.arange(itrs))
 
     state_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
 
+    if weighted:
+        # the weights ride through shard_map as a row-sharded argument; the
+        # unweighted branch keeps the original program bit-identical
+        @jax.jit
+        def _build_w(data, u, key, st: CoresetState, itrs) -> CoresetState:
+            return jax.shard_map(
+                lambda d, uu, k, i, s: _build_local(d, uu, k, i, s),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), state_spec),
+                out_specs=state_spec,
+                check_vma=False,
+            )(data, u, key, itrs, st)
+
+        @partial(jax.jit, static_argnums=4)
+        def _trace_w(data, u, key, st: CoresetState, itrs: int):
+            return jax.shard_map(
+                lambda d, uu, k, s: _trace_local(d, uu, k, itrs, s),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), state_spec),
+                out_specs=(state_spec, (P(), P(), P())),
+                check_vma=False,
+            )(data, u, key, st)
+
+        build = lambda key, st, itrs: _build_w(
+            data_sharded, data_weights, key, st, jnp.asarray(itrs, dtype=jnp.int32))
+        build.trace = lambda key, st, itrs: _trace_w(
+            data_sharded, data_weights, key, st, int(itrs))
+        return build
+
     @jax.jit
     def _build_d(data, key, st: CoresetState, itrs) -> CoresetState:
         # data is a jit ARGUMENT: a closed-over dataset embeds into the HLO
         # (see coresets/incremental.py _bind)
         return jax.shard_map(
-            lambda d, k, i, s: _build_local(d, k, i, s),
+            lambda d, k, i, s: _build_local(d, None, k, i, s),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(), P(), state_spec),
             out_specs=state_spec,
@@ -230,7 +287,7 @@ def make_sharded_incremental_builder(
         # static itrs (output shape); per-iteration (wts, idcs, beta) are
         # replicated, so the trace transfers once at the end
         return jax.shard_map(
-            lambda d, k, s: _trace_local(d, k, itrs, s),
+            lambda d, k, s: _trace_local(d, None, k, itrs, s),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(), state_spec),
             out_specs=(state_spec, (P(), P(), P())),

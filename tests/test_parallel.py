@@ -397,3 +397,67 @@ def test_aot_lowering_for_v5e8_tpu(problem):
     assert "stablehlo.custom_call @xla_python_cpu_callback" not in txt
     # record for RESULTS.md: collective mix of one build step
     print("v5e-8 AOT collectives per build step:", counts)
+
+
+def test_sharded_weighted_build(problem):
+    """data_weights in the sharded builder: u=ones matches the unweighted
+    sharded build bit-for-bit on selections; zero-weight rows are never
+    selected; integer weights pull the build toward the WEIGHTED posterior."""
+    from betacores_tpu.parallel import shard_weights
+
+    X, model, sampler, aux = problem
+    mu0, Sig0inv, Siginv, _, _ = aux
+    cfg = IncrementalConfig(projection_dim=32, n_subsample_select=128,
+                            n_subsample_opt=64, opt_itrs=40, i0=1.0)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    st0 = init_state(64, X.shape[1], dtype=ds.dtype)
+    key = jax.random.key(7)
+
+    b_plain = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+    u1 = shard_weights(jnp.ones(X.shape[0], dtype=ds.dtype), mesh)
+    b_ones = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg,
+                                              mesh, data_weights=u1)
+    st_p = b_plain(key, st0, 8)
+    st_o = b_ones(key, st0, 8)
+    np.testing.assert_array_equal(np.asarray(st_p.idcs), np.asarray(st_o.idcs))
+    np.testing.assert_allclose(np.asarray(st_p.wts), np.asarray(st_o.wts),
+                               rtol=1e-9, atol=1e-12)
+
+    # zero-weight rows (the last 200) must never be selected
+    uz = np.ones(X.shape[0])
+    uz[400:] = 0.0
+    bz = make_sharded_incremental_builder(
+        ds, n_true, model, sampler, cfg, mesh,
+        data_weights=shard_weights(jnp.asarray(uz, dtype=ds.dtype), mesh))
+    st_z = bz(key, st0, 8)
+    idcs = np.asarray(st_z.idcs)[: int(st_z.m)]
+    assert (idcs < 400).all(), idcs
+    # trace entry point works weighted too
+    st_t, (W, I, B) = bz.trace(key, st0, 4)
+    assert W.shape[0] == 4
+    np.testing.assert_array_equal(
+        np.asarray(I[-1]), np.asarray(bz(key, st0, 4).idcs))
+
+    # weighted build tracks the WEIGHTED posterior better than uniform wts
+    # do (u doubles rows 0..149 and zeroes the rest, so the weighted and
+    # uniform posteriors differ sharply in effective mass)
+    uw = np.zeros(X.shape[0])
+    uw[:150] = 2.0
+    bw = make_sharded_incremental_builder(
+        ds, n_true, model, sampler, cfg, mesh,
+        data_weights=shard_weights(jnp.asarray(uw, dtype=ds.dtype), mesh))
+    st_w = bw(key, st0, 10)
+    w, p = np.asarray(st_w.wts), np.asarray(st_w.pts)
+    muT, SigT = om.gauss_weighted_post(mu0, Sig0inv, Siginv, X, uw)
+    muU, SigU = om.gauss_weighted_post(mu0, Sig0inv, Siginv, X, np.ones(X.shape[0]))
+    muw, Sigw = om.gauss_weighted_post(mu0, Sig0inv, Siginv,
+                                       np.atleast_2d(p[w > 0]), w[w > 0])
+    klT = om.gaussian_KL(muw, Sigw, muT, np.linalg.inv(SigT))
+    klU = om.gaussian_KL(muw, Sigw, muU, np.linalg.inv(SigU))
+    assert klT < klU, (klT, klU)
+
+    with pytest.raises(ValueError):
+        make_sharded_incremental_builder(
+            ds, n_true, model, sampler, cfg, mesh,
+            data_weights=jnp.ones(7, dtype=ds.dtype))
