@@ -33,9 +33,10 @@ from betacores_tpu.data.loaders import (groups_pickle_path, load_groups_pickle,
 from betacores_tpu.inference import logreg_laplace_sampler
 from betacores_tpu.models import logreg
 from betacores_tpu.ops.projection import Groups
-from betacores_tpu.valuation import logreg_laplace_value_fn, make_dshapley
+from betacores_tpu.valuation import (logreg_laplace_value_fn, make_dshapley,
+                                     make_tmc_shapley)
 
-ALGS = ["BCORES", "DShapley", "RAND"]
+ALGS = ["BCORES", "DShapley", "TMC", "RAND"]
 
 
 def rebalance_test(Xt, Yt, rnd):
@@ -153,6 +154,18 @@ def main():
         dshap = make_dshapley(gid, gp, value_fn, max_groups=min(20, G),
                               group_cap=args.shapley_cap)
         phis = np.asarray(dshap(jax.random.key(args.trial), args.shapley_T))
+        order = np.argsort(phis)[::-1][: args.M].tolist()
+    elif args.alg == "TMC":
+        # truncated-MC Shapley baseline (reference tmcshapley.py as a
+        # standalone script; here a driver alg sharing the same value_fn)
+        gp = Groups.from_lists(groups)
+        gid = group_ids_from_groups(gp, Z.shape[0])
+        full_mask = (np.asarray(gid) < G).astype(np.float32)
+        full_value = float(value_fn(jax.random.key(999), jnp.asarray(full_mask)))
+        print(f"full-data value (TMC truncation target): {full_value:.4f}")
+        tmc = make_tmc_shapley(gid, gp, value_fn, full_value=full_value,
+                               group_cap=args.shapley_cap)
+        phis = np.asarray(tmc(jax.random.key(args.trial), args.shapley_T))
         order = np.argsort(phis)[::-1][: args.M].tolist()
     else:
         order = np.random.default_rng(args.trial).permutation(G)[: args.M].tolist()
