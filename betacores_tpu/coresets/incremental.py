@@ -58,6 +58,18 @@ class IncrementalConfig:
     learn_beta: bool = False
     beta_grad_scale: float = 1e-5      # reference bcores.py:134 damping
     beta_cap: float = 1.0              # learn_beta clamp ceiling (see below)
+    # refit_every=k > 1 re-fits the sampler's posterior (the Newton-Laplace
+    # chain — the longest dependent-kernel run in each Adam step) only every
+    # k-th refinement step, reusing the last fit's (mu, chol) to transform
+    # that step's fresh noise. Beyond reference (which refits every step,
+    # bcores.py:142-146): an opt-in latency/accuracy trade for the
+    # latency-bound build (RESULTS.md roofline section). The refinement
+    # objective is nonstationary in w through the posterior, so a lagged fit
+    # is a slightly stale tangent space that vanishes as w converges;
+    # measured quality at k<=5 matches k=1 (tests/test_coresets.py). Only
+    # the pre-drawn fast path honors it (samplers exposing fit/from_fit/
+    # fit_aux, i.e. the Laplace families); elsewhere it is ignored.
+    refit_every: int = 1
 
     def __post_init__(self):
         if self.learn_beta and not self.use_beta:
@@ -65,6 +77,8 @@ class IncrementalConfig:
             # while corevecs/betagrads use the beta-likelihood — silently
             # inconsistent tangent spaces
             raise ValueError("learn_beta requires use_beta=True")
+        if self.refit_every < 1:
+            raise ValueError("refit_every must be >= 1")
 
 
 class IncrementalBuilder:
@@ -289,9 +303,40 @@ def make_incremental_builder(
                     scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
                     mask = st.slot_mask[:, None].astype(data.dtype)
                     M_buf = st.pts.shape[0]
-                    unpack = ((lambda xsl: (xsl[0], xsl[1], None)) if u is None
-                              else (lambda xsl: xsl))
                     sum_sub = _sum_rows
+
+                    fit = getattr(smp, "fit", None)
+                    from_fit = getattr(smp, "from_fit", None)
+                    fit_aux = getattr(smp, "fit_aux", None)
+                    lagged = (config.refit_every > 1 and fit is not None
+                              and from_fit is not None and fit_aux is not None)
+                    if lagged:
+                        # lagged posterior refits (config.refit_every): the
+                        # Adam carry holds the FIT STATE (mu, chol); the
+                        # Newton chain runs only on every k-th step inside a
+                        # lax.cond, other steps just transform fresh noise
+                        k_refit = config.refit_every
+
+                        def mk_samples(w, lap, z, i):
+                            lap = jax.lax.cond(
+                                jnp.logical_and(i % k_refit == 0, i > 0),
+                                lambda: fit(w, st.pts, fit_aux(lap)),
+                                lambda: lap)
+                            return from_fit(lap, z), lap
+
+                        carry0 = fit(st.wts, st.pts, aux0)
+                        steps = jnp.arange(T)
+                        unpack = ((lambda xsl: (xsl[0], xsl[1], xsl[2], None))
+                                  if u is None else (lambda xsl: xsl))
+                    else:
+                        def mk_samples(w, aux, z, i):
+                            return from_noise(z, w, st.pts, aux)
+
+                        carry0 = aux0
+                        steps = None
+                        unpack = ((lambda xsl: (None, xsl[0], xsl[1], None))
+                                  if u is None
+                                  else (lambda xsl: (None,) + tuple(xsl)))
 
                     joint = _joint_rows_identical(mdl, n_opt + M_buf)
                     if joint:
@@ -305,29 +350,32 @@ def make_incremental_builder(
                             axis=1)                                # (T, n_opt+M, D)
                     xs = ((z_all, rows_all) if u is None
                           else (z_all, rows_all, u[idx_all]))      # pre-gathered
+                    if steps is not None:
+                        xs = (steps,) + xs
 
                     if joint:
-                        def grad_fn(w, aux, k, xsl):
-                            z, rows, usub = unpack(xsl)
-                            samples, aux = from_noise(z, w, st.pts, aux)
+                        def grad_fn(w, carry, k, xsl):
+                            i, z, rows, usub = unpack(xsl)
+                            samples, carry = mk_samples(w, carry, z, i)
                             allvecs = _project(mdl, rows, samples, st.beta)
                             vecs, corevecs = allvecs[:n_opt], allvecs[n_opt:] * mask
                             resid = scaling * sum_sub(vecs, usub) - w @ corevecs
-                            return -(corevecs @ resid) / S, aux
+                            return -(corevecs @ resid) / S, carry
                     else:
                         # joint block would cross the fused-kernel row
                         # threshold: project separately, exactly as the
                         # per-step path would (_joint_rows_identical)
-                        def grad_fn(w, aux, k, xsl):
-                            z, rows, usub = unpack(xsl)
-                            samples, aux = from_noise(z, w, st.pts, aux)
+                        def grad_fn(w, carry, k, xsl):
+                            i, z, rows, usub = unpack(xsl)
+                            samples, carry = mk_samples(w, carry, z, i)
                             vecs = _project(mdl, rows, samples, st.beta)
                             corevecs = _project(mdl, st.pts, samples, st.beta) * mask
                             resid = scaling * sum_sub(vecs, usub) - w @ corevecs
-                            return -(corevecs @ resid) / S, aux
+                            return -(corevecs @ resid) / S, carry
 
-                    w_new, aux = nn_adam(st.wts, grad_fn, aux0, key, step_sizes,
-                                         xs=xs)
+                    w_new, carry = nn_adam(st.wts, grad_fn, carry0, key,
+                                           step_sizes, xs=xs)
+                    aux = fit_aux(carry) if lagged else carry
                     return st._replace(wts=w_new, sampler_aux=aux)
 
                 def grad_fn(w, aux, k):

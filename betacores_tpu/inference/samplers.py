@@ -126,6 +126,11 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
 
     sampler.draw_noise = _laplace_noise
     sampler.from_noise = from_noise
+    # lagged-refit split (IncrementalConfig.refit_every): fit once, reuse
+    # the (mu, chol) fit state across several noise transforms
+    sampler.fit = _fit
+    sampler.from_fit = sample_laplace_from_noise
+    sampler.fit_aux = lambda lap: lap.mu
     return sampler
 
 
@@ -154,6 +159,11 @@ def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
 
     sampler.draw_noise = _laplace_noise
     sampler.from_noise = from_noise
+    # lagged-refit split (IncrementalConfig.refit_every): fit once, reuse
+    # the (mu, chol) fit state across several noise transforms
+    sampler.fit = _fit
+    sampler.from_fit = sample_laplace_from_noise
+    sampler.fit_aux = lambda lap: lap.mu
     return sampler
 
 

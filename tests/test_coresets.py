@@ -594,3 +594,46 @@ class TestSelectBeta:
         best, scores = bc.select_beta(build_fn, [0.01, 0.7], score_fn, trim=0.25)
         assert np.all(np.isfinite(scores))
         assert best == 0.7, scores
+
+
+def test_lagged_refit_quality_and_determinism(rng):
+    """IncrementalConfig.refit_every (lagged Newton-Laplace refits, beyond
+    reference): deterministic under a fixed key, same selection count, and
+    the tangent-space error matches the every-step build closely; samplers
+    without a fit/from_fit split silently ignore the knob."""
+    import jax
+
+    from betacores_tpu.coresets import (IncrementalConfig, init_state,
+                                        make_incremental_builder)
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+
+    k0 = jax.random.key(0)
+    _, _, Z = gen_synthetic_logreg(k0, 300, d=4, dtype=jnp.float32)
+    model, smp = logreg.bundle(), logreg_laplace_sampler()
+    st0 = init_state(12, Z.shape[1], beta=0.5, dtype=Z.dtype)
+    res = {}
+    for k in (1, 4):
+        cfg = IncrementalConfig(projection_dim=16, n_subsample_select=60,
+                                n_subsample_opt=40, opt_itrs=25, i0=1.0,
+                                use_beta=True, refit_every=k)
+        b = make_incremental_builder(Z, model, smp, cfg)
+        st = b.build(jax.random.key(7), st0, 6)
+        st_again = b.build(jax.random.key(7), st0, 6)
+        np.testing.assert_array_equal(np.asarray(st.wts), np.asarray(st_again.wts))
+        err = float(b.error(jax.random.key(3), st, None))
+        res[k] = (int(st.m), err)
+    assert res[4][0] == res[1][0]
+    assert res[4][1] < 2.0 * res[1][1] + 1e-6, res
+    # knob is inert for samplers without the fit split (fixed projector)
+    from betacores_tpu.inference import fixed_sampler as fs
+    samples = jnp.asarray(np.asarray(rng.normal(size=(16, 4))), dtype=Z.dtype)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=60,
+                            n_subsample_opt=40, opt_itrs=10, i0=1.0,
+                            use_beta=True, refit_every=3)
+    b = make_incremental_builder(Z, logreg.bundle(), fs(samples), cfg)
+    st = b.build(jax.random.key(1), st0, 4)
+    assert int(st.m) >= 1
+    with pytest.raises(ValueError):
+        IncrementalConfig(refit_every=0)
