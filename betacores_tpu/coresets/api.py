@@ -223,7 +223,7 @@ class _IncrementalCoreset(Coreset):
                  beta: float = 0.5, learn_beta: Optional[bool] = None,
                  beta_cap: float = 1.0, seed: int = 0,
                  max_size: int = 0, groups=None, initialized: bool = False,
-                 data_weights=None, **kw):
+                 data_weights=None, refit_every: int = 1, **kw):
         if groups is not None and not max_size:
             # group appends add up to max-group-size slots per iteration
             max_size = sum(len(g) for g in groups)
@@ -240,6 +240,7 @@ class _IncrementalCoreset(Coreset):
             use_beta=self._use_beta,
             learn_beta=self._learn_beta,
             beta_cap=beta_cap,
+            refit_every=refit_every,
         )
         self._cfg = cfg
         self.groups = groups

@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--opt-itrs", type=int, default=500)
     ap.add_argument("--n-subsample-opt", type=int, default=200)
     ap.add_argument("--n-subsample-select", type=int, default=1000)
+    ap.add_argument("--refit-every", type=int, default=1,
+                    help="lagged Laplace refits in the Adam loop (1 = "
+                         "reference every-step parity; ~4 is a measured "
+                         "quality-free 20%% latency cut, RESULTS.md)")
     ap.add_argument("--beta", type=float, default=0.1)
     ap.add_argument("--eval-every", type=int, default=10,
                     help="evaluate accuracy/pll every k-th coreset size")
@@ -104,7 +108,7 @@ def main():
 
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
-                  seed=args.trial, max_size=args.M)
+                  seed=args.trial, max_size=args.M, refit_every=args.refit_every)
     algs = {
         "BCORES": lambda: bc.BetaCoreset(Z, prj_bw, beta=args.beta, learn_beta=False, **common),
         "SVI": lambda: bc.SparseVICoreset(Z, prj_w, **common),
