@@ -254,8 +254,6 @@ class _IncrementalCoreset(Coreset):
                                                      contextual=contextual,
                                                      data_weights=data_weights)
         else:
-            if data_weights is not None:
-                raise NotImplementedError("data_weights: point mode only")
             from ..ops.projection import Groups
             from .groups import init_group_state, make_group_incremental_builder
 
@@ -263,7 +261,7 @@ class _IncrementalCoreset(Coreset):
             self._builder = make_group_incremental_builder(
                 self.data, self._groups_padded, ll_projector.model,
                 ll_projector.sampler, cfg, step_sizes=step_sizes,
-                contextual=contextual)
+                contextual=contextual, data_weights=data_weights)
             self._gstate = init_group_state(
                 self.state, len(groups),
                 initialized=int(self.state.m) if initialized else 0)
@@ -279,7 +277,8 @@ class _IncrementalCoreset(Coreset):
         else:
             self._error_fn = make_tangent_error(self.data, ll_projector.model,
                                                 ll_projector.sampler, cfg,
-                                                contextual=contextual)
+                                                contextual=contextual,
+                                                data_weights=data_weights)
         self._error_keys = KeySequence(seed ^ 0x5EED0)
         self._error_key = self._error_keys()
 
@@ -543,16 +542,24 @@ class UniformSamplingCoreset(Coreset):
         # weighted base data (streaming leaf unions): draws become iid
         # importance draws ~ u / sum(u), and the multiplicity weights scale
         # by total mass sum(u) instead of N — the same estimator, targeting
-        # the weighted posterior. u==0 rows are never drawn.
+        # the weighted posterior. u==0 rows are never drawn. Group mode
+        # draws GROUPS ~ group mass, appends only u>0 members, and counts
+        # each member with multiplicity u_n (its within-group share).
         if data_weights is not None:
-            if groups is not None:
-                raise NotImplementedError("data_weights: point mode only")
             uw = np.asarray(data_weights, dtype=np.float64)
+            self._u = uw
             self._u_total = float(uw.sum())
             self._u_p = uw / self._u_total
+            if groups is not None:
+                gm = np.array([uw[g].sum() for g in groups])
+                if gm.sum() <= 0:
+                    raise ValueError("data_weights: every group has zero mass")
+                self._g_p = gm / gm.sum()
         else:
+            self._u = None
             self._u_total = None
             self._u_p = None
+            self._g_p = None
         # constructor warm start becomes a persistent count-1 prefix
         # (reference sampling.py seeds cts=[1]*len(idcs)); the points may be
         # EXTERNAL to the dataset (sentinel indices, e.g. the neural-linear
@@ -611,12 +618,18 @@ class UniformSamplingCoreset(Coreset):
                 self.cts[int(f)] = self.cts.get(int(f), 0) + 1
         else:
             # group mode (reference sampling.py:37-52): draw groups; append
-            # every member of each new group once
-            for g in self._rng.integers(0, len(self.groups), size=itrs):
+            # every member of each new group once (weighted: draws ~ group
+            # mass, u==0 members dropped, multiplicity u_n)
+            G = len(self.groups)
+            draws = (self._rng.integers(0, G, size=itrs) if self._u is None
+                     else self._rng.choice(G, size=itrs, p=self._g_p))
+            for g in draws:
                 if int(g) not in self.selected_groups:
                     self.selected_groups.append(int(g))
                     for f in self.groups[int(g)]:
-                        self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+                        mult = 1.0 if self._u is None else float(self._u[int(f)])
+                        if mult > 0:
+                            self.cts[int(f)] = self.cts.get(int(f), 0) + mult
         if self.cts:
             self._dirty = True
 

@@ -71,11 +71,25 @@ def make_group_incremental_builder(
     config: IncrementalConfig,
     step_sizes: Optional[jnp.ndarray] = None,
     contextual: bool = False,
+    data_weights: Optional[jnp.ndarray] = None,
 ):
     """Returns jitted ``build(key, gstate, itrs[, ctx]) -> gstate``. With
     ``contextual=True``, ``model``/``sampler`` are ctx factories (see
-    incremental.IncrementalBuilder)."""
+    incremental.IncrementalBuilder).
+
+    ``data_weights`` (optional (N,) array, a jit argument like ``data``)
+    makes point n count ``u_n`` times: a group's tangent vector becomes
+    ``sum_{n in g} u_n v_n`` (weighted segment_sum), groups whose total mass
+    is zero are masked out of the candidate argmax, and u==0 members (non-
+    data: merge-reduce padding / dead leaf slots) are DROPPED at append time
+    so they can never receive coreset weight. ``None`` keeps the unweighted
+    program bit-identical."""
     N = data.shape[0]
+    weighted = data_weights is not None
+    if weighted:
+        data_weights = jnp.asarray(data_weights, dtype=data.dtype)
+        if data_weights.shape != (N,):
+            raise ValueError(f"data_weights must be ({N},), got {data_weights.shape}")
     G = groups.n_groups
     L_max = groups.max_size
     S = config.projection_dim
@@ -101,13 +115,25 @@ def make_group_incremental_builder(
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
 
-    def _bind(data, gid):
-        # data/gid are jit ARGUMENTS of the entry point below — a
+    def _bind(data, gid, u):
+        # data/gid/u are jit ARGUMENTS of the entry point below — a
         # closed-over dataset embeds into the HLO (see incremental._bind)
         def _group_vecs(mdl, samples, beta):
-            """(G, S) group tangent vectors via one full projection + segment_sum."""
+            """(G, S) group tangent vectors via one full projection +
+            segment_sum (weighted: sum_{n in g} u_n v_n)."""
             vecs = _project(mdl, data, samples, beta)  # (N, S)
+            if u is not None:
+                vecs = u[:, None] * vecs
             return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
+
+        if u is None:
+            eff_sizes, g_mass = group_sizes, None
+        else:
+            # effective member counts / masses under u (u==0 members are
+            # dropped at append time; zero-mass groups are unselectable)
+            eff_sizes = jax.ops.segment_sum(
+                (u > 0).astype(jnp.int32), gid, num_segments=G + 1)[:G]
+            g_mass = jax.ops.segment_sum(u, gid, num_segments=G + 1)[:G]
 
         def _corevecs(mdl, st: CoresetState, samples, beta):
             return _project(mdl, st.pts, samples, beta) * st.slot_mask[:, None].astype(dtype)
@@ -147,17 +173,31 @@ def make_group_incremental_builder(
             # Already-selected groups keep the reference's semantics
             # (winning is a no-op iteration, bcores.py:91-98).
             M_max = st.wts.shape[0]
-            fits = group_sizes[cand_gidx] + st.m <= M_max
+            fits = eff_sizes[cand_gidx] + st.m <= M_max
             corrs = jnp.where(fits, corrs, -jnp.inf)
+            if g_mass is not None:
+                # zero-mass groups contribute nothing to the target: never
+                # selectable (incremental.py weighted select)
+                corrs = jnp.where(g_mass[cand_gidx] > 0, corrs, -jnp.inf)
             best = jnp.argmax(corrs)
             f = cand_gidx[best]
             take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
             fresh = jnp.logical_not(gst.selected[f])
-            size_f = group_sizes[f]
+            size_f = eff_sizes[f]
             room = st.m + size_f <= M_max
             add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+            if g_mass is not None:
+                # the m==0 arm of take_new bypasses the -inf masks above
+                add = jnp.logical_and(add, jnp.isfinite(corrs[best]))
 
             members = groups.members[f]                      # (L_max,) padded -1
+            if u is not None:
+                # stable-partition u>0 members to the front; u==0 members
+                # (non-data) are dropped — they never enter the coreset
+                keep = jnp.logical_and(members >= 0,
+                                       u[jnp.maximum(members, 0)] > 0)
+                order = jnp.argsort(jnp.logical_not(keep), stable=True)
+                members = jnp.where(keep, members, -1)[order]
             j = jnp.arange(L_max)
             pos = st.m + j
             valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
@@ -183,7 +223,9 @@ def make_group_incremental_builder(
                     scaling = jnp.asarray(1.0, dtype=dtype)
                 else:
                     sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
-                    vec_total = _project(mdl, data[sub_idcs], samples, st.beta).sum(axis=0)
+                    vecs_o = _project(mdl, data[sub_idcs], samples, st.beta)
+                    vec_total = (vecs_o.sum(axis=0) if u is None
+                                 else u[sub_idcs] @ vecs_o)
                 corevecs = _corevecs(mdl, st, samples, st.beta)
                 resid = scaling * vec_total - w @ corevecs
                 return -(corevecs @ resid) / S, aux
@@ -194,9 +236,9 @@ def make_group_incremental_builder(
         return _select, _optimize
 
     @jax.jit
-    def _build_d(data, gid, key, gst: GroupCoresetState, itrs, ctx=None) -> GroupCoresetState:
+    def _build_d(data, gid, u, key, gst: GroupCoresetState, itrs, ctx=None) -> GroupCoresetState:
         # dynamic itrs: one compiled program for all build sizes
-        _select, _optimize = _bind(data, gid)
+        _select, _optimize = _bind(data, gid, u)
 
         def body(i, gst):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
@@ -206,13 +248,13 @@ def make_group_incremental_builder(
 
         return jax.lax.fori_loop(0, itrs, body, gst)
 
-    @partial(jax.jit, static_argnums=4)
-    def _build_trace_d(data, gid, key, gst: GroupCoresetState, itrs: int, ctx=None):
+    @partial(jax.jit, static_argnums=5)
+    def _build_trace_d(data, gid, u, key, gst: GroupCoresetState, itrs: int, ctx=None):
         # itrs iterations as ONE device program, recording per-iteration
         # compact state AND the selected-group mask — the group-selection
         # driver recovers the full selection ORDER from one device call
         # instead of a `build(1); selected_groups` host loop per iteration
-        _select, _optimize = _bind(data, gid)
+        _select, _optimize = _bind(data, gid, u)
 
         def body(gst, i):
             k1, k2 = jax.random.split(jax.random.fold_in(key, i))
@@ -224,7 +266,9 @@ def make_group_incremental_builder(
         gst, per_itr = jax.lax.scan(body, gst, jnp.arange(itrs))
         return gst, per_itr
 
-    build = lambda key, gst, itrs, ctx=None: _build_d(data, gid, key, gst, itrs, ctx)
+    uw = data_weights if weighted else None
+    build = lambda key, gst, itrs, ctx=None: _build_d(data, gid, uw, key, gst, itrs, ctx)
     build.build_trace = (
-        lambda key, gst, itrs, ctx=None: _build_trace_d(data, gid, key, gst, int(itrs), ctx))
+        lambda key, gst, itrs, ctx=None: _build_trace_d(data, gid, uw, key, gst,
+                                                        int(itrs), ctx))
     return build

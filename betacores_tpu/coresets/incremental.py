@@ -496,6 +496,8 @@ def make_tangent_error(
     N = data.shape[0]
     S = config.projection_dim
     n_opt = None if config.n_subsample_opt is None else min(N, config.n_subsample_opt)
+    if data_weights is not None:
+        data_weights = jnp.asarray(data_weights, dtype=data.dtype)
 
     @jax.jit
     def _error_d(data, u, key, st: CoresetState, ctx=None):

@@ -145,3 +145,44 @@ def test_group_build_trace_matches_build(setup):
     a3 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, seed=4, max_size=8)
     with pytest.raises(ValueError):
         a3.build_trace(2, return_selected=True)
+
+
+def test_weighted_group_build(setup):
+    """data_weights in group mode: u=ones is bit-identical to the unweighted
+    build; zero-mass groups are never selected and u==0 members never enter
+    the coreset."""
+    X, samples, model, groups, _ = setup
+    prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                               model.log_likelihood)
+    a1 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=5)
+    a2 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=5,
+                            data_weights=jnp.ones(X.shape[0]))
+    a1.build(3, X.shape[0])
+    a2.build(3, X.shape[0])
+    w1, _, i1 = a1.get()
+    w2, _, i2 = a2.get()
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(w1, w2, rtol=1e-9, atol=1e-12)
+    assert a1.selected_groups == a2.selected_groups
+
+    # zero out groups 1 and 3 entirely, and half of group 4's members
+    u = np.ones(X.shape[0])
+    u[groups[1]] = 0.0
+    u[groups[3]] = 0.0
+    half4 = groups[4][: len(groups[4]) // 2]
+    u[half4] = 0.0
+    a3 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=6,
+                            data_weights=jnp.asarray(u))
+    a3.build(4, X.shape[0])
+    _, _, i3 = a3.get()
+    sel = set(a3.selected_groups)
+    assert sel, "weighted group build selected nothing"
+    assert not sel & {1, 3}, sel
+    dead = set(int(i) for i in np.where(u == 0)[0])
+    assert not set(np.asarray(i3).tolist()) & dead
+    # group trace works weighted too, and matches build on the same stream
+    a4 = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=6,
+                            data_weights=jnp.asarray(u))
+    trace, selmask = a4.build_trace(4, return_selected=True)
+    np.testing.assert_array_equal(np.where(selmask[-1])[0],
+                                  sorted(a3.selected_groups))

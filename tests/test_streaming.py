@@ -294,9 +294,6 @@ def test_eager_api_data_weights_passthrough(rng):
     w2, _, i2, _ = alg.get()
     assert np.all(np.asarray(w2) >= 0)
     assert set(np.asarray(i2).tolist()).issubset(set(np.asarray(i).tolist()))
-    with pytest.raises(NotImplementedError):
-        bc.BetaCoreset(X, prj, groups=[[0, 1], [2, 3]],
-                       data_weights=jnp.asarray(u))
 
 
 def test_refine_weighted_equals_row_duplication(rng):
@@ -346,5 +343,15 @@ def test_uniform_sampling_weighted(rng):
     w, p, i = alg.get()
     assert set(np.asarray(i).tolist()).issubset(set(range(10, 20)))
     np.testing.assert_allclose(float(np.sum(w)), 30.0, rtol=1e-9)
-    with pytest.raises(NotImplementedError):
+    # group mode: draws ~ group mass, u==0 members dropped
+    groups = [list(range(5 * g, 5 * g + 5)) for g in range(10)]
+    ag = bc.UniformSamplingCoreset(X, seed=4, groups=groups,
+                                   data_weights=jnp.asarray(u))
+    ag.build(8, X.shape[0])
+    wg, pg, ig = ag.get()
+    # only groups 2 and 3 have mass (rows 10..19), and every appended
+    # member has u>0
+    assert set(ag.selected_groups).issubset({2, 3})
+    assert set(np.asarray(ig).tolist()).issubset(set(range(10, 20)))
+    with pytest.raises(ValueError):
         bc.UniformSamplingCoreset(X, groups=[[0, 1]], data_weights=jnp.asarray(u))
