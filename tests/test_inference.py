@@ -229,7 +229,9 @@ class TestDiagnostics:
         def logprob(th):
             return -0.5 * jnp.sum(th * th)
 
-        cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+        # 8 x 250 draws: se(mean) ~ 0.02 against the atol=0.1 contract below,
+        # and dual-averaging settles well inside 200 warmup steps
+        cfg = hmc.HMCConfig(n_samples=250, n_warmup=200, L_max=16)
         mesh = make_mesh(4, 2)
         s1, st1 = hmc.run_chains(jax.random.key(1), logprob, jnp.zeros(2), 8, cfg)
         s2, st2 = run_chains_sharded(jax.random.key(1), logprob, jnp.zeros(2), 8, mesh, cfg)
