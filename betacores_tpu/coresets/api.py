@@ -323,10 +323,13 @@ class _IncrementalCoreset(Coreset):
         """Deterministic quasi-Newton weight polish on a frozen S_big-sample
         projection (coresets/refine.py; beyond-reference, arXiv:2203.09675).
         Keeps the result only if it tightens the frozen tangent-space
-        objective. Point mode only; intended for clean-data KL builds — see
-        coresets/refine.py for why NOT to polish contaminated beta builds."""
-        if self.groups is not None:
-            raise NotImplementedError("refine: point mode only")
+        objective. Intended for clean-data KL builds — see coresets/refine.py
+        for why NOT to polish contaminated beta builds. Group mode refines at
+        the individual-point level over the appended members (exactly what
+        the group build's own Adam pass does); group membership constrains
+        selection, not the weight polish."""
+        if getattr(self.projector, "contextual", False):
+            raise NotImplementedError("refine: non-contextual projectors only")
         from .refine import refine_weights
 
         self.state = refine_weights(self.keys(), self.data, self.projector.model,
@@ -637,19 +640,34 @@ class UniformSamplingCoreset(Coreset):
         """Per-iteration compact coresets [(wts, pts, idcs)] * itrs — the
         output of a ``for m: build(1, m); get()`` loop (same host RNG
         stream) with ONE device gather at the end instead of per-size
-        round trips. Point mode only."""
-        if self.groups is not None:
-            raise NotImplementedError("build_trace: point mode only")
+        round trips."""
         N = self.data.shape[0]
         total = float(N) if self._u_total is None else self._u_total
         snaps = []
-        draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
-                 else self._rng.choice(N, size=itrs, p=self._u_p))
-        for f in draws:
-            self.cts[int(f)] = self.cts.get(int(f), 0) + 1
-            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-            cts = np.fromiter(self.cts.values(), dtype=np.float64)
-            snaps.append((idcs, total * cts / cts.sum()))
+        if self.groups is not None:
+            G = len(self.groups)
+            draws = (self._rng.integers(0, G, size=itrs) if self._u is None
+                     else self._rng.choice(G, size=itrs, p=self._g_p))
+            for g in draws:
+                if int(g) not in self.selected_groups:
+                    self.selected_groups.append(int(g))
+                    for f in self.groups[int(g)]:
+                        mult = 1.0 if self._u is None else float(self._u[int(f)])
+                        if mult > 0:
+                            self.cts[int(f)] = self.cts.get(int(f), 0) + mult
+                idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+                cts = np.fromiter(self.cts.values(), dtype=np.float64)
+                wts = (total * cts / cts.sum() if len(cts)
+                       else np.zeros(0))  # only empty groups drawn so far
+                snaps.append((idcs, wts))
+        else:
+            draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
+                     else self._rng.choice(N, size=itrs, p=self._u_p))
+            for f in draws:
+                self.cts[int(f)] = self.cts.get(int(f), 0) + 1
+                idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+                cts = np.fromiter(self.cts.values(), dtype=np.float64)
+                snaps.append((idcs, total * cts / cts.sum()))
         self._dirty = True
         all_idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
         row_of = {int(i): r for r, i in enumerate(all_idcs)}

@@ -186,3 +186,33 @@ def test_weighted_group_build(setup):
     trace, selmask = a4.build_trace(4, return_selected=True)
     np.testing.assert_array_equal(np.where(selmask[-1])[0],
                                   sorted(a3.selected_groups))
+
+
+def test_group_refine_and_uniform_group_trace(setup):
+    """Group-mode refine(): point-level FISTA polish on the appended members
+    tightens the frozen tangent objective without changing the support;
+    UniformSamplingCoreset.build_trace works in group mode (same host RNG
+    stream as the build loop)."""
+    X, samples, model, groups, _ = setup
+    prj = bc.BlackBoxProjector(fixed_sampler(jnp.asarray(samples)), samples.shape[0],
+                               model.log_likelihood)
+    alg = bc.SparseVICoreset(jnp.asarray(X), prj, opt_itrs=8, groups=groups, seed=9)
+    alg.build(3, X.shape[0])
+    # support = ALL appended group members (zero-weight slots included:
+    # the polish may redistribute onto them), not just w>0 rows
+    support = set(np.asarray(alg.state.idcs)[: int(alg.state.m)].tolist())
+    alg.refine(n_samples=32)
+    w_after, _, i_after = alg.get()
+    assert (w_after >= 0).all()
+    assert set(np.asarray(i_after).tolist()).issubset(support)
+
+    a1 = bc.UniformSamplingCoreset(jnp.asarray(X), seed=11, groups=groups)
+    a2 = bc.UniformSamplingCoreset(jnp.asarray(X), seed=11, groups=groups)
+    trace = a1.build_trace(4)
+    for m in range(1, 5):
+        a2.build(1, X.shape[0])
+    w2, p2, i2 = a2.get()
+    wl, pl, il = trace[-1]
+    np.testing.assert_array_equal(sorted(il.tolist()), sorted(i2.tolist()))
+    np.testing.assert_allclose(sorted(wl.tolist()), sorted(w2.tolist()), rtol=1e-9)
+    assert a1.selected_groups == a2.selected_groups
