@@ -1,4 +1,6 @@
 from .cache import enable_persistent_cache
+from .export import (export_incremental_build, export_program, load_program,
+                     load_program_file, save_program)
 from .errors import (
     TOL,
     NumericalPrecisionError,
@@ -14,6 +16,11 @@ from .prng import KeySequence, key_from_seed
 
 __all__ = [
     "enable_persistent_cache",
+    "export_program",
+    "export_incremental_build",
+    "load_program",
+    "load_program_file",
+    "save_program",
     "TOL",
     "NumericalPrecisionError",
     "STATUS_NUMERIC_LIMIT",

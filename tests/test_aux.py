@@ -194,3 +194,51 @@ def test_evaluation_metrics_closed_forms(rng):
           - (np.asarray(yt)[:, None] - preds) ** 2 / 4.0)
     want_nll = -np.mean(np.log(np.exp(ll).mean(axis=1)))
     np.testing.assert_allclose(float(nll), want_nll, rtol=1e-5)
+
+
+def test_export_program_roundtrip(tmp_path, rng):
+    """utils/export.py deployment artifacts: the serialized+reloaded build
+    program is bit-identical to the live builder, itrs stays a traced
+    operand (one artifact, every build size), and a multi-platform artifact
+    lowers for tpu without TPU hardware."""
+    import jax
+
+    from betacores_tpu.coresets import IncrementalConfig, init_state, make_incremental_builder
+    from betacores_tpu.inference import gaussian_conjugate_sampler
+    from betacores_tpu.models import gaussian as gmod
+    from betacores_tpu.utils import (export_incremental_build, load_program,
+                                     load_program_file, save_program)
+
+    d = 3
+    Sig = np.eye(d) * 2.0
+    Siginv = np.linalg.inv(Sig)
+    X = jnp.asarray(rng.normal(size=(40, d)))
+    model = gmod.bundle(jnp.asarray(Siginv), np.linalg.slogdet(Sig)[1])
+    smp = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.asarray(Siginv))
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=16,
+                            n_subsample_opt=12, opt_itrs=6, i0=0.5, use_beta=True)
+    builder = make_incremental_builder(X, model, smp, cfg)
+    st0 = init_state(8, d, beta=0.4, dtype=X.dtype)
+    key = jax.random.key(5)
+
+    data = export_incremental_build(builder, X, st0)
+    call = load_program(data)
+    for itrs in (2, 5):  # traced operand: one artifact, every size
+        st_live = builder.build(key, st0, itrs)
+        st_art = call(X, key, st0, jnp.asarray(itrs, dtype=jnp.int32))
+        np.testing.assert_array_equal(np.asarray(st_live.wts), np.asarray(st_art.wts))
+        np.testing.assert_array_equal(np.asarray(st_live.idcs), np.asarray(st_art.idcs))
+
+    # file roundtrip
+    p = save_program(str(tmp_path / "build.jaxexport"),
+                     lambda dd, k, s, i: builder.build_with_data(dd, None, k, s, i),
+                     X, key, st0, jnp.zeros((), jnp.int32))
+    st_f = load_program_file(p)(X, key, st0, jnp.asarray(3, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(st_f.idcs),
+                                  np.asarray(builder.build(key, st0, 3).idcs))
+
+    # cross-platform artifact (serving parity with the AOT dress rehearsal)
+    multi = export_incremental_build(builder, X, st0, platforms=("cpu", "tpu"))
+    st_m = load_program(multi)(X, key, st0, jnp.asarray(2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(st_m.idcs),
+                                  np.asarray(builder.build(key, st0, 2).idcs))
