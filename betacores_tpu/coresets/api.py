@@ -610,29 +610,37 @@ class UniformSamplingCoreset(Coreset):
             super()._ensure_capacity(sz)
             self._dirty = was_dirty
 
-    def _build(self, itrs: int, sz: int) -> None:
+    def _draw_points(self, itrs: int):
         N = self.data.shape[0]
+        return (self._rng.integers(0, N, size=itrs) if self._u_p is None
+                else self._rng.choice(N, size=itrs, p=self._u_p))
+
+    def _draw_groups(self, itrs: int):
+        # group mode (reference sampling.py:37-52); weighted: draws ~ group
+        # mass
+        G = len(self.groups)
+        return (self._rng.integers(0, G, size=itrs) if self._u is None
+                else self._rng.choice(G, size=itrs, p=self._g_p))
+
+    def _append_group(self, g: int) -> None:
+        """Append every member of a NEW group once (weighted: u==0 members
+        dropped, multiplicity u_n — its within-group share)."""
+        if g not in self.selected_groups:
+            self.selected_groups.append(g)
+            for f in self.groups[g]:
+                mult = 1.0 if self._u is None else float(self._u[int(f)])
+                if mult > 0:
+                    self.cts[int(f)] = self.cts.get(int(f), 0) + mult
+
+    def _build(self, itrs: int, sz: int) -> None:
         if self.groups is None:
             if self.size() + itrs > sz:
                 raise ValueError("UniformSamplingCoreset._build(): size overrun")
-            draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
-                     else self._rng.choice(N, size=itrs, p=self._u_p))
-            for f in draws:
+            for f in self._draw_points(itrs):
                 self.cts[int(f)] = self.cts.get(int(f), 0) + 1
         else:
-            # group mode (reference sampling.py:37-52): draw groups; append
-            # every member of each new group once (weighted: draws ~ group
-            # mass, u==0 members dropped, multiplicity u_n)
-            G = len(self.groups)
-            draws = (self._rng.integers(0, G, size=itrs) if self._u is None
-                     else self._rng.choice(G, size=itrs, p=self._g_p))
-            for g in draws:
-                if int(g) not in self.selected_groups:
-                    self.selected_groups.append(int(g))
-                    for f in self.groups[int(g)]:
-                        mult = 1.0 if self._u is None else float(self._u[int(f)])
-                        if mult > 0:
-                            self.cts[int(f)] = self.cts.get(int(f), 0) + mult
+            for g in self._draw_groups(itrs):
+                self._append_group(int(g))
         if self.cts:
             self._dirty = True
 
@@ -643,31 +651,23 @@ class UniformSamplingCoreset(Coreset):
         round trips."""
         N = self.data.shape[0]
         total = float(N) if self._u_total is None else self._u_total
+
+        def snapshot():
+            idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
+            cts = np.fromiter(self.cts.values(), dtype=np.float64)
+            wts = (total * cts / cts.sum() if len(cts)
+                   else np.zeros(0))  # only empty groups drawn so far
+            return (idcs, wts)
+
         snaps = []
         if self.groups is not None:
-            G = len(self.groups)
-            draws = (self._rng.integers(0, G, size=itrs) if self._u is None
-                     else self._rng.choice(G, size=itrs, p=self._g_p))
-            for g in draws:
-                if int(g) not in self.selected_groups:
-                    self.selected_groups.append(int(g))
-                    for f in self.groups[int(g)]:
-                        mult = 1.0 if self._u is None else float(self._u[int(f)])
-                        if mult > 0:
-                            self.cts[int(f)] = self.cts.get(int(f), 0) + mult
-                idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-                cts = np.fromiter(self.cts.values(), dtype=np.float64)
-                wts = (total * cts / cts.sum() if len(cts)
-                       else np.zeros(0))  # only empty groups drawn so far
-                snaps.append((idcs, wts))
+            for g in self._draw_groups(itrs):
+                self._append_group(int(g))
+                snaps.append(snapshot())
         else:
-            draws = (self._rng.integers(0, N, size=itrs) if self._u_p is None
-                     else self._rng.choice(N, size=itrs, p=self._u_p))
-            for f in draws:
+            for f in self._draw_points(itrs):
                 self.cts[int(f)] = self.cts.get(int(f), 0) + 1
-                idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
-                cts = np.fromiter(self.cts.values(), dtype=np.float64)
-                snaps.append((idcs, total * cts / cts.sum()))
+                snaps.append(snapshot())
         self._dirty = True
         all_idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
         row_of = {int(i): r for r, i in enumerate(all_idcs)}

@@ -468,6 +468,7 @@ def make_incremental_builder(
     # build per chunk through this without K recompiles.
     builder.build_with_data = (
         lambda d2, u2, key, st, itrs, ctx=None: _build_d(d2, u2, key, st, itrs, ctx))
+    builder.data_weights = uw  # introspection (e.g. utils/export.py defaults)
     builder.error = make_tangent_error(data, model, sampler, config,
                                        contextual=contextual, data_weights=uw)
     return builder

@@ -69,10 +69,15 @@ def make_sharded_incremental_builder(
     if config.learn_beta and getattr(model, "beta_gradient", None) is None:
         raise ValueError("learn_beta requires a model with beta_gradient")
     weighted = data_weights is not None
-    if weighted and data_weights.shape != (data_sharded.shape[0],):
-        raise ValueError(
-            f"data_weights must be ({data_sharded.shape[0]},) (padded like the "
-            f"sharded rows — use shard_weights), got {data_weights.shape}")
+    if weighted:
+        if data_weights.shape != (data_sharded.shape[0],):
+            raise ValueError(
+                f"data_weights must be ({data_sharded.shape[0]},) (padded like "
+                f"the sharded rows — use shard_weights), got {data_weights.shape}")
+        # cast like every other weighted entry point: f64 weights would
+        # silently promote the tangent computation and break the documented
+        # u=ones == unweighted bit-identity
+        data_weights = jnp.asarray(data_weights, dtype=data_sharded.dtype)
 
     n_data, n_samp = require_axes(mesh)
     S = config.projection_dim

@@ -96,11 +96,18 @@ def export_incremental_build(builder, data_spec, state, itrs_dtype=None,
     dataset-independent at fixed shape); ``state`` a ``CoresetState``
     template (``init_state``). The exported signature is
     ``(data, key, state, itrs) -> state`` — or
-    ``(data, data_weights, key, state, itrs) -> state`` with
-    ``data_weights_spec`` — with ``itrs`` a traced int32 operand, so one
-    artifact serves every build size."""
+    ``(data, data_weights, key, state, itrs) -> state`` when the builder was
+    constructed with ``data_weights`` (the spec defaults to the builder's own
+    weights, so the artifact NEVER silently drops them) or when
+    ``data_weights_spec`` is given — with ``itrs`` a traced int32 operand,
+    so one artifact serves every build size."""
     import jax.numpy as jnp
 
+    if data_weights_spec is None:
+        # a weighted builder must export the weighted program: exporting the
+        # u=None branch would serve the UNWEIGHTED posterior (and could
+        # select zero-weight rows the live builder provably excludes)
+        data_weights_spec = getattr(builder, "data_weights", None)
     key = jax.random.key(0)
     itrs = jnp.zeros((), dtype=itrs_dtype or jnp.int32)
     if data_weights_spec is None:

@@ -242,3 +242,37 @@ def test_export_program_roundtrip(tmp_path, rng):
     st_m = load_program(multi)(X, key, st0, jnp.asarray(2, jnp.int32))
     np.testing.assert_array_equal(np.asarray(st_m.idcs),
                                   np.asarray(builder.build(key, st0, 2).idcs))
+
+
+def test_export_weighted_builder_defaults_to_weighted_program(tmp_path, rng):
+    """A builder constructed with data_weights must export the WEIGHTED
+    program by default: the artifact's selections match the live builder and
+    never include zero-weight rows (code-review regression)."""
+    import jax
+
+    from betacores_tpu.coresets import IncrementalConfig, init_state, make_incremental_builder
+    from betacores_tpu.inference import gaussian_conjugate_sampler
+    from betacores_tpu.models import gaussian as gmod
+    from betacores_tpu.utils import export_incremental_build, load_program
+
+    d = 3
+    Siginv = np.linalg.inv(np.eye(d) * 2.0)
+    X = jnp.asarray(rng.normal(size=(40, d)))
+    u = np.ones(40)
+    u[:20] = 0.0
+    model = gmod.bundle(jnp.asarray(Siginv), float(np.linalg.slogdet(np.eye(d) * 2.0)[1]))
+    smp = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.asarray(Siginv))
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=16,
+                            n_subsample_opt=12, opt_itrs=6, i0=0.5)
+    b = make_incremental_builder(X, model, smp, cfg,
+                                 data_weights=jnp.asarray(u, dtype=X.dtype))
+    st0 = init_state(8, d, dtype=X.dtype)
+    key = jax.random.key(2)
+    art = export_incremental_build(b, X, st0)
+    # the weighted artifact takes (data, u, key, state, itrs)
+    st_art = load_program(art)(X, jnp.asarray(u, dtype=X.dtype), key, st0,
+                               jnp.asarray(5, jnp.int32))
+    st_live = b.build(key, st0, 5)
+    np.testing.assert_array_equal(np.asarray(st_art.idcs), np.asarray(st_live.idcs))
+    sel = np.asarray(st_art.idcs)[: int(st_art.m)]
+    assert (sel >= 20).all(), sel

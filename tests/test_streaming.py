@@ -273,8 +273,8 @@ def test_bpsvi_weighted_base_data(rng):
 
 def test_eager_api_data_weights_passthrough(rng):
     """The eager classes expose data_weights: a BetaCoreset over a weighted
-    union matches the functional builder, refine() polishes toward the
-    WEIGHTED target, and group mode rejects weighted data explicitly."""
+    union matches the functional builder and refine() polishes toward the
+    WEIGHTED target (group-mode weights are covered in test_groups.py)."""
     import betacores_tpu as bc
     from betacores_tpu.inference import gaussian_conjugate_sampler
 
