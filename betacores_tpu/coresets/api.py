@@ -328,12 +328,16 @@ class _IncrementalCoreset(Coreset):
         the individual-point level over the appended members (exactly what
         the group build's own Adam pass does); group membership constrains
         selection, not the weight polish."""
-        if getattr(self.projector, "contextual", False):
-            raise NotImplementedError("refine: non-contextual projectors only")
         from .refine import refine_weights
 
-        self.state = refine_weights(self.keys(), self.data, self.projector.model,
-                                    self.projector.sampler, self.state,
+        if getattr(self.projector, "contextual", False):
+            # resolve the factories at the CURRENT context (neural-linear
+            # encoder state); the polish retraces per ctx — fine for a
+            # once-per-acquisition-round call
+            mdl, smp = self.projector.model(self.ctx), self.projector.sampler(self.ctx)
+        else:
+            mdl, smp = self.projector.model, self.projector.sampler
+        self.state = refine_weights(self.keys(), self.data, mdl, smp, self.state,
                                     n_samples=n_samples, n_subsample=n_subsample,
                                     use_beta=self._use_beta,
                                     data_weights=self._data_weights)

@@ -80,6 +80,11 @@ def test_contextual_coreset_build(rng):
     alg.build(1, 3)
     assert alg.state.m >= 1
 
+    # contextual refine(): factories resolved at the current encoder state
+    alg.refine(n_samples=32)
+    w, _, i = alg.get()
+    assert (w >= 0).all() and len(i) >= 1
+
     # beta-coreset contextual path too
     balg = bc.BetaCoreset(jnp.asarray(Z), prj, beta=0.3, learn_beta=False,
                           opt_itrs=10, seed=3, n_subsample_select=40, n_subsample_opt=20)
