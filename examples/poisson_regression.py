@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--n-subsample-select", type=int, default=500)
     ap.add_argument("--beta", type=float, default=0.3)
     ap.add_argument("--i0", type=float, default=1.0)
+    ap.add_argument("--refit-every", type=int, default=1,
+                    help="lagged Fisher-scoring refits in the Adam loop "
+                         "(1 = every-step parity; see RESULTS.md)")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval", choices=["laplace", "hmc"], default="laplace",
                     help="posterior for the predictive eval: Fisher-scoring "
@@ -96,7 +99,8 @@ def main():
     sched = lambda i: args.i0 / (1.0 + i)
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
-                  seed=args.trial, max_size=args.M)
+                  seed=args.trial, max_size=args.M,
+                  refit_every=args.refit_every)
     prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, model.beta_likelihood,
                                      model.log_likelihood, model.beta_gradient,
                                      theta_dim=d)
