@@ -64,12 +64,28 @@ def make_sharded_group_builder(
     config: IncrementalConfig,
     mesh,
     step_sizes: Optional[jnp.ndarray] = None,
+    data_weights: Optional[jnp.ndarray] = None,
 ) -> Callable:
     """Returns jitted ``build(key, gstate, itrs) -> gstate`` with
     ``data_sharded``/``gid_sharded`` row-sharded over the data axis
     (``shard_data`` / ``shard_group_ids``; ``n_true`` unpadded rows) and the
-    (core, selected, initialized) group state replicated."""
+    (core, selected, initialized) group state replicated.
+
+    ``data_weights`` (optional, the output of ``shard_weights`` — sharded
+    like the rows, zero-padded) gives point n mass ``u_n``: group tangent
+    vectors become ``sum_{n in g} u_n v_n``, zero-mass groups are
+    unselectable, and u==0 members are dropped at append time — the same
+    semantics as the single-device weighted group builder
+    (coresets/groups.py). ``None`` keeps the unweighted program
+    bit-identical."""
     n_data, n_samp = require_axes(mesh)
+    weighted = data_weights is not None
+    if weighted:
+        if data_weights.shape != (data_sharded.shape[0],):
+            raise ValueError(
+                f"data_weights must be ({data_sharded.shape[0]},) (padded like "
+                f"the sharded rows — use shard_weights), got {data_weights.shape}")
+        data_weights = jnp.asarray(data_weights, dtype=data_sharded.dtype)
     S = config.projection_dim
     if S % n_samp:
         raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")
@@ -97,12 +113,27 @@ def make_sharded_group_builder(
     def _dot_S(a, b):
         return jax.lax.psum(a @ b, SAMP_AXIS)
 
-    def _group_vecs(data_local, gid_local, samples_loc, beta):
+    def _group_vecs(data_local, gid_local, u_local, samples_loc, beta):
         """Replicated (G, S_loc) group tangent vectors: local projection +
-        local segment_sum, one psum('data'). Padding rows carry id G."""
+        local segment_sum, one psum('data'). Padding rows carry id G.
+        Weighted: sum_{n in g} u_n v_n."""
         vecs = _proj(data_local, samples_loc, beta)            # (rows_loc, S_loc)
+        if u_local is not None:
+            vecs = u_local[:, None] * vecs
         part = jax.ops.segment_sum(vecs, gid_local, num_segments=G + 1)[:G]
         return jax.lax.psum(part, DATA_AXIS)
+
+    def _group_stats(gid_local, u_local):
+        """(eff_sizes, g_mass) under u — replicated, constant per build.
+        Unweighted: (static group_sizes, None)."""
+        if u_local is None:
+            return group_sizes, None
+        eff = jax.lax.psum(jax.ops.segment_sum(
+            (u_local > 0).astype(jnp.int32), gid_local, num_segments=G + 1)[:G],
+            DATA_AXIS)
+        mass = jax.lax.psum(jax.ops.segment_sum(
+            u_local, gid_local, num_segments=G + 1)[:G], DATA_AXIS)
+        return eff, mass
 
     def _gather_members(data_local, members, ax_d):
         """(L_max, d) points of a padded member-index block, each row owned
@@ -115,7 +146,18 @@ def make_sharded_group_builder(
                           data_local[jnp.clip(rel, 0, rows_loc - 1)], 0.0)
         return jax.lax.psum(local, DATA_AXIS)
 
-    def _step(data_local, gid_local, members, key, gst: GroupCoresetState) -> GroupCoresetState:
+    def _gather_member_u(u_local, members, ax_d):
+        """(L_max,) base weights of a padded member block (same owner-shard
+        assembly as the points)."""
+        rows_loc = u_local.shape[0]
+        rel = members - ax_d * rows_loc
+        owner = jnp.logical_and(members >= 0,
+                                jnp.logical_and(rel >= 0, rel < rows_loc))
+        local = jnp.where(owner, u_local[jnp.clip(rel, 0, rows_loc - 1)], 0.0)
+        return jax.lax.psum(local, DATA_AXIS)
+
+    def _step(data_local, gid_local, u_local, members, key,
+              gst: GroupCoresetState, eff_sizes, g_mass) -> GroupCoresetState:
         ax_d = jax.lax.axis_index(DATA_AXIS)
         ax_s = jax.lax.axis_index(SAMP_AXIS)
         rows_loc = data_local.shape[0]
@@ -127,7 +169,7 @@ def make_sharded_group_builder(
         k_samp, k_sub = jax.random.split(k_sel)
         samples, aux = sampler(k_samp, S, st.wts, st.pts, st.sampler_aux)
         samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
-        gvecs_all = _group_vecs(data_local, gid_local, samples_loc, st.beta)
+        gvecs_all = _group_vecs(data_local, gid_local, u_local, samples_loc, st.beta)
         if n_sel is None:
             gvecs = gvecs_all
             cand_gidx = jnp.arange(G, dtype=jnp.int32)
@@ -155,18 +197,33 @@ def make_sharded_group_builder(
         # capacity-aware masking (see coresets/groups.py: a rejected
         # too-large winner would stall every later iteration)
         M_max = st.wts.shape[0]
-        fits = group_sizes[cand_gidx] + st.m <= M_max
+        fits = eff_sizes[cand_gidx] + st.m <= M_max
         corrs = jnp.where(fits, corrs, -jnp.inf)
+        if g_mass is not None:
+            # zero-mass groups contribute nothing to the target: never
+            # selectable (coresets/groups.py weighted select)
+            corrs = jnp.where(g_mass[cand_gidx] > 0, corrs, -jnp.inf)
         best = jnp.argmax(corrs)
         f = cand_gidx[best]
         take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
         fresh = jnp.logical_not(gst.selected[f])
-        size_f = group_sizes[f]
+        size_f = eff_sizes[f]
         room = st.m + size_f <= M_max
         add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+        if g_mass is not None:
+            # the m==0 arm of take_new bypasses the -inf masks above
+            add = jnp.logical_and(add, jnp.isfinite(corrs[best]))
 
         mem_f = members[f]                                   # (L_max,) padded -1
         pts_f = _gather_members(data_local, mem_f, ax_d)     # (L_max, d)
+        if u_local is not None:
+            # stable-partition u>0 members (and their gathered points) to
+            # the front; u==0 members never enter the coreset
+            u_f = _gather_member_u(u_local, mem_f, ax_d)
+            keep = jnp.logical_and(mem_f >= 0, u_f > 0)
+            order = jnp.argsort(jnp.logical_not(keep), stable=True)
+            mem_f = jnp.where(keep, mem_f, -1)[order]
+            pts_f = jnp.where(keep[:, None], pts_f, 0.0)[order]
         j = jnp.arange(L_max)
         pos = st.m + j
         valid = jnp.logical_and(jnp.logical_and(j < size_f, add), pos < M_max)
@@ -188,8 +245,8 @@ def make_sharded_group_builder(
             samples, aux = sampler(k_samp, S, w, st.pts, aux)
             samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
             if n_opt_loc is None:
-                vec_total = _group_vecs(data_local, gid_local, samples_loc,
-                                        st.beta).sum(axis=0)
+                vec_total = _group_vecs(data_local, gid_local, u_local,
+                                        samples_loc, st.beta).sum(axis=0)
             else:
                 # stratified per-shard POINT subsample (reference subsamples
                 # individual points in optimize, bcores.py:51) with the
@@ -198,8 +255,10 @@ def make_sharded_group_builder(
                                          (n_opt_loc,), 0, jnp.maximum(local_valid, 1))
                 vecs_o = _proj(data_local[sub], samples_loc, st.beta)
                 vecs_o = vecs_o * (local_valid > 0).astype(dtype)
+                rowsum = (vecs_o.sum(axis=0) if u_local is None
+                          else u_local[sub] @ vecs_o)
                 shard_scale = local_valid.astype(dtype) / n_opt_loc
-                vec_total = jax.lax.psum(shard_scale * vecs_o.sum(axis=0), DATA_AXIS)
+                vec_total = jax.lax.psum(shard_scale * rowsum, DATA_AXIS)
             corevecs = _proj(st.pts, samples_loc, st.beta) \
                 * st.slot_mask[:, None].astype(dtype)
             resid = vec_total - w @ corevecs
@@ -208,17 +267,21 @@ def make_sharded_group_builder(
         w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, k_opt, step_sizes)
         return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))
 
-    def _build_local(data_local, gid_local, members, key, itrs, gst):
+    def _build_local(data_local, gid_local, u_local, members, key, itrs, gst):
+        eff_sizes, g_mass = _group_stats(gid_local, u_local)  # constant per build
+
         def body(i, gst):
-            return _step(data_local, gid_local, members,
-                         jax.random.fold_in(key, i), gst)
+            return _step(data_local, gid_local, u_local, members,
+                         jax.random.fold_in(key, i), gst, eff_sizes, g_mass)
 
         return jax.lax.fori_loop(0, itrs, body, gst)
 
-    def _trace_local(data_local, gid_local, members, key, itrs, gst):
+    def _trace_local(data_local, gid_local, u_local, members, key, itrs, gst):
+        eff_sizes, g_mass = _group_stats(gid_local, u_local)
+
         def body(gst, i):
-            gst = _step(data_local, gid_local, members,
-                        jax.random.fold_in(key, i), gst)
+            gst = _step(data_local, gid_local, u_local, members,
+                        jax.random.fold_in(key, i), gst, eff_sizes, g_mass)
             return gst, (gst.core.wts, gst.core.idcs, gst.selected)
 
         return jax.lax.scan(body, gst, jnp.arange(itrs))
@@ -226,13 +289,44 @@ def make_sharded_group_builder(
     core_spec = CoresetState(wts=P(), idcs=P(), pts=P(), m=P(), beta=P(), sampler_aux=P())
     gstate_spec = GroupCoresetState(core=core_spec, selected=P(), initialized=P())
 
+    if weighted:
+        @jax.jit
+        def _build_w(data, gid, u, members, key, gst: GroupCoresetState, itrs):
+            return jax.shard_map(
+                _build_local,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                          P(), P(), P(), gstate_spec),
+                out_specs=gstate_spec,
+                check_vma=False,
+            )(data, gid, u, members, key, itrs, gst)
+
+        @partial(jax.jit, static_argnums=6)
+        def _trace_w(data, gid, u, members, key, gst: GroupCoresetState, itrs: int):
+            return jax.shard_map(
+                lambda d, g, uu, m, k, s: _trace_local(d, g, uu, m, k, itrs, s),
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                          P(), P(), gstate_spec),
+                out_specs=(gstate_spec, (P(), P(), P())),
+                check_vma=False,
+            )(data, gid, u, members, key, gst)
+
+        build = lambda key, gst, itrs: _build_w(
+            data_sharded, gid_sharded, data_weights, groups.members, key, gst,
+            jnp.asarray(itrs, dtype=jnp.int32))
+        build.trace = lambda key, gst, itrs: _trace_w(
+            data_sharded, gid_sharded, data_weights, groups.members, key, gst,
+            int(itrs))
+        return build
+
     @jax.jit
     def _build_d(data, gid, members, key, gst: GroupCoresetState, itrs):
         # data/gid/members are jit ARGUMENTS (a closed-over dataset embeds
         # into the HLO, coresets/incremental.py _bind); itrs is traced so one
         # program serves every build size
         return jax.shard_map(
-            _build_local,
+            lambda d, g, m, k, i, s: _build_local(d, g, None, m, k, i, s),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), P(), gstate_spec),
             out_specs=gstate_spec,
@@ -243,7 +337,7 @@ def make_sharded_group_builder(
     def _trace_d(data, gid, members, key, gst: GroupCoresetState, itrs: int):
         # static itrs (output shape); per-iteration records are replicated
         return jax.shard_map(
-            lambda d, g, m, k, s: _trace_local(d, g, m, k, itrs, s),
+            lambda d, g, m, k, s: _trace_local(d, g, None, m, k, itrs, s),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), gstate_spec),
             out_specs=(gstate_spec, (P(), P(), P())),

@@ -461,3 +461,65 @@ def test_sharded_weighted_build(problem):
         make_sharded_incremental_builder(
             ds, n_true, model, sampler, cfg, mesh,
             data_weights=jnp.ones(7, dtype=ds.dtype))
+
+
+def test_sharded_weighted_group_build(problem):
+    """data_weights in the sharded group builder: u=ones matches the
+    unweighted sharded build bit-for-bit; zero-mass groups are never
+    selected and u==0 members never enter the coreset; trace agrees with
+    build on the same stream."""
+    from betacores_tpu.coresets import init_state
+    from betacores_tpu.coresets.groups import (group_ids_from_groups,
+                                               init_group_state)
+    from betacores_tpu.ops.projection import Groups
+    from betacores_tpu.parallel import (make_sharded_group_builder,
+                                        shard_group_ids, shard_weights)
+
+    X, model, sampler, aux = problem
+    X = np.asarray(X[:120])
+    groups = [list(range(i, i + 10)) for i in range(0, 120, 10)]
+    gp = Groups.from_lists(groups)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=12,
+                            n_subsample_opt=64, opt_itrs=10, i0=0.5)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    gid = shard_group_ids(group_ids_from_groups(gp, X.shape[0]), mesh, gp.n_groups)
+    gst0 = init_group_state(init_state(60, X.shape[1], dtype=ds.dtype), gp.n_groups)
+    key = jax.random.key(3)
+
+    b_plain = make_sharded_group_builder(ds, gid, n_true, gp, model, sampler,
+                                         cfg, mesh)
+    b_ones = make_sharded_group_builder(
+        ds, gid, n_true, gp, model, sampler, cfg, mesh,
+        data_weights=shard_weights(jnp.ones(X.shape[0], dtype=ds.dtype), mesh))
+    g_p = b_plain(key, gst0, 4)
+    g_o = b_ones(key, gst0, 4)
+    np.testing.assert_array_equal(np.asarray(g_p.core.idcs), np.asarray(g_o.core.idcs))
+    np.testing.assert_allclose(np.asarray(g_p.core.wts), np.asarray(g_o.core.wts),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(g_p.selected), np.asarray(g_o.selected))
+
+    # zero out groups 0-3 entirely and half of group 4's members
+    u = np.ones(X.shape[0])
+    for g in range(4):
+        u[groups[g]] = 0.0
+    u[groups[4][:5]] = 0.0
+    bz = make_sharded_group_builder(
+        ds, gid, n_true, gp, model, sampler, cfg, mesh,
+        data_weights=shard_weights(jnp.asarray(u, dtype=ds.dtype), mesh))
+    g_z = bz(key, gst0, 5)
+    sel = np.where(np.asarray(g_z.selected))[0]
+    assert len(sel) >= 1 and (sel >= 4).all(), sel
+    m = int(g_z.core.m)
+    idcs = np.asarray(g_z.core.idcs)[:m]
+    dead = set(int(i) for i in np.where(u == 0)[0])
+    assert not set(idcs.tolist()) & dead
+    # appended points match their indices after the member partition
+    np.testing.assert_allclose(np.asarray(g_z.core.pts)[:m], X[idcs], rtol=1e-9)
+    # trace entry point agrees on the same stream
+    g_t, (W, I, SEL) = bz.trace(key, gst0, 5)
+    np.testing.assert_array_equal(np.asarray(SEL[-1]), np.asarray(g_z.selected))
+    np.testing.assert_array_equal(np.asarray(I[-1]), np.asarray(g_z.core.idcs))
+    with pytest.raises(ValueError):
+        make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg,
+                                   mesh, data_weights=jnp.ones(3, dtype=ds.dtype))
