@@ -66,9 +66,10 @@ class IncrementalConfig:
     # latency-bound build (RESULTS.md roofline section). The refinement
     # objective is nonstationary in w through the posterior, so a lagged fit
     # is a slightly stale tangent space that vanishes as w converges;
-    # measured quality at k<=5 matches k=1 (tests/test_coresets.py). Only
-    # the pre-drawn fast path honors it (samplers exposing fit/from_fit/
-    # fit_aux, i.e. the Laplace families); elsewhere it is ignored.
+    # measured quality at k<=5 matches k=1 (tests/test_coresets.py). The
+    # pre-drawn fast path and the sharded builder (parallel/sharded.py)
+    # honor it for samplers exposing fit/from_fit/fit_aux (the Laplace
+    # families); elsewhere it is ignored.
     refit_every: int = 1
 
     def __post_init__(self):

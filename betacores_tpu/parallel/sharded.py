@@ -105,11 +105,9 @@ def make_sharded_incremental_builder(
         """Inner product over the sharded S axis."""
         return jax.lax.psum(a @ b, SAMP_AXIS)
 
-    def _tangent(key, w, st, beta, n_loc, aux, data_local, u_local, ax_d, ax_s,
-                 local_valid, with_beta_grad: bool = False):
-        k_samp, k_sub = jax.random.split(key)
-        # replicated sampler: same key on every device -> identical samples
-        samples, aux = sampler(k_samp, S, w, st.pts, aux)
+    def _tangent_core(samples, st, beta, n_loc, k_sub, data_local, u_local,
+                      ax_d, ax_s, local_valid, with_beta_grad: bool = False):
+        """Subsample + project against ALREADY-DRAWN (replicated) samples."""
         samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
         # stratified local subsample of this shard's valid rows
         sub = jax.random.randint(jax.random.fold_in(k_sub, ax_d), (n_loc,), 0,
@@ -130,6 +128,16 @@ def make_sharded_incremental_builder(
             # d/d(beta) of the coreset projections for learn-beta, centered
             # over the full S axis like the scalar projection
             betagrads = _center_S(model.beta_gradient(st.pts, samples_loc, beta)) * mask
+        return vecs, corevecs, total, sub, usub, betagrads
+
+    def _tangent(key, w, st, beta, n_loc, aux, data_local, u_local, ax_d, ax_s,
+                 local_valid, with_beta_grad: bool = False):
+        k_samp, k_sub = jax.random.split(key)
+        # replicated sampler: same key on every device -> identical samples
+        samples, aux = sampler(k_samp, S, w, st.pts, aux)
+        vecs, corevecs, total, sub, usub, betagrads = _tangent_core(
+            samples, st, beta, n_loc, k_sub, data_local, u_local,
+            ax_d, ax_s, local_valid, with_beta_grad)
         return vecs, corevecs, total, sub, usub, aux, betagrads
 
     def _step(data_local, u_local, key, st: CoresetState) -> CoresetState:
@@ -191,6 +199,38 @@ def make_sharded_incremental_builder(
         # projected-Adam from utils/opt, same update as the single-device
         # and group builders) ----
         if not config.learn_beta:
+            fit = getattr(sampler, "fit", None)
+            from_fit = getattr(sampler, "from_fit", None)
+            fit_aux = getattr(sampler, "fit_aux", None)
+            draw_noise = getattr(sampler, "draw_noise", None)
+            if (config.refit_every > 1 and fit is not None and from_fit is not None
+                    and fit_aux is not None and draw_noise is not None):
+                # lagged posterior refits (config.refit_every, same contract
+                # as the single-chip fast path in coresets/incremental.py):
+                # the Adam carry holds the replicated fit state; the Newton
+                # chain runs only every k-th step inside a lax.cond, other
+                # steps draw fresh noise through the last fit. Every piece
+                # is replicated (same keys, same w), so no collectives move.
+                k_refit = config.refit_every
+
+                def grad_fn(w, lap, k, i):
+                    k_samp, k_sub = jax.random.split(k)
+                    lap = jax.lax.cond(
+                        jnp.logical_and(i % k_refit == 0, i > 0),
+                        lambda: fit(w, st.pts, fit_aux(lap)),
+                        lambda: lap)
+                    z = draw_noise(k_samp, S, w, st.pts, fit_aux(lap))
+                    samples = from_fit(lap, z)
+                    vecs_o, corevecs_o, total_o, _, _, _ = _tangent_core(
+                        samples, st, st.beta, n_opt_loc, k_sub, data_local,
+                        u_local, ax_d, ax_s, local_valid)
+                    resid = total_o - w @ corevecs_o
+                    return -_dot_S(corevecs_o, resid) / S, lap
+
+                lap0 = fit(st.wts, st.pts, st.sampler_aux)
+                w_new, lap = nn_adam(st.wts, grad_fn, lap0, k_opt, step_sizes,
+                                     xs=jnp.arange(step_sizes.shape[0]))
+                return st._replace(wts=w_new, sampler_aux=fit_aux(lap))
 
             def grad_fn(w, aux, k):
                 vecs_o, corevecs_o, total_o, _, _, aux, _ = _tangent(

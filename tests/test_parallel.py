@@ -523,3 +523,34 @@ def test_sharded_weighted_group_build(problem):
     with pytest.raises(ValueError):
         make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg,
                                    mesh, data_weights=jnp.ones(3, dtype=ds.dtype))
+
+
+def test_sharded_lagged_refit(problem):
+    """refit_every in the sharded builder: deterministic, same selection
+    count, quality near the every-step build (logreg Laplace sampler — the
+    Gaussian fixture's conjugate sampler has no fit split, so build a small
+    logreg problem here)."""
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+
+    _, _, Z = gen_synthetic_logreg(jax.random.key(0), 300, d=4, dtype=jnp.float32)
+    model, sampler = logreg.bundle(), logreg_laplace_sampler()
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(Z, mesh)
+    st0 = init_state(16, Z.shape[1], beta=0.4, dtype=ds.dtype)
+    key = jax.random.key(6)
+    res = {}
+    for k in (1, 4):
+        cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                                n_subsample_opt=32, opt_itrs=20, i0=1.0,
+                                use_beta=True, refit_every=k)
+        b = make_sharded_incremental_builder(ds, n_true, model, sampler, cfg, mesh)
+        st = b(key, st0, 6)
+        st2 = b(key, st0, 6)
+        np.testing.assert_array_equal(np.asarray(st.wts), np.asarray(st2.wts))
+        res[k] = st
+    assert int(res[4].m) == int(res[1].m)
+    # weight vectors land close (same key stream, slightly stale tangent)
+    w1, w4 = np.asarray(res[1].wts), np.asarray(res[4].wts)
+    assert np.linalg.norm(w4 - w1) < 0.5 * np.linalg.norm(w1) + 1e-6
