@@ -215,9 +215,7 @@ def make_group_incremental_builder(
             mdl, smp = _resolve(ctx)
             st = gst.core
 
-            def grad_fn(w, aux, k):
-                k_samp, k_sub = jax.random.split(k)
-                samples, aux = smp(k_samp, S, w, st.pts, aux)
+            def _grad_from_samples(w, samples, k_sub):
                 if n_opt is None:
                     vec_total = _group_vecs(mdl, samples, st.beta).sum(axis=0)
                     scaling = jnp.asarray(1.0, dtype=dtype)
@@ -228,7 +226,38 @@ def make_group_incremental_builder(
                                  else u[sub_idcs] @ vecs_o)
                 corevecs = _corevecs(mdl, st, samples, st.beta)
                 resid = scaling * vec_total - w @ corevecs
-                return -(corevecs @ resid) / S, aux
+                return -(corevecs @ resid) / S
+
+            fit = getattr(smp, "fit", None)
+            from_fit = getattr(smp, "from_fit", None)
+            fit_aux = getattr(smp, "fit_aux", None)
+            draw_noise = getattr(smp, "draw_noise", None)
+            if (config.refit_every > 1 and fit is not None and from_fit is not None
+                    and fit_aux is not None and draw_noise is not None):
+                # lagged posterior refits (config.refit_every, same contract
+                # as coresets/incremental.py and parallel/sharded.py)
+                k_refit = config.refit_every
+
+                def grad_fn(w, lap, k, i):
+                    k_samp, k_sub = jax.random.split(k)
+                    lap = jax.lax.cond(
+                        jnp.logical_and(i % k_refit == 0, i > 0),
+                        lambda: fit(w, st.pts, fit_aux(lap)),
+                        lambda: lap)
+                    samples = from_fit(lap, draw_noise(k_samp, S, w, st.pts,
+                                                       fit_aux(lap)))
+                    return _grad_from_samples(w, samples, k_sub), lap
+
+                lap0 = fit(st.wts, st.pts, st.sampler_aux)
+                w_new, lap = nn_adam(st.wts, grad_fn, lap0, key, step_sizes,
+                                     xs=jnp.arange(step_sizes.shape[0]))
+                return gst._replace(core=st._replace(wts=w_new,
+                                                     sampler_aux=fit_aux(lap)))
+
+            def grad_fn(w, aux, k):
+                k_samp, k_sub = jax.random.split(k)
+                samples, aux = smp(k_samp, S, w, st.pts, aux)
+                return _grad_from_samples(w, samples, k_sub), aux
 
             w_new, aux = nn_adam(st.wts, grad_fn, st.sampler_aux, key, step_sizes)
             return gst._replace(core=st._replace(wts=w_new, sampler_aux=aux))

@@ -111,6 +111,8 @@ def main():
     ap.add_argument("--proj-dim", type=int, default=100)
     ap.add_argument("--opt-itrs", type=int, default=200)
     ap.add_argument("--n-subsample-opt", type=int, default=500)
+    ap.add_argument("--refit-every", type=int, default=1,
+                    help="lagged Laplace refits in the Adam loop (RESULTS.md)")
     ap.add_argument("--shapley-T", type=int, default=50)
     ap.add_argument("--shapley-cap", type=int, default=50)
     ap.add_argument("--results-dir", default="results")
@@ -131,7 +133,8 @@ def main():
         alg = bc.BetaCoreset(Zj, prj, beta=args.beta, learn_beta=False,
                              opt_itrs=args.opt_itrs, n_subsample_select=None,
                              n_subsample_opt=args.n_subsample_opt,
-                             groups=groups, seed=args.trial)
+                             groups=groups, seed=args.trial,
+                             refit_every=args.refit_every)
         # some iterations re-weight existing points instead of adding a
         # group, so iterate until M distinct groups are selected (cap 4M).
         # Chunked build_trace: M iterations per DEVICE call (the selection
