@@ -554,6 +554,11 @@ class UniformSamplingCoreset(Coreset):
         # each member with multiplicity u_n (its within-group share).
         if data_weights is not None:
             uw = np.asarray(data_weights, dtype=np.float64)
+            if uw.shape != (len(data),):
+                raise ValueError(
+                    f"data_weights must be ({len(data)},), got {uw.shape}")
+            if not (uw.sum() > 0):
+                raise ValueError("data_weights: total mass must be positive")
             self._u = uw
             self._u_total = float(uw.sum())
             self._u_p = uw / self._u_total

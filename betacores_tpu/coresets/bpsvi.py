@@ -24,6 +24,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.projection import draw_subsample, project_ll, project_ll_with_grad
 from ..utils.opt import nn_adam, step_schedule
@@ -102,7 +103,19 @@ def make_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable, config: BPSV
         return wts, pts, init_idcs
 
     _jit = jax.jit(_build, static_argnums=3)
-    return lambda key, sz, aux0, size_mask=None: _jit(data, uw, key, sz, aux0, size_mask)
+    n_pos = None if uw is None else int(np.sum(np.asarray(uw) > 0))
+
+    def build(key, sz, aux0, size_mask=None):
+        if n_pos is not None and sz > n_pos:
+            # jax.random.choice(replace=False, p=u) silently returns
+            # zero-probability indices once positives are exhausted — the
+            # init would seed pseudo-points from non-data rows
+            raise ValueError(
+                f"BPSVI init: sz={sz} exceeds the {n_pos} rows with positive "
+                f"data_weights — shrink sz or drop dead rows")
+        return _jit(data, uw, key, sz, aux0, size_mask)
+
+    return build
 
 
 def bpsvi_build_batch(builder: Callable, key: jax.Array, sizes, max_size: int, aux0) -> Tuple:

@@ -291,7 +291,11 @@ def make_incremental_builder(
                     # sampler's own draw_noise and ops.projection's
                     # draw_subsample — so every value is bit-identical by
                     # construction, not by keeping inline copies in sync.
-                    T = config.opt_itrs
+                    # number of Adam steps = len(step_sizes), NOT
+                    # config.opt_itrs: a caller-supplied step_sizes of a
+                    # different length must keep working (nn_adam runs
+                    # len(step_sizes) steps; the pre-drawn xs must match)
+                    T = step_sizes.shape[0]
                     aux0 = st.sampler_aux
                     keys = jax.random.split(key, T)
                     pair = jax.vmap(jax.random.split)(keys)        # (T, 2)

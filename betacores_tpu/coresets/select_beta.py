@@ -74,4 +74,10 @@ def select_beta(
         w, p = build_fn(float(b))
         scores.append(float(trimmed_mean(jnp.asarray(score_fn(w, p)), trim)))
     scores = np.asarray(scores)
-    return float(betas[int(np.argmax(scores))]), scores
+    # a degenerate build (NaN predictive ll) must never win the grid:
+    # np.argmax treats NaN as maximal
+    ranked = np.where(np.isfinite(scores), scores, -np.inf)
+    if not np.isfinite(ranked).any():
+        raise ValueError(f"select_beta: every candidate build scored NaN/inf "
+                         f"(scores={scores})")
+    return float(betas[int(np.argmax(ranked))]), scores

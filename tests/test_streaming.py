@@ -355,3 +355,62 @@ def test_uniform_sampling_weighted(rng):
     assert set(np.asarray(ig).tolist()).issubset(set(range(10, 20)))
     with pytest.raises(ValueError):
         bc.UniformSamplingCoreset(X, groups=[[0, 1]], data_weights=jnp.asarray(u))
+
+
+def test_review_regressions_weighted_edges(rng):
+    """Round-2 high-effort review regressions: custom-length step_sizes with
+    the pre-drawn fast path; BPSVI weighted init with too few positive rows;
+    zero-total-mass / wrong-length uniform weights; NaN-proof select_beta."""
+    import jax
+
+    from betacores_tpu.coresets import (BPSVIConfig, IncrementalConfig,
+                                        init_state, make_bpsvi_builder,
+                                        make_incremental_builder)
+    from betacores_tpu.coresets.select_beta import select_beta
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+
+    _, _, Z = gen_synthetic_logreg(jax.random.key(0), 120, d=3, dtype=jnp.float32)
+    model, smp = logreg.bundle(), logreg_laplace_sampler()
+
+    # 1) step_sizes shorter than opt_itrs must run len(step_sizes) steps
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=30,
+                            n_subsample_opt=20, opt_itrs=50, i0=0.5)
+    b = make_incremental_builder(Z, model, smp, cfg,
+                                 step_sizes=jnp.full(10, 0.3, dtype=Z.dtype))
+    st = b.build(jax.random.key(1), init_state(8, 3, dtype=Z.dtype), 4)
+    assert int(st.m) >= 1
+
+    # 2) weighted BPSVI init: sz > #positive rows is a clear error
+    u = np.zeros(120)
+    u[:3] = 1.0
+    bp = make_bpsvi_builder(Z, model, smp,
+                            BPSVIConfig(projection_dim=8, n_subsample_opt=20,
+                                        opt_itrs=5, i0=0.3),
+                            data_weights=jnp.asarray(u, dtype=Z.dtype))
+    with pytest.raises(ValueError, match="positive"):
+        bp(jax.random.key(2), 6, jnp.zeros(3, dtype=Z.dtype))
+    wts, pts, idcs = bp(jax.random.key(2), 3, jnp.zeros(3, dtype=Z.dtype))
+    assert set(np.asarray(idcs).tolist()).issubset({0, 1, 2})
+
+    # 3) uniform sampler: zero total mass / wrong length rejected up front
+    import betacores_tpu as bc
+    with pytest.raises(ValueError, match="mass"):
+        bc.UniformSamplingCoreset(Z, data_weights=np.zeros(120))
+    with pytest.raises(ValueError, match="data_weights"):
+        bc.UniformSamplingCoreset(Z, data_weights=np.ones(7))
+
+    # 4) select_beta never returns a NaN-scoring beta
+    def build_fn(beta):
+        return np.ones(2), np.asarray(Z[:2])
+
+    calls = iter([np.full(5, np.nan), np.ones(5)])
+    def score_fn(w, p):
+        return jnp.asarray(next(calls))
+
+    best, scores = select_beta(build_fn, (0.1, 0.5), score_fn, trim=0.2)
+    assert best == 0.5 and np.isnan(scores[0])
+    with pytest.raises(ValueError, match="NaN"):
+        select_beta(build_fn, (0.1,), lambda w, p: jnp.full(5, jnp.nan),
+                    trim=0.2)
