@@ -1,6 +1,7 @@
 from .perturb import perturb_groups, perturb_logreg, perturb_regression
 from .synthetic import (gen_synthetic_gaussian, gen_synthetic_linreg,
-                        gen_synthetic_logreg, gen_synthetic_poisson)
+                        gen_synthetic_logreg, gen_synthetic_multiclass,
+                        gen_synthetic_poisson)
 
 __all__ = [
     "perturb_groups",
@@ -9,5 +10,6 @@ __all__ = [
     "gen_synthetic_gaussian",
     "gen_synthetic_linreg",
     "gen_synthetic_logreg",
+    "gen_synthetic_multiclass",
     "gen_synthetic_poisson",
 ]

@@ -27,6 +27,21 @@ def gen_synthetic_logreg(key: jax.Array, n: int, d: int = 2, mean_val: float = 1
     return X, y, y[:, None] * X
 
 
+def gen_synthetic_multiclass(key: jax.Array, n: int, d: int = 4,
+                             n_classes: int = 3, spread: float = 2.0,
+                             dtype=jnp.float32):
+    """K-class softmax synthetic: class parameters th_k ~ spread * N(0, I),
+    X ~ N(0, I), labels from the softmax model. Returns (X, y, Z=[X, y])
+    with y float class indices in the last column (models/multiclass.py
+    row convention)."""
+    kt, kx, ky = jax.random.split(key, 3)
+    Th = spread * jax.random.normal(kt, (n_classes, d), dtype=dtype)
+    X = jax.random.normal(kx, (n, d), dtype=dtype)
+    y = jax.random.categorical(ky, X @ Th.T, axis=-1).astype(dtype)
+    Z = jnp.concatenate([X, y[:, None]], axis=1)
+    return X, y, Z
+
+
 def gen_synthetic_gaussian(key: jax.Array, N: int = 5000, d: int = 100,
                            sig_scale: float = 500.0, dtype=jnp.float32):
     """The zellner_gaussian synthetic: X ~ N(0, sig_scale I) plus three

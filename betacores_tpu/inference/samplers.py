@@ -134,6 +134,39 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
     return sampler
 
 
+def multiclass_laplace_sampler(n_classes: int, n_newton: int = 12,
+                               warm_start: bool = True) -> SamplerFn:
+    """Laplace sampler for K-class softmax regression (models/multiclass.py;
+    beyond reference — the reference binarizes every multiclass dataset).
+    theta is packed (K*d,); grad/Hessian come from autodiff of the weighted
+    log joint (K*d is small — e.g. covtype K=7, d=11 -> 77 — so the dense
+    Newton solve is cheap). ``aux`` is the previous packed mode."""
+    from ..models import multiclass as mc_model
+
+    lj_of = mc_model.make_log_joint(n_classes)
+
+    def _fit(wts, pts, aux):
+        mu_ws = aux if warm_start else jnp.zeros_like(aux)
+        lj = lambda th: lj_of(pts, th, wts)
+        return newton_laplace(lj, jax.grad(lj), jax.hessian(lj), mu_ws,
+                              n_iters=n_newton)
+
+    def from_noise(z, wts, pts, aux):
+        lap = _fit(wts, pts, aux)
+        return sample_laplace_from_noise(lap, z), lap.mu
+
+    def sampler(key, n, wts, pts, aux):
+        return from_noise(_laplace_noise(key, n, wts, pts, aux), wts, pts, aux)
+
+    sampler.draw_noise = _laplace_noise
+    sampler.from_noise = from_noise
+    # lagged-refit split (IncrementalConfig.refit_every)
+    sampler.fit = _fit
+    sampler.from_fit = sample_laplace_from_noise
+    sampler.fit_aux = lambda lap: lap.mu
+    return sampler
+
+
 def poisson_laplace_sampler(diag: bool = False, n_newton: int = 10,
                             warm_start: bool = True) -> SamplerFn:
     """Laplace sampler for Poisson regression (softplus link). Newton uses

@@ -1,5 +1,5 @@
-from . import gaussian, linreg, logreg, mvn, neural_linear, poisson
+from . import gaussian, linreg, logreg, multiclass, mvn, neural_linear, poisson
 from .base import ModelFns, beta_gradient_from_autodiff
 
-__all__ = ["gaussian", "linreg", "logreg", "neural_linear", "poisson",
+__all__ = ["gaussian", "linreg", "logreg", "multiclass", "neural_linear", "poisson",
            "ModelFns", "beta_gradient_from_autodiff"]

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Multiclass (softmax) robust summarization — beyond reference.
+
+The reference binarizes every multiclass dataset
+(convert_mnist_to_2class.py; preproc_covtype.py collapses covertype to two
+classes) because it only has binary logistic regression. This driver runs
+the K-class family (models/multiclass.py) natively: synthetic K-class data
+with label-flip contamination, BCORES/SVI/RAND builds, Laplace-posterior
+test accuracy per coreset size.
+
+Usage: python3 examples/multiclass.py --alg BCORES --K 5 --f-rate 0.2
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import betacores_tpu as bc
+from betacores_tpu.data import gen_synthetic_multiclass
+from betacores_tpu.inference import (multiclass_laplace_sampler, newton_laplace,
+                                     sample_laplace)
+from betacores_tpu.models import multiclass as mc
+
+ALGS = ["BCORES", "SVI", "RAND"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alg", choices=ALGS, default="BCORES")
+    ap.add_argument("--trial", type=int, default=1)
+    ap.add_argument("--K", type=int, default=5)
+    ap.add_argument("--d", type=int, default=10)
+    ap.add_argument("--N", type=int, default=50_000)
+    ap.add_argument("--N-test", type=int, default=10_000)
+    ap.add_argument("--f-rate", type=float, default=0.2)
+    ap.add_argument("--M", type=int, default=60)
+    ap.add_argument("--proj-dim", type=int, default=100)
+    ap.add_argument("--opt-itrs", type=int, default=200)
+    ap.add_argument("--n-subsample-opt", type=int, default=200)
+    ap.add_argument("--n-subsample-select", type=int, default=1000)
+    ap.add_argument("--beta", type=float, default=0.3)
+    ap.add_argument("--refit-every", type=int, default=1)
+    ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--results-dir", default="results")
+    args = ap.parse_args()
+
+    K, d = args.K, args.d
+    Xall, yall, Zall = gen_synthetic_multiclass(
+        jax.random.key(args.trial), args.N + args.N_test, d=d, n_classes=K,
+        dtype=jnp.float32)
+    Z, Xt, yt = Zall[: args.N], Xall[args.N:], yall[args.N:]
+    # label-flip contamination: f_rate of rows get a wrong class
+    rng = np.random.default_rng(args.trial)
+    Zc = np.asarray(Z).copy()
+    bad = rng.choice(args.N, int(args.N * args.f_rate), replace=False)
+    Zc[bad, -1] = (Zc[bad, -1] + rng.integers(1, K, size=len(bad))) % K
+    Zc = jnp.asarray(Zc)
+    base = float(jnp.mean(yt == jnp.argmax(jnp.bincount(yt.astype(jnp.int32),
+                                                        length=K))))
+    print(f"K={K} d={d} N={args.N} test={args.N_test} f_rate={args.f_rate} "
+          f"base_rate={base:.4f}")
+
+    model = mc.bundle(K)
+    smp = multiclass_laplace_sampler(K)
+    common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
+                  n_subsample_select=args.n_subsample_select, seed=args.trial,
+                  max_size=args.M, refit_every=args.refit_every)
+    t0 = time.perf_counter()
+    if args.alg == "BCORES":
+        prj = bc.BetaBlackBoxProjector(smp, args.proj_dim, model.beta_likelihood,
+                                       model.log_likelihood, model.beta_gradient,
+                                       theta_dim=K * d)
+        alg = bc.BetaCoreset(Zc, prj, beta=args.beta, learn_beta=False, **common)
+        trace = alg.build_trace(args.M)
+        snaps = [(w, p) for (w, p, i, b) in trace]
+    elif args.alg == "SVI":
+        prj = bc.BlackBoxProjector(smp, args.proj_dim, model.log_likelihood,
+                                   theta_dim=K * d)
+        alg = bc.SparseVICoreset(Zc, prj, **common)
+        trace = alg.build_trace(args.M)
+        snaps = [(w, p) for (w, p, i, b) in trace]
+    else:
+        alg = bc.UniformSamplingCoreset(Zc, seed=args.trial)
+        snaps = [(w, p) for (w, p, i) in alg.build_trace(args.M)]
+    t_build = time.perf_counter() - t0
+
+    lj = mc.make_log_joint(K)
+
+    def acc_of(wts, pts):
+        if len(wts) == 0:
+            return base
+        wts, pts = jnp.asarray(wts), jnp.asarray(np.atleast_2d(pts))
+        f = lambda th: lj(pts, th, wts)
+        lap = newton_laplace(f, jax.grad(f), jax.hessian(f),
+                             jnp.zeros(K * d, dtype=jnp.float32), n_iters=25)
+        ths = sample_laplace(jax.random.key(99), lap, 256)
+        return float(mc.compute_accuracy(Xt, yt, ths, K))
+
+    sizes, accs = [], []
+    for m in range(args.eval_every - 1, len(snaps), args.eval_every):
+        w, p = snaps[m]
+        a = acc_of(w, p)
+        sizes.append(m + 1)
+        accs.append(a)
+        print(f"m={m + 1:4d}  acc={a:.4f}")
+    print(f"{args.alg}: build {t_build:.1f}s, final acc {accs[-1]:.4f} "
+          f"(base {base:.4f})")
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    tag = f"mc_K{K}_{args.alg}_{args.f_rate}_{args.trial}"
+    with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
+        pickle.dump({"args": vars(args), "sizes": sizes, "accs": accs,
+                     "build_s": t_build, "base": base}, fh)
+
+
+if __name__ == "__main__":
+    main()

