@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alg", choices=ALGS, default="BCORES")
     ap.add_argument("--trial", type=int, default=1)
+    ap.add_argument("--dataset", default="synthetic",
+                    help="'synthetic' or an npz name with integer-class y "
+                         "(e.g. movielens5 from preprocess.py movielens)")
     ap.add_argument("--K", type=int, default=5)
     ap.add_argument("--d", type=int, default=10)
     ap.add_argument("--N", type=int, default=50_000)
@@ -52,21 +55,36 @@ def main():
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
-    K, d = args.K, args.d
-    Xall, yall, Zall = gen_synthetic_multiclass(
-        jax.random.key(args.trial), args.N + args.N_test, d=d, n_classes=K,
-        dtype=jnp.float32)
-    Z, Xt, yt = Zall[: args.N], Xall[args.N:], yall[args.N:]
+    if args.dataset == "synthetic":
+        K, d = args.K, args.d
+        Xall, yall, Zall = gen_synthetic_multiclass(
+            jax.random.key(args.trial), args.N + args.N_test, d=d, n_classes=K,
+            dtype=jnp.float32)
+        Z, Xt, yt = Zall[: args.N], Xall[args.N:], yall[args.N:]
+        N = args.N
+    else:
+        from betacores_tpu.data.loaders import load_npz, reference_dataset_path
+        path = reference_dataset_path(args.dataset)
+        if path is None:
+            raise SystemExit(f"dataset npz not found: {args.dataset} "
+                             f"(run examples/preprocess.py movielens)")
+        X, y, Xt_np, yt_np = load_npz(path)
+        K = int(max(y.max(), yt_np.max())) + 1
+        d = X.shape[1]
+        Z = jnp.asarray(np.c_[X, y].astype(np.float32))
+        Xt = jnp.asarray(Xt_np.astype(np.float32))
+        yt = jnp.asarray(yt_np.astype(np.float32))
+        N = Z.shape[0]
     # label-flip contamination: f_rate of rows get a wrong class
     rng = np.random.default_rng(args.trial)
     Zc = np.asarray(Z).copy()
-    bad = rng.choice(args.N, int(args.N * args.f_rate), replace=False)
+    bad = rng.choice(N, int(N * args.f_rate), replace=False)
     Zc[bad, -1] = (Zc[bad, -1] + rng.integers(1, K, size=len(bad))) % K
     Zc = jnp.asarray(Zc)
     base = float(jnp.mean(yt == jnp.argmax(jnp.bincount(yt.astype(jnp.int32),
                                                         length=K))))
-    print(f"K={K} d={d} N={args.N} test={args.N_test} f_rate={args.f_rate} "
-          f"base_rate={base:.4f}")
+    print(f"dataset={args.dataset} K={K} d={d} N={N} test={len(yt)} "
+          f"f_rate={args.f_rate} base_rate={base:.4f}")
 
     model = mc.bundle(K)
     smp = multiclass_laplace_sampler(K)
@@ -115,7 +133,7 @@ def main():
           f"(base {base:.4f})")
 
     os.makedirs(args.results_dir, exist_ok=True)
-    tag = f"mc_K{K}_{args.alg}_{args.f_rate}_{args.trial}"
+    tag = f"mc_{args.dataset}_K{K}_{args.alg}_{args.f_rate}_{args.trial}"
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "sizes": sizes, "accs": accs,
                      "build_s": t_build, "base": base}, fh)

@@ -218,6 +218,16 @@ def cmd_movielens(args):
     print(f"movielens: N={int((~is_test).sum())} d={X.shape[1]} "
           f"test={int(is_test.sum())} pos-rate={float((y[~is_test] > 0).mean()):.3f}")
 
+    # --- native 5-class star-rating task (models/multiclass.py) ---------
+    # the binary task collapses the rating scale; the multiclass family
+    # predicts the star bucket directly: class = ceil(rating) - 1 in {0..4}
+    # (half-stars round up), same leakage-free features
+    y5 = np.clip(np.ceil(r), 1, 5) - 1.0
+    np.savez(os.path.join(args.out_dir, "movielens5.npz"),
+             X=X[~is_test], y=y5[~is_test], Xt=X[is_test], yt=y5[is_test])
+    base5 = np.bincount(y5[~is_test].astype(int), minlength=5).max() / (~is_test).sum()
+    print(f"movielens5: 5-class star buckets, base rate {base5:.3f}")
+
     # --- per-user groups over the most active users ---------------------
     n_groups = getattr(args, "n_groups", 100)
     top_users = us["count"].sort_values(ascending=False).index[:n_groups]
