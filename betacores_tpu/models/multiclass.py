@@ -156,3 +156,39 @@ def bundle(n_classes: int) -> ModelFns:
         beta_gradient=beta_gradient_from_autodiff(beta_likelihood),
         grad_z_log_likelihood=make_grad_z_log_likelihood(n_classes),
     )
+
+
+def make_grad_th_log_joint(n_classes: int):
+    def grad_th_log_joint(z, th, wts):
+        """(K*d,) analytic gradient: -th + sum_n w_n (e_{y_n} - p_n) ⊗ x_n."""
+        x, y = _split(z)
+        d = x.shape[1]
+        logits = x @ th.reshape(n_classes, d).T          # (N, K)
+        p = jax.nn.softmax(logits, axis=-1)
+        coef = -p
+        coef = coef.at[jnp.arange(x.shape[0]), y].add(1.0)  # e_y - p
+        g = (wts[:, None] * coef).T @ x                  # (K, d)
+        return -th + g.reshape(-1)
+
+    return grad_th_log_joint
+
+
+def make_hess_th_log_joint(n_classes: int):
+    def hess_th_log_joint(z, th, wts):
+        """(K*d, K*d) analytic Hessian:
+        -I - sum_n w_n (diag(p_n) - p_n p_n^T) ⊗ x_n x_n^T
+        (negative definite: softmax log-likelihoods are concave)."""
+        x, y = _split(z)
+        d = x.shape[1]
+        K = n_classes
+        logits = x @ th.reshape(K, d).T
+        p = jax.nn.softmax(logits, axis=-1)              # (N, K)
+        # W_n = diag(p_n) - p_n p_n^T, weighted by w_n
+        Wp = wts[:, None, None] * (
+            jnp.einsum("nk,kl->nkl", p, jnp.eye(K, dtype=p.dtype))
+            - jnp.einsum("nk,nl->nkl", p, p))
+        H = jnp.einsum("nkl,nd,ne->kdle", Wp, x, x)      # (K, d, K, d)
+        Kd = K * d
+        return -jnp.eye(Kd, dtype=th.dtype) - H.reshape(Kd, Kd)
+
+    return hess_th_log_joint

@@ -111,13 +111,16 @@ def main():
     t_build = time.perf_counter() - t0
 
     lj = mc.make_log_joint(K)
+    g_of = mc.make_grad_th_log_joint(K)
+    h_of = mc.make_hess_th_log_joint(K)
 
     def acc_of(wts, pts):
         if len(wts) == 0:
             return base
         wts, pts = jnp.asarray(wts), jnp.asarray(np.atleast_2d(pts))
-        f = lambda th: lj(pts, th, wts)
-        lap = newton_laplace(f, jax.grad(f), jax.hessian(f),
+        lap = newton_laplace(lambda th: lj(pts, th, wts),
+                             lambda th: g_of(pts, th, wts),
+                             lambda th: h_of(pts, th, wts),
                              jnp.zeros(K * d, dtype=jnp.float32), n_iters=25)
         ths = sample_laplace(jax.random.key(99), lap, 256)
         return float(mc.compute_accuracy(Xt, yt, ths, K))
