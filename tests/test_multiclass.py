@@ -148,3 +148,35 @@ def test_robust_multiclass_build(rng):
                                                         length=K))))
     assert acc_core > base + 0.05, (acc_core, base)
     assert acc_core >= acc_rand - 0.02, (acc_core, acc_rand)
+
+
+def test_multiclass_sharded_build():
+    """The sharded builder is model-generic: a K-class build over an
+    8-device mesh selects real rows and runs the distributed argmax with
+    the packed-theta sampler."""
+    from betacores_tpu.coresets import IncrementalConfig, init_state
+    from betacores_tpu.parallel import (make_mesh,
+                                        make_sharded_incremental_builder,
+                                        shard_data)
+
+    K, d = 3, 4
+    _, _, Z = gen_synthetic_multiclass(jax.random.key(7), 300, d=d,
+                                       n_classes=K, dtype=jnp.float32)
+    model = mc.bundle(K)
+    smp = multiclass_laplace_sampler(K)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                            n_subsample_opt=32, opt_itrs=15, i0=1.0,
+                            use_beta=True)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(Z, mesh)
+    st0 = init_state(12, Z.shape[1], beta=0.3, dtype=ds.dtype)
+    # sampler_aux must be the packed-theta mode, not the row-dim default
+    st0 = st0._replace(sampler_aux=jnp.zeros(K * d, dtype=ds.dtype))
+    b = make_sharded_incremental_builder(ds, n_true, model, smp, cfg, mesh)
+    st = b(jax.random.key(1), st0, 5)
+    m = int(st.m)
+    assert m >= 3
+    idcs = np.asarray(st.idcs)[:m]
+    assert (idcs >= 0).all() and (idcs < n_true).all()
+    np.testing.assert_allclose(np.asarray(st.pts)[:m],
+                               np.asarray(Z)[idcs], rtol=1e-6)
