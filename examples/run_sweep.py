@@ -65,6 +65,15 @@ GRIDS = {
                  "--f-rate": ["0.0", "0.1"],
                  "--trial": ["1", "2", "3"]},
     },
+    # multiclass softmax robustness sweep (beyond reference;
+    # examples/multiclass.py — incl. the real 5-class MovieLens task)
+    "multiclass": {
+        "script": "multiclass.py",
+        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+                 "--dataset": ["synthetic", "movielens5"],
+                 "--f-rate": ["0.0", "0.1", "0.2"],
+                 "--trial": ["1", "2", "3"]},
+    },
     # Sparse Hamiltonian Flow vs HMC (beyond reference)
     "shf": {
         "script": "shf_logreg.py",
