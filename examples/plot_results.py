@@ -30,7 +30,7 @@ from betacores_tpu.plotting import plot_curves
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", choices=["gaussian", "logreg", "neural_linear", "groups",
-                                       "housing", "poisson"],
+                                       "housing", "poisson", "multiclass"],
                     default="gaussian")
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--metric", default=None,
@@ -83,6 +83,14 @@ def main():
                 xs = np.asarray(ms)
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = "test predictive LL", False
+    elif args.kind == "multiclass":
+        for path in glob.glob(os.path.join(args.results_dir, "results_mc_*.pk")):
+            with open(path, "rb") as f:
+                res = pickle.load(f)
+            if isinstance(res, dict) and "accs" in res:
+                xs = np.asarray(res["sizes"])
+                curves[res["args"]["alg"]].append(np.asarray(res["accs"]))
+        ylabel, log_y = "test accuracy", False
     elif args.kind == "neural_linear":
         metric = args.metric or "rmses"
         for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
