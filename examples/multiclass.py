@@ -69,6 +69,14 @@ def main():
             raise SystemExit(f"dataset npz not found: {args.dataset} "
                              f"(run examples/preprocess.py movielens)")
         X, y, Xt_np, yt_np = load_npz(path)
+        if y.min() < 0 or yt_np.min() < 0:
+            # load_npz remaps {0,1} binary labels to {-1,+1} (the logreg
+            # convention); feeding those here would silently clamp class -1
+            # to 0 and mis-score every negative test row
+            raise SystemExit(
+                f"dataset {args.dataset} has labels in "
+                f"[{y.min()}, {y.max()}] — this driver needs integer classes "
+                f"0..K-1 (use movielens5, or the binary drivers for {args.dataset})")
         K = int(max(y.max(), yt_np.max())) + 1
         d = X.shape[1]
         Z = jnp.asarray(np.c_[X, y].astype(np.float32))
@@ -126,12 +134,16 @@ def main():
         return float(mc.compute_accuracy(Xt, yt, ths, K))
 
     sizes, accs = [], []
-    for m in range(args.eval_every - 1, len(snaps), args.eval_every):
-        w, p = snaps[m]
+    # always evaluate the final size; never an empty schedule (an
+    # eval_every > M run would otherwise crash after the whole build)
+    eval_sizes = sorted(set(range(args.eval_every, len(snaps) + 1,
+                                  args.eval_every)) | {len(snaps)})
+    for m in eval_sizes:
+        w, p = snaps[m - 1]
         a = acc_of(w, p)
-        sizes.append(m + 1)
+        sizes.append(m)
         accs.append(a)
-        print(f"m={m + 1:4d}  acc={a:.4f}")
+        print(f"m={m:4d}  acc={a:.4f}")
     print(f"{args.alg}: build {t_build:.1f}s, final acc {accs[-1]:.4f} "
           f"(base {base:.4f})")
 

@@ -180,3 +180,18 @@ def test_multiclass_sharded_build():
     assert (idcs >= 0).all() and (idcs < n_true).all()
     np.testing.assert_allclose(np.asarray(st.pts)[:m],
                                np.asarray(Z)[idcs], rtol=1e-6)
+
+
+def test_analytic_joint_grad_hess_match_autodiff(problem, rng):
+    """The sampler's analytic softmax gradient/Hessian equal jax.grad /
+    jax.hessian of the weighted log joint (the repo's pattern for every
+    analytic GLM path: test_models.py logreg, test_poisson.py Fisher)."""
+    K, d, Z, _ = problem
+    th = jnp.asarray(rng.normal(size=(K * d,)))
+    w = jnp.asarray(rng.uniform(0.5, 2.0, size=Z.shape[0]))
+    lj = mc.make_log_joint(K)
+    f = lambda t: lj(Z, t, w)
+    np.testing.assert_allclose(np.asarray(mc.make_grad_th_log_joint(K)(Z, th, w)),
+                               np.asarray(jax.grad(f)(th)), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mc.make_hess_th_log_joint(K)(Z, th, w)),
+                               np.asarray(jax.hessian(f)(th)), rtol=1e-9, atol=1e-12)
