@@ -265,3 +265,77 @@ FUSED_MIN_ROWS = 8192
 
 def maybe_fused(n_rows: int) -> bool:
     return n_rows >= FUSED_MIN_ROWS
+
+
+def _multiclass_kernel(beta_ref, x_ref, y_ref, tht_ref, out_ref, *,
+                       use_beta: bool, n_classes: int, s_true: int, s_pad: int):
+    """Softmax-family projection: one (TN, d) @ (d, K*S) MXU matmul, then
+    per-class logsumexp / density-power transform entirely in VMEM — the
+    XLA composition materializes (N, S, K) log-prob intermediates in HBM
+    (measured 63 ms vs the ~5 ms HBM floor at N=2^20, S=100, K=5)."""
+    logits = jnp.dot(x_ref[:], tht_ref[:], preferred_element_type=jnp.float32)
+    mk = [logits[:, k * s_pad:(k + 1) * s_pad] for k in range(n_classes)]
+    mx = mk[0]
+    for k in range(1, n_classes):
+        mx = jnp.maximum(mx, mk[k])
+    se = jnp.zeros_like(mx)
+    for k in range(n_classes):
+        se = se + jnp.exp(mk[k] - mx)
+    lse = mx + jnp.log(se)
+    y = y_ref[:]  # (TN, 1) float class index, broadcasts over S
+    lp_y = jnp.zeros_like(mx)
+    for k in range(n_classes):
+        lp_y = lp_y + jnp.where(y == float(k), mk[k], 0.0)
+    lp_y = lp_y - lse
+    if not use_beta:
+        vals = lp_y
+    else:
+        beta = beta_ref[0]
+        mass = jnp.zeros_like(mx)
+        for k in range(n_classes):
+            mass = mass + jnp.exp((1.0 + beta) * (mk[k] - lse))
+        vals = (beta + 1.0) / beta * jnp.exp(beta * lp_y) - mass
+    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes", "use_beta"))
+def multiclass_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray,
+                                n_classes: int, beta=1.0,
+                                use_beta: bool = False) -> jnp.ndarray:
+    """Centered (N, S) K-class softmax (beta-)log-likelihood projection in
+    one HBM pass. ``z`` rows are [x, y] (models/multiclass.py convention);
+    ``thetas`` (S, K*d) packed row-major (K, d)."""
+    N, D = z.shape
+    d = D - 1
+    S = thetas.shape[0]
+    s_pad = _round_up(S, 128)
+    K = n_classes
+    # (d, K*s_pad) with k-major column blocks: column k*s_pad + s = theta[s, k]
+    T = thetas.reshape(S, K, d).transpose(2, 1, 0).astype(jnp.float32)  # (d, K, S)
+    if s_pad != S:
+        T = jnp.concatenate(
+            [T, jnp.zeros((d, K, s_pad - S), dtype=T.dtype)], axis=2)
+    T = T.reshape(d, K * s_pad)
+    x = z[:, :-1].astype(jnp.float32)
+    y = z[:, -1:].astype(jnp.float32)
+    # smaller row tile than the binary kernel: the logits block is K x wider
+    tn = max(256, _TN // _round_up(K, 4))
+    xp, pad = _pad_rows(x, tn)
+    yp, _ = _pad_rows(y, tn)
+    grid = (xp.shape[0] // tn,)
+    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_multiclass_kernel, use_beta=use_beta, n_classes=K,
+                          s_true=S, s_pad=s_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, K * s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], s_pad), z.dtype),
+        interpret=_interpret(),
+    )(beta_arr, xp, yp, T)
+    return out[:N, :S]

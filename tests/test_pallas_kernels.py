@@ -92,3 +92,34 @@ def test_fused_dispatch_threshold(rng):
     assert calls["fused"] == 0
     proj.project_ll(model, Z_big, TH)
     assert calls["fused"] == 1
+
+
+def test_multiclass_fused_matches_xla(rng):
+    """Fused K-class softmax projection == the XLA composition (interpret
+    mode; on the v5e the kernel measured 7.7 ms vs 63 ms XLA at
+    N=2^20 x S=100 x K=5 — the XLA path materializes (N, S, K) log-prob
+    intermediates in HBM)."""
+    from betacores_tpu.models import multiclass as mc
+    from betacores_tpu.ops.pallas_kernels import multiclass_projection_fused
+
+    K, d, N, S = 4, 6, 700, 50  # unaligned rows/cols
+    Z = jnp.asarray(np.c_[rng.normal(size=(N, d)),
+                          rng.integers(0, K, N)].astype(np.float32))
+    TH = jnp.asarray(rng.normal(size=(S, K * d)).astype(np.float32))
+    ref = center(mc.make_log_likelihood(K)(Z, TH))
+    got = multiclass_projection_fused(Z, TH, K, use_beta=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    for beta in (0.1, 0.5):
+        refb = center(mc.make_beta_likelihood(K)(Z, TH, beta))
+        gotb = multiclass_projection_fused(Z, TH, K, beta=beta, use_beta=True)
+        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=2e-5)
+    # bundle routing: fused=True forces the kernel (interpret mode), and the
+    # projection engine produces identical values either way
+    from betacores_tpu.ops.projection import project_beta
+    m_fused = mc.bundle(K, fused=True)
+    m_plain = mc.bundle(K, fused=False)
+    # large row count crosses the dispatch threshold
+    Zbig = jnp.concatenate([Z] * 12)
+    a = project_beta(m_fused, Zbig, TH, jnp.asarray(0.3, jnp.float32))
+    b = project_beta(m_plain, Zbig, TH, jnp.asarray(0.3, jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
