@@ -71,6 +71,18 @@ class IncrementalConfig:
     # honor it for samplers exposing fit/from_fit/fit_aux (the Laplace
     # families); elsewhere it is ignored.
     refit_every: int = 1
+    # fused_grad_step routes the refinement-loop gradient through the
+    # model's single-launch Pallas step kernel (fused_*_grad_step on the
+    # bundle, e.g. ops/pallas_kernels.py::logreg_grad_step_fused): posterior
+    # samples from pre-drawn noise + joint projection + residual + weight
+    # gradient in ONE kernel instead of ~6 dependent XLA kernels per Adam
+    # step. None (default) = auto: on whenever the model exposes the kernel,
+    # the sampler is a Laplace family (fit/from_fit/fit_aux), the build is
+    # unweighted and non-lagged, and the backend is TPU. True forces it
+    # (interpret mode off-TPU — used by the equivalence tests); False
+    # disables. The kernel computes in f32 and the trajectory differs from
+    # the XLA path in float low bits only (same math, different op order).
+    fused_grad_step: Optional[bool] = None
 
     def __post_init__(self):
         if self.learn_beta and not self.use_beta:
@@ -315,6 +327,108 @@ def make_incremental_builder(
                     fit_aux = getattr(smp, "fit_aux", None)
                     lagged = (config.refit_every > 1 and fit is not None
                               and from_fit is not None and fit_aux is not None)
+
+                    fstep = getattr(
+                        mdl, "fused_beta_grad_step" if config.use_beta
+                        else "fused_ll_grad_step", None)
+                    want = config.fused_grad_step
+                    use_fused = (
+                        fstep is not None and u is None
+                        and fit is not None and from_fit is not None
+                        and fit_aux is not None
+                        and (want if want is not None
+                             else jax.default_backend() == "tpu"))
+                    if use_fused:
+                        # Single-launch Pallas gradient per Adam step. All
+                        # padding happens HERE, outside the scan — per-step
+                        # pad/concat kernels would give back the latency the
+                        # fused kernel removes. The kernel reproduces
+                        # sample_laplace_from_noise exactly via
+                        # theta = mu + z @ L^-1 (inference/laplace.py:139-144),
+                        # so only the Newton refit and the d x d triangular
+                        # inverse remain on the XLA side of each step.
+                        f32 = jnp.float32
+                        D = data.shape[1]
+                        d_th = z_all.shape[-1]
+                        n_sub_pad = -(-n_opt // 8) * 8
+                        M_pad = -(-M_buf // 128) * 128
+                        s_pad = -(-S // 128) * 128
+                        pad_sub = n_sub_pad - n_opt
+                        core = st.pts.astype(f32)
+                        if M_pad > M_buf:
+                            core = jnp.concatenate(
+                                [core, jnp.zeros((M_pad - M_buf, D), f32)])
+                        blocks = [rows_all.astype(f32)]
+                        if pad_sub:
+                            blocks.append(jnp.zeros((T, pad_sub, D), f32))
+                        blocks.append(jnp.broadcast_to(core, (T, M_pad, D)))
+                        rows_blk = jnp.concatenate(blocks, axis=1)
+                        mask_col = jnp.concatenate([
+                            jnp.ones((n_opt,), f32),
+                            jnp.zeros((pad_sub,), f32),
+                            st.slot_mask.astype(f32),
+                            jnp.zeros((M_pad - M_buf,), f32)])
+                        R = rows_blk.shape[1]
+                        xin_all = jnp.concatenate(
+                            [rows_blk,
+                             jnp.broadcast_to(mask_col[None, :, None], (T, R, 1))],
+                            axis=2)
+                        z_pad = z_all.astype(f32)
+                        if s_pad > S:
+                            z_pad = jnp.concatenate(
+                                [z_pad, jnp.zeros((T, s_pad - S, d_th), f32)],
+                                axis=1)
+                        sc = jnp.stack([jnp.asarray(st.beta, f32),
+                                        scaling.astype(f32)])
+                        eye_d = jnp.eye(d_th, dtype=f32)
+
+                        def refit_state(w, lap_aux):
+                            lap = fit(w, st.pts, lap_aux)
+                            linv = jax.scipy.linalg.solve_triangular(
+                                lap.prec_chol.astype(f32), eye_d, lower=True)
+                            return lap, linv
+
+                        if lagged:
+                            # lagged refits THROUGH the fused kernel: the
+                            # carry holds (fit state, its L^-1); the Newton
+                            # chain runs only every k-th step inside lax.cond
+                            # (same schedule as the XLA lagged path below)
+                            k_refit = config.refit_every
+
+                            def grad_fn(wp, carry, k, xsl):
+                                i, xin, z = xsl
+                                lap, linv = jax.lax.cond(
+                                    jnp.logical_and(i % k_refit == 0, i > 0),
+                                    lambda: refit_state(
+                                        wp[:M_buf].astype(data.dtype),
+                                        fit_aux(carry[0])),
+                                    lambda: carry)
+                                g = fstep(xin, z, lap.mu.astype(f32)[None, :],
+                                          linv, wp[None, :], sc, S)
+                                return g[0], (lap, linv)
+
+                            carry0_f = refit_state(st.wts, aux0)
+                            xs_f = (jnp.arange(T), xin_all, z_pad)
+                        else:
+                            def grad_fn(wp, aux, k, xsl):
+                                xin, z = xsl
+                                lap, linv = refit_state(
+                                    wp[:M_buf].astype(data.dtype), aux)
+                                g = fstep(xin, z, lap.mu.astype(f32)[None, :],
+                                          linv, wp[None, :], sc, S)
+                                return g[0], fit_aux(lap)
+
+                            carry0_f = aux0
+                            xs_f = (xin_all, z_pad)
+
+                        wp0 = jnp.zeros((M_pad,), f32).at[:M_buf].set(
+                            st.wts.astype(f32))
+                        wp, carry = nn_adam(wp0, grad_fn, carry0_f, key,
+                                            step_sizes.astype(f32), xs=xs_f)
+                        aux = fit_aux(carry[0]) if lagged else carry
+                        w_new = wp[:M_buf].astype(st.wts.dtype)
+                        return st._replace(wts=w_new, sampler_aux=aux)
+
                     if lagged:
                         # lagged posterior refits (config.refit_every): the
                         # Adam carry holds the FIT STATE (mu, chol); the

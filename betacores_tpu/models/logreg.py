@@ -136,9 +136,10 @@ def bundle(fused: bool | None = None) -> ModelFns:
     bundle construction never initializes a backend. ``fused=True`` forces
     the kernel everywhere (CPU interpret mode, as the kernel tests do);
     ``fused=False`` disables it."""
-    fused_ll = fused_beta = None
+    fused_ll = fused_beta = fused_ll_step = fused_beta_step = None
     if fused is None or fused:
-        from ..ops.pallas_kernels import logreg_projection_fused
+        from ..ops.pallas_kernels import (logreg_grad_step_fused,
+                                          logreg_projection_fused)
         from ..ops.projection import center
 
         def _use_kernel() -> bool:
@@ -153,6 +154,14 @@ def bundle(fused: bool | None = None) -> ModelFns:
             if _use_kernel():
                 return logreg_projection_fused(pts, th, beta=b, use_beta=True)
             return center(beta_likelihood(pts, th, b))
+
+        def fused_ll_step(xin, z, mu, linv, w_row, sc, s_true):
+            return logreg_grad_step_fused(xin, z, mu, linv, w_row, sc,
+                                          s_true, use_beta=False)
+
+        def fused_beta_step(xin, z, mu, linv, w_row, sc, s_true):
+            return logreg_grad_step_fused(xin, z, mu, linv, w_row, sc,
+                                          s_true, use_beta=True)
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=beta_likelihood,
@@ -160,4 +169,6 @@ def bundle(fused: bool | None = None) -> ModelFns:
         grad_z_log_likelihood=grad_z_log_likelihood,
         fused_ll_projection=fused_ll,
         fused_beta_projection=fused_beta,
+        fused_ll_grad_step=fused_ll_step,
+        fused_beta_grad_step=fused_beta_step,
     )

@@ -258,6 +258,92 @@ def poisson_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray, beta=1.0,
     return out[:N, :S]
 
 
+def _logreg_grad_step_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref, w_ref,
+                             out_ref, *, use_beta: bool, d_feat: int,
+                             n_sub_pad: int, s_true: int):
+    """One whole Adam-step gradient of the incremental refinement objective
+    (coresets/incremental.py grad_fn) in a single kernel: posterior samples
+    from pre-drawn noise, the joint [subsample; coreset] (beta-)projection,
+    centering, the residual, and the weight gradient — the per-step XLA
+    composition is ~6 dependent tiny kernels and the build hot loop is
+    latency-bound (RESULTS.md roofline section), so collapsing the chain to
+    one launch is wall-clock off every one of the M x opt_itrs steps.
+
+    Layout contract (wrapper below): rows are packed [x | valid-mask] with
+    the subsample block padded to ``n_sub_pad`` rows and the coreset buffer
+    padded to a 128-multiple; z is padded to s_pad rows of zeros (extra
+    sample columns are masked out of the centering and the sums); w is a
+    (1, M_pad) row. sc = [beta, sum_scaling] in SMEM.
+    """
+    s_pad = z_ref.shape[0]
+    th = jnp.dot(z_ref[:], linv_ref[:],
+                 preferred_element_type=jnp.float32) + mu_ref[:]   # (s_pad, d)
+    x = xin_ref[:, :d_feat]
+    msk = xin_ref[:, d_feat:d_feat + 1]                            # (R, 1)
+    m = -jax.lax.dot_general(x, th, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (R, s_pad)
+    if not use_beta:
+        vals = -_softplus(m)
+    else:
+        beta = sc_ref[0]
+        sp, sn = _softplus(m), _softplus(-m)
+        vals = ((beta + 1.0) / beta * jnp.exp(-beta * sp)
+                - jnp.exp(-(beta + 1.0) * sp)
+                - jnp.exp(-(beta + 1.0) * sn))
+    # center over the TRUE sample columns, zero the padded ones entirely
+    # (unlike _center_cols, the padded columns must not carry -mean into the
+    # residual/grad sums below), then apply the row validity mask
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    valid = col < s_true
+    vals = jnp.where(valid, vals, 0.0)
+    mean = jnp.sum(vals, axis=1, keepdims=True) / s_true
+    vals = jnp.where(valid, vals - mean, 0.0) * msk
+    sub, core = vals[:n_sub_pad], vals[n_sub_pad:]                 # (., s_pad)
+    tsum = jnp.sum(sub, axis=0, keepdims=True)                     # (1, s_pad)
+    wcore = jnp.dot(w_ref[:], core, preferred_element_type=jnp.float32)
+    resid = sc_ref[1] * tsum - wcore                               # (1, s_pad)
+    g = -jax.lax.dot_general(resid, core, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) / s_true
+    out_ref[:] = g.astype(out_ref.dtype)                           # (1, M_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("use_beta", "s_true"))
+def logreg_grad_step_fused(xin: jnp.ndarray, z: jnp.ndarray, mu: jnp.ndarray,
+                           linv: jnp.ndarray, w_row: jnp.ndarray,
+                           sc: jnp.ndarray, s_true: int,
+                           use_beta: bool = False) -> jnp.ndarray:
+    """(1, M_pad) refinement weight gradient in ONE kernel launch.
+
+    ALL operands arrive pre-padded (the caller pads once OUTSIDE its scan —
+    per-step pad kernels would give back the latency this kernel removes):
+    xin (n_sub_pad + M_pad, d+1) rows [x | mask]; z (s_pad, d) pre-drawn
+    noise (zero rows beyond s_true); mu (1, d) and linv (d, d) = L^-1 from
+    the current Laplace fit (theta = mu + z @ L^-1, the exact
+    sample_laplace_from_noise transform); w_row (1, M_pad); sc = [beta,
+    sum_scaling] f32. Gradient entries at masked/padded slots are exactly 0
+    (their core rows are zeroed), so Adam on the padded weight vector leaves
+    them untouched."""
+    d_feat = xin.shape[1] - 1
+    M_pad = w_row.shape[1]
+    n_sub_pad = xin.shape[0] - M_pad
+    out = pl.pallas_call(
+        functools.partial(_logreg_grad_step_kernel, use_beta=use_beta,
+                          d_feat=d_feat, n_sub_pad=n_sub_pad, s_true=s_true),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, M_pad), w_row.dtype),
+        interpret=_interpret(),
+    )(sc, xin, z, mu, linv, w_row)
+    return out
+
+
 # minimum rows for the fused path to beat plain XLA (below this, dispatch
 # overhead dominates and the XLA fusion is fine)
 FUSED_MIN_ROWS = 8192

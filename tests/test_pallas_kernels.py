@@ -94,6 +94,86 @@ def test_fused_dispatch_threshold(rng):
     assert calls["fused"] == 1
 
 
+def test_logreg_grad_step_fused_matches_composition(rng):
+    """The single-launch refinement-step gradient kernel == the exact XLA
+    composition it replaces (samples-from-noise -> joint beta-projection ->
+    centering -> residual -> weight gradient), on the kernel's padded layout
+    (interpret mode; on the v5e the kernel cut the N=1M headline build
+    0.953 s -> 0.793 s, RESULTS.md)."""
+    from betacores_tpu.ops.pallas_kernels import logreg_grad_step_fused
+
+    d, S, n_sub, M = 6, 50, 24, 5
+    s_pad, M_pad = 128, 128
+    scaling, beta = 41.7, 0.3
+    rows = rng.normal(size=(n_sub + M, d)).astype(np.float32)
+    mask = np.ones(n_sub + M, np.float32)
+    mask[n_sub + 3:] = 0.0  # dead coreset slots
+    z = np.zeros((s_pad, d), np.float32)
+    z[:S] = rng.normal(size=(S, d))
+    mu = rng.normal(size=d).astype(np.float32)
+    Lp = np.tril(rng.normal(size=(d, d))).astype(np.float32) + 2 * np.eye(d, dtype=np.float32)
+    linv = np.linalg.inv(Lp).astype(np.float32)
+    w = np.zeros((1, M_pad), np.float32)
+    w[0, :M] = rng.uniform(size=M) * 3
+
+    # the exact composition (coresets/incremental.py grad_fn)
+    theta = mu + z[:S] @ linv
+    allvecs = center(logreg.beta_likelihood(jnp.asarray(rows), jnp.asarray(theta), beta))
+    vals = np.asarray(allvecs) * mask[:, None]
+    resid = scaling * vals[:n_sub].sum(axis=0) - w[0, :M] @ vals[n_sub:]
+    expected = -(vals[n_sub:] @ resid) / S
+
+    # kernel-layout operands (padded rows/cols; mask packed as last column)
+    xin = np.zeros((n_sub + M_pad, d + 1), np.float32)
+    xin[:n_sub, :d] = rows[:n_sub]
+    xin[:n_sub, d] = 1.0
+    xin[n_sub:n_sub + M, :d] = rows[n_sub:]
+    xin[n_sub:n_sub + M, d] = mask[n_sub:]
+    sc = jnp.asarray([beta, scaling], jnp.float32)
+    got = logreg_grad_step_fused(jnp.asarray(xin), jnp.asarray(z),
+                                 jnp.asarray(mu)[None, :], jnp.asarray(linv),
+                                 jnp.asarray(w), sc, S, use_beta=True)
+    got = np.asarray(got)[0]
+    np.testing.assert_allclose(got[:M], expected, atol=2e-4, rtol=2e-4)
+    # padded / masked slots must be exactly zero, or Adam would update them
+    assert (got[M:] == 0.0).all()
+    assert (got[3:M][mask[n_sub + 3:n_sub + M] == 0.0] == 0.0).all()
+
+
+def test_fused_grad_step_build_matches_xla_path(rng):
+    """End to end: a build with IncrementalConfig(fused_grad_step=True)
+    (kernel in interpret mode on CPU) selects the SAME points as the XLA
+    path and lands on the same weights up to float op-order drift."""
+    from betacores_tpu.coresets.incremental import (IncrementalConfig,
+                                                    make_incremental_builder)
+    from betacores_tpu.coresets.state import init_state
+    from betacores_tpu.inference.samplers import logreg_laplace_sampler
+    import jax
+
+    N, D, M, S = 1500, 5, 15, 40
+    th = rng.normal(size=D)
+    X = rng.normal(size=(N, D))
+    y = np.where(X @ th + 0.3 * rng.normal(size=N) > 0, 1.0, -1.0)
+    Z = jnp.asarray((y[:, None] * X).astype(np.float32))
+    mdl = logreg.bundle()
+    smp = logreg_laplace_sampler()
+
+    def run(fused):
+        cfg = IncrementalConfig(projection_dim=S, n_subsample_select=150,
+                                n_subsample_opt=150, opt_itrs=25, i0=0.5,
+                                use_beta=True, fused_grad_step=fused)
+        b = make_incremental_builder(Z, mdl, smp, cfg)
+        st = init_state(M, D, beta=0.2,
+                        sampler_aux=jnp.zeros(D, jnp.float32))
+        st = b.build(jax.random.PRNGKey(3), st, 8)
+        return np.asarray(st.wts), np.asarray(st.idcs), int(st.m)
+
+    w0, i0_, m0 = run(False)
+    w1, i1_, m1 = run(True)
+    assert m0 == m1 and (i0_ == i1_).all()
+    np.testing.assert_allclose(w1, w0, atol=5e-3 * max(1.0, np.abs(w0).max()))
+
+
 def test_multiclass_fused_matches_xla(rng):
     """Fused K-class softmax projection == the XLA composition (interpret
     mode; on the v5e the kernel measured 7.7 ms vs 63 ms XLA at
