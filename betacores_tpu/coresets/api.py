@@ -46,36 +46,56 @@ def _steps_to_i0(step_sched, opt_itrs: int) -> np.ndarray:
 class BlackBoxProjector:
     """Bundle (sampler, projection_dim, model functions): the reference's
     BlackBoxProjector (projector.py:12-37) re-expressed as pure functions.
-    ``sampler(key, n, wts, pts, aux) -> (samples, aux)``."""
+    ``sampler(key, n, wts, pts, aux) -> (samples, aux)``.
 
-    def __init__(self, sampler, projection_dimension: int, loglikelihood,
-                 grad_loglikelihood=None, theta_dim: int = None):
+    ``model=`` (optional) passes a full :class:`ModelFns` bundle instead of
+    loose callbacks — this is how the library models' fused Pallas kernels
+    (single-pass projections, the per-Adam-step grad kernel) ride the eager
+    reference-shaped API; a bundle assembled from loose callbacks has no
+    fused fields and always takes the plain XLA path."""
+
+    def __init__(self, sampler, projection_dimension: int, loglikelihood=None,
+                 grad_loglikelihood=None, theta_dim: int = None, model=None):
         self.sampler = sampler
         self.projection_dimension = projection_dimension
         # parameter dimension when != data row dim (e.g. rows z = [x, y] with
         # a Laplace sampler whose warm-start mode is d = D - 1)
         self.theta_dim = theta_dim
-        self.model = ModelFns(
-            log_likelihood=loglikelihood,
-            grad_z_log_likelihood=grad_loglikelihood,
-        )
+        if model is not None:
+            self.model = model
+        else:
+            if loglikelihood is None:
+                raise ValueError("pass loglikelihood or model=")
+            self.model = ModelFns(
+                log_likelihood=loglikelihood,
+                grad_z_log_likelihood=grad_loglikelihood,
+            )
 
 
 class BetaBlackBoxProjector:
-    """Beta-divergence projector bundle (reference projector.py:39-66)."""
+    """Beta-divergence projector bundle (reference projector.py:39-66).
+    ``model=`` as in :class:`BlackBoxProjector`."""
 
-    def __init__(self, sampler, projection_dimension: int, beta_likelihood,
-                 loglikelihood, beta_gradient=None, theta_dim: int = None):
+    def __init__(self, sampler, projection_dimension: int, beta_likelihood=None,
+                 loglikelihood=None, beta_gradient=None, theta_dim: int = None,
+                 model=None):
         self.sampler = sampler
         self.projection_dimension = projection_dimension
         self.theta_dim = theta_dim
-        if beta_gradient is None:
-            beta_gradient = beta_gradient_from_autodiff(beta_likelihood)
-        self.model = ModelFns(
-            log_likelihood=loglikelihood,
-            beta_likelihood=beta_likelihood,
-            beta_gradient=beta_gradient,
-        )
+        if model is not None:
+            if model.beta_likelihood is None:
+                raise ValueError("model= bundle must carry beta_likelihood")
+            self.model = model
+        else:
+            if beta_likelihood is None or loglikelihood is None:
+                raise ValueError("pass (beta_likelihood, loglikelihood) or model=")
+            if beta_gradient is None:
+                beta_gradient = beta_gradient_from_autodiff(beta_likelihood)
+            self.model = ModelFns(
+                log_likelihood=loglikelihood,
+                beta_likelihood=beta_likelihood,
+                beta_gradient=beta_gradient,
+            )
 
 
 class ContextualProjector:

@@ -128,8 +128,7 @@ def main():
     if args.alg == "BCORES":
         model = logreg.bundle()
         prj = bc.BetaBlackBoxProjector(logreg_laplace_sampler(), args.proj_dim,
-                                       model.beta_likelihood, model.log_likelihood,
-                                       model.beta_gradient)
+                                       model=model)
         alg = bc.BetaCoreset(Zj, prj, beta=args.beta, learn_beta=False,
                              opt_itrs=args.opt_itrs, n_subsample_select=None,
                              n_subsample_opt=args.n_subsample_opt,

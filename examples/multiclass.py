@@ -101,15 +101,14 @@ def main():
                   max_size=args.M, refit_every=args.refit_every)
     t0 = time.perf_counter()
     if args.alg == "BCORES":
-        prj = bc.BetaBlackBoxProjector(smp, args.proj_dim, model.beta_likelihood,
-                                       model.log_likelihood, model.beta_gradient,
-                                       theta_dim=K * d)
+        prj = bc.BetaBlackBoxProjector(smp, args.proj_dim, theta_dim=K * d,
+                                       model=model)
         alg = bc.BetaCoreset(Zc, prj, beta=args.beta, learn_beta=False, **common)
         trace = alg.build_trace(args.M)
         snaps = [(w, p) for (w, p, i, b) in trace]
     elif args.alg == "SVI":
-        prj = bc.BlackBoxProjector(smp, args.proj_dim, model.log_likelihood,
-                                   theta_dim=K * d)
+        prj = bc.BlackBoxProjector(smp, args.proj_dim, theta_dim=K * d,
+                                   model=model)
         alg = bc.SparseVICoreset(Zc, prj, **common)
         trace = alg.build_trace(args.M)
         snaps = [(w, p) for (w, p, i, b) in trace]

@@ -74,11 +74,10 @@ def main():
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
                   seed=args.trial, max_size=args.M)
     td = d + d * d
-    prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, model.beta_likelihood,
-                                     model.log_likelihood, model.beta_gradient,
-                                     theta_dim=td)
-    prj = bc.BlackBoxProjector(sampler, args.proj_dim, model.log_likelihood,
-                               theta_dim=td)
+    prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, theta_dim=td,
+                                     model=model)
+    prj = bc.BlackBoxProjector(sampler, args.proj_dim, theta_dim=td,
+                               model=model)
     algs = {
         "BCORES": lambda: bc.BetaCoreset(Xc, prj_b, beta=args.beta, **common),
         "SVI": lambda: bc.SparseVICoreset(Xc, prj, **common),

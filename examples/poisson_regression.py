@@ -101,11 +101,10 @@ def main():
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
                   seed=args.trial, max_size=args.M,
                   refit_every=args.refit_every)
-    prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, model.beta_likelihood,
-                                     model.log_likelihood, model.beta_gradient,
-                                     theta_dim=d)
-    prj = bc.BlackBoxProjector(sampler, args.proj_dim, model.log_likelihood,
-                               theta_dim=d)
+    prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, theta_dim=d,
+                                     model=model)
+    prj = bc.BlackBoxProjector(sampler, args.proj_dim, theta_dim=d,
+                               model=model)
     algs = {
         "BCORES": lambda: bc.BetaCoreset(Z, prj_b, beta=args.beta, learn_beta=False, **common),
         "SVI": lambda: bc.SparseVICoreset(Z, prj, **common),

@@ -67,9 +67,8 @@ def main():
 
     sched = lambda i: args.i0 / (1.0 + i)
     S = args.proj_dim
-    prj_w = bc.BlackBoxProjector(sampler_w, S, model.log_likelihood, model.grad_z_log_likelihood)
-    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model.beta_likelihood,
-                                      model.log_likelihood, model.beta_gradient)
+    prj_w = bc.BlackBoxProjector(sampler_w, S, model=model)
+    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model=model)
 
     # mis-tuned projector for GIGAR (reference main.py:76-84)
     U = float(jax.random.uniform(jax.random.fold_in(kh, 0)))
@@ -81,8 +80,8 @@ def main():
         jax.random.normal(jax.random.fold_in(kh, 2), (), dtype=jnp.float32)))
     sampler_opt = prior_gaussian_sampler(post_full.mu, jnp.linalg.cholesky(post_full.cov))
     sampler_real = prior_gaussian_sampler(muhat, jnp.linalg.cholesky(Sighat))
-    prj_opt = bc.BlackBoxProjector(sampler_opt, S, model.log_likelihood)
-    prj_real = bc.BlackBoxProjector(sampler_real, S, model.log_likelihood)
+    prj_opt = bc.BlackBoxProjector(sampler_opt, S, model=model)
+    prj_real = bc.BlackBoxProjector(sampler_real, S, model=model)
 
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,

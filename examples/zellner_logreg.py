@@ -102,9 +102,10 @@ def main():
     sampler_w = logreg_laplace_sampler(diag=args.graddiag)
     sched = lambda i: args.i0 / (1.0 + i)
     S = args.proj_dim
-    prj_w = bc.BlackBoxProjector(sampler_w, S, model.log_likelihood, model.grad_z_log_likelihood)
-    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model.beta_likelihood,
-                                      model.log_likelihood, model.beta_gradient)
+    # full bundles (model=), not loose callbacks: routes the fused Pallas
+    # projection + grad-step kernels through the eager API on TPU
+    prj_w = bc.BlackBoxProjector(sampler_w, S, model=model)
+    prj_bw = bc.BetaBlackBoxProjector(sampler_w, S, model=model)
 
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
