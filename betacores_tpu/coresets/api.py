@@ -506,6 +506,12 @@ class HilbertCoreset(Coreset):
             # the snnls target is sum_n u_n v_n, computed over ALL rows before
             # the candidate filter; u==0 rows are non-data and leave the pool
             u = jnp.asarray(data_weights, dtype=self.data.dtype)
+            if u.shape != (self.data.shape[0],):
+                # a short vector would silently clamp-gather under
+                # n_subsample (JAX out-of-range gather semantics) — validate
+                # like the incremental/uniform paths do
+                raise ValueError(
+                    f"data_weights must be ({self.data.shape[0]},), got {u.shape}")
             u_sel = u if sub_idcs is None else u[jnp.asarray(sub_idcs)]
             b = u_sel @ vecs
             nonzero = norm_pos & np.asarray(u_sel > 0)

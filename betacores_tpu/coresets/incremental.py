@@ -78,10 +78,13 @@ class IncrementalConfig:
     # gradient in ONE kernel instead of ~6 dependent XLA kernels per Adam
     # step. None (default) = auto: on whenever the model exposes the kernel,
     # the sampler is a Laplace family (fit/from_fit/fit_aux), the build is
-    # unweighted and non-lagged, and the backend is TPU. True forces it
-    # (interpret mode off-TPU — used by the equivalence tests); False
-    # disables. The kernel computes in f32 and the trajectory differs from
-    # the XLA path in float low bits only (same math, different op order).
+    # unweighted, the step block fits VMEM (the kernel is gridless), and the
+    # backend is TPU. Lagged refits (refit_every > 1) run THROUGH the kernel
+    # — the carry holds the fit state and its L^-1, same refit schedule.
+    # True forces it (interpret mode off-TPU — used by the equivalence
+    # tests); False disables. The kernel computes in f32 and the trajectory
+    # differs from the XLA path in float low bits only (same math,
+    # different op order).
     fused_grad_step: Optional[bool] = None
 
     def __post_init__(self):
@@ -332,8 +335,14 @@ def make_incremental_builder(
                         mdl, "fused_beta_grad_step" if config.use_beta
                         else "fused_ll_grad_step", None)
                     want = config.fused_grad_step
+                    # gridless kernel: the whole (R, s_pad) step block plus
+                    # ~6 f32 intermediates must fit scoped VMEM (~16 MB) —
+                    # large n_subsample_opt stays on the tiled XLA path
+                    _R = n_opt + -(-st.pts.shape[0] // 128) * 128
+                    _s_pad = -(-S // 128) * 128
+                    fits_vmem = _R * _s_pad * 4 * 6 <= 12 * 1024 * 1024
                     use_fused = (
-                        fstep is not None and u is None
+                        fstep is not None and u is None and fits_vmem
                         and fit is not None and from_fit is not None
                         and fit_aux is not None
                         and (want if want is not None
@@ -584,9 +593,21 @@ def make_incremental_builder(
     # same compiled program, caller-supplied (data, weights): data is a jit
     # ARGUMENT by design, so same-shape chunks reuse the compile — the
     # merge-reduce streaming driver (coresets/streaming.py) runs one leaf
-    # build per chunk through this without K recompiles.
-    builder.build_with_data = (
-        lambda d2, u2, key, st, itrs, ctx=None: _build_d(d2, u2, key, st, itrs, ctx))
+    # build per chunk through this without K recompiles. The shapes MUST
+    # match the make-time dataset: N is baked into draw_subsample ranges and
+    # sum_scaling, and a shorter array would silently clamp-gather (review
+    # finding) — so mismatches raise here instead.
+    def _build_with_data(d2, u2, key, st, itrs, ctx=None):
+        if d2.shape != data.shape:
+            raise ValueError(
+                f"build_with_data: data shape {d2.shape} != the compiled "
+                f"program's {data.shape} (N and D are baked into the "
+                f"subsample ranges and scaling)")
+        if u2 is not None and u2.shape != (N,):
+            raise ValueError(f"build_with_data: weights must be ({N},), got {u2.shape}")
+        return _build_d(d2, u2, key, st, itrs, ctx)
+
+    builder.build_with_data = _build_with_data
     builder.data_weights = uw  # introspection (e.g. utils/export.py defaults)
     builder.error = make_tangent_error(data, model, sampler, config,
                                        contextual=contextual, data_weights=uw)

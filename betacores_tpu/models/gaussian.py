@@ -145,40 +145,21 @@ def gaussian_KL(mu0, Sig0, mu1, Sig1inv):
 
 
 def bundle(Siginv, logdetSig, fused: bool | None = None) -> ModelFns:
-    """ModelFns closure over the fixed observation covariance. ``fused=None``
-    auto-enables the single-pass Pallas projection kernels on TPU backends."""
+    """ModelFns closure over the fixed observation covariance. ``fused`` is
+    accepted for API stability but there is no Gaussian Pallas kernel
+    anymore: the projection is one matmul + elementwise + centering, which
+    XLA fuses to a single HBM pass on its own — the hand-written kernel
+    measured 4.0 ms vs XLA's 1.6 ms at N=2^20 x S=100 on v5e and was
+    retired (RESULTS.md round-2 microbenchmark audit)."""
+    del fused
     blik = partial(beta_likelihood, Siginv=Siginv, logdetSig=logdetSig)
 
     def _blik(pts, thetas, beta):
         return blik(pts, thetas, beta=beta)
 
-    # fused=None resolves lazily at trace time: kernel on TPU, XLA path on
-    # every other backend, no backend init at bundle construction (see
-    # logreg.bundle docstring; fused=True forces CPU interpret mode).
-    fused_ll = fused_beta = None
-    if fused is None or fused:
-        from ..ops.pallas_kernels import gaussian_projection_fused
-        from ..ops.projection import center
-
-        def _use_kernel() -> bool:
-            return fused or jax.default_backend() == "tpu"
-
-        def fused_ll(pts, th):
-            if _use_kernel():
-                return gaussian_projection_fused(
-                    pts, th, Siginv, float(logdetSig), use_beta=False)
-            return center(log_likelihood(pts, th, Siginv, logdetSig))
-
-        def fused_beta(pts, th, b):
-            if _use_kernel():
-                return gaussian_projection_fused(
-                    pts, th, Siginv, float(logdetSig), beta=b, use_beta=True)
-            return center(_blik(pts, th, b))
     return ModelFns(
         log_likelihood=lambda pts, thetas: log_likelihood(pts, thetas, Siginv, logdetSig),
         beta_likelihood=_blik,
         beta_gradient=beta_gradient_from_autodiff(_blik),
         grad_z_log_likelihood=lambda pts, thetas: grad_x_log_likelihood(pts, thetas, Siginv),
-        fused_ll_projection=fused_ll,
-        fused_beta_projection=fused_beta,
     )

@@ -129,31 +129,17 @@ def predictive_loglik(Zt, thetas):
 
 
 def bundle(fused: bool | None = None) -> ModelFns:
-    """``fused=None`` (default) auto-enables the single-pass Pallas
-    projection kernels (ops/pallas_kernels.py), resolved lazily at trace
-    time: compiled only on TPU (the pltpu memory specs do not lower on
-    GPU/Metal; other backends fall back to the plain XLA projection), and
-    bundle construction never initializes a backend. ``fused=True`` forces
-    the kernel everywhere (CPU interpret mode, as the kernel tests do);
-    ``fused=False`` disables it."""
-    fused_ll = fused_beta = fused_ll_step = fused_beta_step = None
+    """``fused=None`` (default) attaches the single-launch Pallas GRAD-STEP
+    kernel (ops/pallas_kernels.py::logreg_grad_step_fused; routed on TPU by
+    coresets/incremental.py — headline build 0.95 s -> 0.79 s).
+    ``fused=False`` disables it. No fused *projection* kernel: a logreg
+    projection is one matmul + elementwise + centering, which XLA already
+    fuses to a single HBM pass — an earlier hand-written Pallas projection
+    measured 2.5 ms vs XLA's 1.5 ms at N=2^20 x S=100 on v5e and was
+    retired (RESULTS.md round-2 microbenchmark audit)."""
+    fused_ll_step = fused_beta_step = None
     if fused is None or fused:
-        from ..ops.pallas_kernels import (logreg_grad_step_fused,
-                                          logreg_projection_fused)
-        from ..ops.projection import center
-
-        def _use_kernel() -> bool:
-            return fused or jax.default_backend() == "tpu"
-
-        def fused_ll(pts, th):
-            if _use_kernel():
-                return logreg_projection_fused(pts, th, use_beta=False)
-            return center(log_likelihood(pts, th))
-
-        def fused_beta(pts, th, b):
-            if _use_kernel():
-                return logreg_projection_fused(pts, th, beta=b, use_beta=True)
-            return center(beta_likelihood(pts, th, b))
+        from ..ops.pallas_kernels import logreg_grad_step_fused
 
         def fused_ll_step(xin, z, mu, linv, w_row, sc, s_true):
             return logreg_grad_step_fused(xin, z, mu, linv, w_row, sc,
@@ -167,8 +153,6 @@ def bundle(fused: bool | None = None) -> ModelFns:
         beta_likelihood=beta_likelihood,
         beta_gradient=beta_gradient_from_autodiff(beta_likelihood),
         grad_z_log_likelihood=grad_z_log_likelihood,
-        fused_ll_projection=fused_ll,
-        fused_beta_projection=fused_beta,
         fused_ll_grad_step=fused_ll_step,
         fused_beta_grad_step=fused_beta_step,
     )

@@ -174,47 +174,20 @@ def predictive_loglik(Zt, thetas):
 
 def bundle(k_max: int = 64, gaussian_mass: bool = False,
            fused: bool | None = None) -> ModelFns:
-    """``fused=None`` (default) auto-enables the single-pass Pallas
-    projection kernels (ops/pallas_kernels.py::poisson_projection_fused),
-    resolved lazily AT TRACE TIME: the kernel runs compiled only on TPU —
-    its pltpu memory specs do not lower on GPU/Metal — so other backends
-    fall back to the plain XLA projection, and constructing a bundle never
-    initializes a backend (backend init is a tunnel RPC on this setup).
-    ``fused=True`` forces the kernel everywhere (CPU runs it in interpret
-    mode — how the kernel tests exercise it); ``fused=False`` disables it.
-    The fused beta path folds the truncated mass sum into the row tile —
-    the XLA path materializes an (N, S, k_max+1) intermediate, so at large
-    N the kernel saves ~k_max x the HBM traffic."""
+    """``fused`` is accepted for API stability but there is no Poisson
+    Pallas kernel anymore. XLA fuses the (N, S, k_max+1) logsumexp chain
+    into its reduction loop without materializing the intermediate — the
+    hand-written in-VMEM mass recurrence measured 46 ms vs XLA's 30 ms
+    (beta path) and 3.7 vs 1.8 ms (plain ll) at N=2^20 x S=100 x K=64 on
+    v5e once benchmarked with forced device sync, and was retired
+    (RESULTS.md round-2 microbenchmark audit; the earlier '4.4x faster'
+    record was a tunnel-measurement artifact)."""
+    del fused
     blik = lambda z, th, b: beta_likelihood(z, th, b, k_max=k_max,
                                             gaussian_mass=gaussian_mass)
-    fused_ll = fused_beta = None
-    if fused is None or fused:
-        from ..ops.pallas_kernels import poisson_projection_fused
-        from ..ops.projection import center
-
-        def _use_kernel() -> bool:
-            # trace-time: by the time a projection is traced the operands
-            # live on a device, so default_backend() is already resolved
-            return fused or jax.default_backend() == "tpu"
-
-        def fused_ll(pts, th):
-            if _use_kernel():
-                return poisson_projection_fused(
-                    pts, th, use_beta=False, k_max=k_max,
-                    gaussian_mass=gaussian_mass)
-            return center(log_likelihood(pts, th))
-
-        def fused_beta(pts, th, b):
-            if _use_kernel():
-                return poisson_projection_fused(
-                    pts, th, beta=b, use_beta=True, k_max=k_max,
-                    gaussian_mass=gaussian_mass)
-            return center(blik(pts, th, b))
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=blik,
         beta_gradient=beta_gradient_from_autodiff(blik),
         grad_z_log_likelihood=grad_z_log_likelihood,
-        fused_ll_projection=fused_ll,
-        fused_beta_projection=fused_beta,
     )

@@ -1,15 +1,22 @@
-"""Pallas TPU kernels for the hot projection paths.
+"""Pallas TPU kernels — only where a hand-written kernel actually beats XLA.
 
-The (N, S) centered-projection matrices are the framework's bandwidth-bound
-primitive (SURVEY.md section 2.5): under XLA, matmul -> likelihood transform
--> row-mean -> subtract costs ~3 HBM round trips over the (N, S) block.
-These kernels fuse the whole pipeline per row tile — the Z-tile and theta^T
-stay in VMEM, the likelihood transform and the centering happen before the
-single write-back — one HBM pass.
+Round-2 microbenchmark audit (RESULTS.md; forced-device-sync harness, v5e,
+N=2^20 x S=100): XLA already fuses a plain matmul -> likelihood transform ->
+centering projection into one HBM pass, so the hand-written logreg /
+gaussian / poisson projection kernels measured 1.5-2.5x SLOWER than the XLA
+composition and were retired (earlier records of large kernel speedups were
+tunnel-measurement artifacts — see CLAUDE.md on microbenchmarking through
+the axon tunnel). Two kernels genuinely pay and remain:
 
-Used automatically by the model bundles for large N (ModelFns
-``fused_*_projection`` fields); every kernel has an XLA fallback and the
-test battery checks bit-level agreement within float tolerance.
+  * ``multiclass_projection_fused`` — the K-class softmax transform needs
+    per-class logsumexp state that XLA materializes as (N, S, K) HBM
+    intermediates; keeping it in VMEM measured 5.8 ms vs 60 ms XLA (10x).
+  * ``logreg_grad_step_fused`` — the incremental build's Adam step is a
+    LATENCY-bound chain of ~6 tiny dependent kernels; one launch for the
+    whole step cut the N=1M headline build 0.95 s -> 0.79 s end to end.
+
+Both run in interpret mode off-TPU; the test battery checks agreement with
+the XLA composition within float tolerance.
 """
 
 from __future__ import annotations
@@ -52,37 +59,17 @@ def _center_cols(vals, s_true: int, s_pad: int):
     return vals - mean
 
 
-def _logreg_kernel(beta_ref, z_ref, tht_ref, out_ref, *, use_beta: bool,
-                   s_true: int, s_pad: int):
-    m = -jnp.dot(z_ref[:], tht_ref[:], preferred_element_type=jnp.float32)
+def _logreg_vals(m, beta_ref, use_beta: bool):
+    """(Beta-)log-likelihood transform on the margin block m = -(z . th) —
+    the ONE implementation shared by the projection and grad-step kernels
+    (models/logreg.py log_likelihood/beta_likelihood, positive convention)."""
     if not use_beta:
-        vals = -_softplus(m)
-    else:
-        beta = beta_ref[0]
-        sp, sn = _softplus(m), _softplus(-m)
-        vals = ((beta + 1.0) / beta * jnp.exp(-beta * sp)
-                - jnp.exp(-(beta + 1.0) * sp)
-                - jnp.exp(-(beta + 1.0) * sn))
-    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
-
-
-def _gaussian_kernel(beta_ref, xs_ref, tht_ref, xq_ref, thq_ref, out_ref, *,
-                     use_beta: bool, logdetSig: float, d: int,
-                     s_true: int, s_pad: int):
-    """d2 = x_quad + th_quad - 2 * (x Siginv) theta^T, then log-lik or
-    beta-lik transform. xs: (TN, D) = x @ Siginv; tht: (D, S) = theta^T;
-    xq: (TN, 1); thq: (1, S)."""
-    cross = jnp.dot(xs_ref[:], tht_ref[:], preferred_element_type=jnp.float32)
-    d2 = xq_ref[:] + thq_ref[:] - 2.0 * cross
-    if not use_beta:
-        vals = -0.5 * d * _LOG2PI - 0.5 * logdetSig - 0.5 * d2
-    else:
-        beta = beta_ref[0]
-        # (1+beta)^(-d/2-1) as exp((-d/2-1) log1p(beta)): Mosaic has no powf
-        # with a traced base
-        const = jnp.exp((-0.5 * d - 1.0) * jnp.log1p(beta))
-        vals = jnp.exp(-0.5 * beta * d2) / beta - const
-    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
+        return -_softplus(m)
+    beta = beta_ref[0]
+    sp, sn = _softplus(m), _softplus(-m)
+    return ((beta + 1.0) / beta * jnp.exp(-beta * sp)
+            - jnp.exp(-(beta + 1.0) * sp)
+            - jnp.exp(-(beta + 1.0) * sn))
 
 
 def _pad_rows(x, tn):
@@ -97,165 +84,6 @@ def _pad_cols(x, m):
     if pad:
         x = jnp.concatenate([x, jnp.zeros((x.shape[0], pad), dtype=x.dtype)], axis=1)
     return x
-
-
-@functools.partial(jax.jit, static_argnames=("use_beta",))
-def logreg_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray,
-                            beta=1.0, use_beta: bool = False) -> jnp.ndarray:
-    """Centered (N, S) logreg (beta-)log-likelihood projection, one HBM pass.
-    ``use_beta=False`` gives the plain log-likelihood; ``beta`` may be a
-    traced scalar (it changes under learn_beta)."""
-    N, D = z.shape
-    S = thetas.shape[0]
-    s_pad = _round_up(S, 128)
-    tht = _pad_cols(thetas.T.astype(jnp.float32), 128)  # (D, s_pad)
-    zp, pad = _pad_rows(z.astype(jnp.float32), _TN)
-    grid = (zp.shape[0] // _TN,)
-    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
-    out = pl.pallas_call(
-        functools.partial(_logreg_kernel, use_beta=use_beta, s_true=S, s_pad=s_pad),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TN, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TN, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((zp.shape[0], s_pad), z.dtype),
-        interpret=_interpret(),
-    )(beta_arr, zp, tht)
-    return out[:N, :S]
-
-
-@functools.partial(jax.jit, static_argnames=("use_beta", "logdetSig"))
-def gaussian_projection_fused(x: jnp.ndarray, thetas: jnp.ndarray, Siginv: jnp.ndarray,
-                              logdetSig: float, beta=1.0,
-                              use_beta: bool = False) -> jnp.ndarray:
-    """Centered (N, S) Gaussian (beta-)log-likelihood projection, one HBM
-    pass over the big block (the small x@Siginv / quadratic precomputations
-    are O(N d) and O(S d))."""
-    N, d = x.shape
-    S = thetas.shape[0]
-    s_pad = _round_up(S, 128)
-    xs = (x @ Siginv).astype(jnp.float32)
-    xq = jnp.sum(xs * x, axis=1, keepdims=True).astype(jnp.float32)
-    thq = jnp.sum((thetas @ Siginv) * thetas, axis=1)[None, :].astype(jnp.float32)
-    tht = _pad_cols(thetas.T.astype(jnp.float32), 128)
-    thq = _pad_cols(thq, 128)
-    xs, pad = _pad_rows(xs, _TN)
-    xq, _ = _pad_rows(xq, _TN)
-    grid = (xs.shape[0] // _TN,)
-    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
-    out = pl.pallas_call(
-        functools.partial(_gaussian_kernel, use_beta=use_beta, logdetSig=logdetSig,
-                          d=d, s_true=S, s_pad=s_pad),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TN, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xs.shape[0], s_pad), x.dtype),
-        interpret=_interpret(),
-    )(beta_arr, xs, tht, xq, thq)
-    return out[:N, :S]
-
-
-def _poisson_kernel(beta_ref, ck_ref, xin_ref, tht_ref, out_ref, *,
-                    use_beta: bool, k_max: int, gaussian_mass: bool,
-                    d_feat: int, s_true: int, s_pad: int):
-    """Softplus-link Poisson (models/poisson.py): eta = x.th, f = softplus(eta),
-    ll = y log f - f - lgamma(y+1). The beta-likelihood's truncated mass sum
-    runs as an in-kernel recurrence on r_k = p(k|f)^(beta+1):
-
-        r_{k+1} = r_k * t * c_k,   t = f^(beta+1),  c_k = (k+1)^-(beta+1)
-
-    — one multiply-add per k (c_k precomputed in SMEM) instead of a fresh
-    exp per k. The XLA path materializes an (N, S, K+1) logsumexp
-    intermediate: ~(K+1)x the HBM traffic AND an exp per element of it; the
-    recurrence makes the fused kernel compute-light as well as one-pass
-    (measured 4.4x faster at N=2^20, K=64 on v5e; see RESULTS.md)."""
-    # xin packs [x, y, lgamma(y+1)] columns in ONE well-tiled block: separate
-    # (TN, 1) operands have a pathological 1-lane layout that measured ~3x
-    # slower than the packed load
-    xin = xin_ref[:]
-    eta = jnp.dot(xin[:, :d_feat], tht_ref[:], preferred_element_type=jnp.float32)
-    sp = _softplus(eta)
-    tiny = 1.1754944e-38  # f32 smallest normal: log of clamped softplus
-    logf = jnp.where(eta < -30.0, eta, jnp.log(jnp.maximum(sp, tiny)))
-    y = xin[:, d_feat:d_feat + 1]          # (TN, 1)
-    lgy = xin[:, d_feat + 1:d_feat + 2]    # (TN, 1) = lgamma(y+1)
-    ll = y * logf - sp - lgy
-    if not use_beta:
-        vals = ll
-    else:
-        beta = beta_ref[0]
-        if gaussian_mass:
-            mass = jnp.exp(-0.5 * beta * (_LOG2PI + logf) - 0.5 * jnp.log1p(beta))
-        else:
-            b1 = beta + 1.0
-            t = jnp.exp(b1 * logf)        # f^(beta+1)
-            r0 = jnp.exp(-b1 * sp)        # p(0|f)^(beta+1)
-
-            def acc(k, carry):
-                m, r = carry
-                return m + r, r * (t * ck_ref[k])
-
-            mass, _ = jax.lax.fori_loop(0, k_max + 1, acc,
-                                        (jnp.zeros_like(eta), r0))
-        vals = (beta + 1.0) / beta * jnp.exp(beta * ll) - mass
-    out_ref[:] = _center_cols(vals, s_true, s_pad).astype(out_ref.dtype)
-
-
-# the poisson transform keeps more (TN, s_pad) f32 intermediates live than
-# logreg/gaussian (eta, softplus, logf, mass recurrence state), so it uses a
-# smaller row tile: TN=4096 exceeds the 16M scoped-vmem limit (measured)
-_TN_POISSON = 2048
-
-
-@functools.partial(jax.jit, static_argnames=("use_beta", "k_max", "gaussian_mass"))
-def poisson_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray, beta=1.0,
-                             use_beta: bool = False, k_max: int = 64,
-                             gaussian_mass: bool = False) -> jnp.ndarray:
-    """Centered (N, S) Poisson (beta-)log-likelihood projection, one HBM pass.
-    ``z`` rows are [x, y] (models/poisson.py convention); ``thetas`` (S, D-1)."""
-    N = z.shape[0]
-    x, y = z[:, :-1], z[:, -1:]
-    D = x.shape[1]
-    S = thetas.shape[0]
-    s_pad = _round_up(S, 128)
-    tn = _TN_POISSON
-    tht = _pad_cols(thetas.T.astype(jnp.float32), 128)   # (D, s_pad)
-    lgy = jax.scipy.special.gammaln(y + 1.0).astype(jnp.float32)
-    ks = jnp.arange(k_max + 1, dtype=jnp.float32)
-    # mass-recurrence constants c_k = (k+1)^-(beta+1) (SMEM); beta may be a
-    # traced scalar, so they are computed here under jit, not baked in
-    ck = jnp.exp(-(jnp.asarray(beta, jnp.float32) + 1.0) * jnp.log(ks + 1.0))
-    xin = jnp.concatenate([x.astype(jnp.float32), y.astype(jnp.float32), lgy],
-                          axis=1)                        # (N, D+1) packed
-    xinp, _ = _pad_rows(xin, tn)
-    grid = (xinp.shape[0] // tn,)
-    beta_arr = jnp.asarray(beta, dtype=jnp.float32).reshape(1)
-    out = pl.pallas_call(
-        functools.partial(_poisson_kernel, use_beta=use_beta, k_max=k_max,
-                          gaussian_mass=gaussian_mass, d_feat=D,
-                          s_true=S, s_pad=s_pad),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tn, D + 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tn, s_pad), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xinp.shape[0], s_pad), z.dtype),
-        interpret=_interpret(),
-    )(beta_arr, ck, xinp, tht)
-    return out[:N, :S]
 
 
 def _logreg_grad_step_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref, w_ref,
@@ -282,14 +110,7 @@ def _logreg_grad_step_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref, w_ref,
     msk = xin_ref[:, d_feat:d_feat + 1]                            # (R, 1)
     m = -jax.lax.dot_general(x, th, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)   # (R, s_pad)
-    if not use_beta:
-        vals = -_softplus(m)
-    else:
-        beta = sc_ref[0]
-        sp, sn = _softplus(m), _softplus(-m)
-        vals = ((beta + 1.0) / beta * jnp.exp(-beta * sp)
-                - jnp.exp(-(beta + 1.0) * sp)
-                - jnp.exp(-(beta + 1.0) * sn))
+    vals = _logreg_vals(m, sc_ref, use_beta)
     # center over the TRUE sample columns, zero the padded ones entirely
     # (unlike _center_cols, the padded columns must not carry -mean into the
     # residual/grad sums below), then apply the row validity mask

@@ -46,15 +46,19 @@ def test_different_key_different_build(problem):
 
 
 def test_jit_no_jit_equivalence(problem):
-    """The jitted build equals the same trace evaluated eagerly."""
-    X, model, sampler, cfg = problem
-    from betacores_tpu.coresets import incremental as inc
+    """The jitted build equals the same trace evaluated eagerly. Small step
+    budget on purpose: equivalence is per-op, not per-step, and the eager
+    arm dispatches every op through Python (this test dominated the suite
+    at the fixture's 10x3 budget — 99 s, nearly all disable_jit time)."""
+    import dataclasses
 
+    X, model, sampler, cfg = problem
+    cfg = dataclasses.replace(cfg, opt_itrs=4)
     b = make_incremental_builder(X, model, sampler, cfg)
     st0 = init_state(16, X.shape[1], dtype=X.dtype)
-    jitted = np.asarray(b.build(jax.random.key(3), st0, 3).wts)
+    jitted = np.asarray(b.build(jax.random.key(3), st0, 2).wts)
     with jax.disable_jit():
-        eager = np.asarray(b.build(jax.random.key(3), st0, 3).wts)
+        eager = np.asarray(b.build(jax.random.key(3), st0, 2).wts)
     np.testing.assert_allclose(jitted, eager, rtol=1e-10, atol=1e-12)
 
 

@@ -1,75 +1,14 @@
-"""Fused Pallas projection kernels vs the plain XLA path (interpret mode on
-the CPU test backend; the same kernels compile with Mosaic on TPU — verified
-on hardware, 5 ms/projection at N=2^20 x S=100 f32)."""
+"""The two surviving Pallas kernels vs their XLA compositions (interpret
+mode on the CPU test backend; the same kernels compile with Mosaic on TPU —
+verified on hardware). The logreg/gaussian/poisson projection kernels were
+RETIRED in the round-2 microbenchmark audit (RESULTS.md): XLA fuses those
+projections into one HBM pass on its own and measured 1.5-2.5x faster."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from betacores_tpu.models import gaussian as gmod
 from betacores_tpu.models import logreg
-from betacores_tpu.ops.pallas_kernels import (
-    gaussian_projection_fused,
-    logreg_projection_fused,
-)
 from betacores_tpu.ops.projection import center
-
-
-@pytest.fixture
-def shapes(rng):
-    N, D, S = 700, 6, 50  # deliberately unaligned rows and columns
-    Z = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
-    TH = jnp.asarray(rng.normal(size=(S, D)).astype(np.float32))
-    return Z, TH
-
-
-def test_logreg_fused_matches_xla(shapes):
-    Z, TH = shapes
-    ref = center(logreg.log_likelihood(Z, TH))
-    got = logreg_projection_fused(Z, TH, use_beta=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
-    for beta in (0.1, 0.5):
-        refb = center(logreg.beta_likelihood(Z, TH, beta))
-        gotb = logreg_projection_fused(Z, TH, beta=beta, use_beta=True)
-        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=2e-5)
-
-
-def test_gaussian_fused_matches_xla(shapes, rng):
-    Z, TH = shapes
-    d = Z.shape[1]
-    A = rng.normal(size=(d, d))
-    Sig = A @ A.T + d * np.eye(d)
-    Siginv = jnp.asarray(np.linalg.inv(Sig).astype(np.float32))
-    ld = float(np.linalg.slogdet(Sig)[1])
-    ref = center(gmod.log_likelihood(Z, TH, Siginv, ld))
-    got = gaussian_projection_fused(Z, TH, Siginv, ld, use_beta=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
-    refb = center(gmod.beta_likelihood(Z, TH, 0.3, Siginv, ld))
-    gotb = gaussian_projection_fused(Z, TH, Siginv, ld, beta=0.3, use_beta=True)
-    np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=5e-4)
-
-
-def test_poisson_fused_matches_xla(rng):
-    from betacores_tpu.models import poisson as pmod
-    from betacores_tpu.ops.pallas_kernels import poisson_projection_fused
-
-    N, D, S = 700, 5, 50
-    x = rng.normal(size=(N, D - 1)).astype(np.float32)
-    y = rng.poisson(lam=3.0, size=N).astype(np.float32)
-    Z = jnp.asarray(np.concatenate([x, y[:, None]], axis=1))
-    TH = jnp.asarray(0.5 * rng.normal(size=(S, D - 1)).astype(np.float32))
-
-    ref = center(pmod.log_likelihood(Z, TH))
-    got = poisson_projection_fused(Z, TH, use_beta=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
-    for beta in (0.1, 0.5):
-        refb = center(pmod.beta_likelihood(Z, TH, beta, k_max=32))
-        gotb = poisson_projection_fused(Z, TH, beta=beta, use_beta=True, k_max=32)
-        np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb), atol=5e-5)
-    # closed-form gaussian mass variant
-    refg = center(pmod.beta_likelihood(Z, TH, 0.3, gaussian_mass=True))
-    gotg = poisson_projection_fused(Z, TH, beta=0.3, use_beta=True, gaussian_mass=True)
-    np.testing.assert_allclose(np.asarray(gotg), np.asarray(refg), atol=5e-5)
 
 
 def test_fused_dispatch_threshold(rng):
