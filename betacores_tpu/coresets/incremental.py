@@ -390,6 +390,17 @@ def make_incremental_builder(
                         sc = jnp.stack([jnp.asarray(st.beta, f32),
                                         scaling.astype(f32)])
                         eye_d = jnp.eye(d_th, dtype=f32)
+                        # per-step [lr, 1-b1^t, 1-b2^t] — the kernel replays
+                        # nn_adam's exact projected-Adam update (its default
+                        # b1/b2/eps, asserted against ADAM_* in the kernel
+                        # module) with the bias corrections precomputed here
+                        # in one batched pass, bit-identical elementwise
+                        from ..ops.pallas_kernels import (ADAM_B1, ADAM_B2)
+                        steps_f = jnp.arange(T, dtype=f32) + 1.0
+                        sclr_all = jnp.stack(
+                            [step_sizes.astype(f32),
+                             1.0 - ADAM_B1 ** steps_f,
+                             1.0 - ADAM_B2 ** steps_f], axis=1)    # (T, 3)
 
                         def refit_state(w, lap_aux):
                             lap = fit(w, st.pts, lap_aux)
@@ -397,45 +408,40 @@ def make_incremental_builder(
                                 lap.prec_chol.astype(f32), eye_d, lower=True)
                             return lap, linv
 
-                        if lagged:
-                            # lagged refits THROUGH the fused kernel: the
-                            # carry holds (fit state, its L^-1); the Newton
-                            # chain runs only every k-th step inside lax.cond
-                            # (same schedule as the XLA lagged path below)
-                            k_refit = config.refit_every
+                        k_refit = config.refit_every
 
-                            def grad_fn(wp, carry, k, xsl):
-                                i, xin, z = xsl
+                        def body(carry, inp):
+                            w, m1, m2, lap_c = carry
+                            i, sclr, xin, z = inp
+                            if lagged:
+                                # lagged refits THROUGH the fused kernel:
+                                # the Newton chain runs only every k-th step
+                                # inside lax.cond (same schedule as the XLA
+                                # lagged path below)
                                 lap, linv = jax.lax.cond(
                                     jnp.logical_and(i % k_refit == 0, i > 0),
                                     lambda: refit_state(
-                                        wp[:M_buf].astype(data.dtype),
-                                        fit_aux(carry[0])),
-                                    lambda: carry)
-                                g = fstep(xin, z, lap.mu.astype(f32)[None, :],
-                                          linv, wp[None, :], sc, S)
-                                return g[0], (lap, linv)
-
-                            carry0_f = refit_state(st.wts, aux0)
-                            xs_f = (jnp.arange(T), xin_all, z_pad)
-                        else:
-                            def grad_fn(wp, aux, k, xsl):
-                                xin, z = xsl
+                                        w[0, :M_buf].astype(data.dtype),
+                                        fit_aux(lap_c[0])),
+                                    lambda: lap_c)
+                            else:
                                 lap, linv = refit_state(
-                                    wp[:M_buf].astype(data.dtype), aux)
-                                g = fstep(xin, z, lap.mu.astype(f32)[None, :],
-                                          linv, wp[None, :], sc, S)
-                                return g[0], fit_aux(lap)
+                                    w[0, :M_buf].astype(data.dtype), lap_c)
+                            w, m1, m2 = fstep(xin, z,
+                                              lap.mu.astype(f32)[None, :],
+                                              linv, w, m1, m2, sc, sclr, S)
+                            return (w, m1, m2,
+                                    (lap, linv) if lagged else fit_aux(lap)), None
 
-                            carry0_f = aux0
-                            xs_f = (xin_all, z_pad)
-
-                        wp0 = jnp.zeros((M_pad,), f32).at[:M_buf].set(
+                        wp0 = jnp.zeros((1, M_pad), f32).at[0, :M_buf].set(
                             st.wts.astype(f32))
-                        wp, carry = nn_adam(wp0, grad_fn, carry0_f, key,
-                                            step_sizes.astype(f32), xs=xs_f)
+                        z0 = jnp.zeros_like(wp0)
+                        lap_c0 = refit_state(st.wts, aux0) if lagged else aux0
+                        (wp, _, _, carry), _ = jax.lax.scan(
+                            body, (wp0, z0, z0, lap_c0),
+                            (jnp.arange(T), sclr_all, xin_all, z_pad))
                         aux = fit_aux(carry[0]) if lagged else carry
-                        w_new = wp[:M_buf].astype(st.wts.dtype)
+                        w_new = wp[0, :M_buf].astype(st.wts.dtype)
                         return st._replace(wts=w_new, sampler_aux=aux)
 
                     if lagged:

@@ -50,13 +50,13 @@ class ModelFns(NamedTuple):
     # large row blocks
     fused_ll_projection: Optional[Callable] = None      # (pts, thetas) -> (N, S)
     fused_beta_projection: Optional[Callable] = None    # (pts, thetas, beta) -> (N, S)
-    # optional single-launch Pallas REFINEMENT-STEP gradient for the
-    # incremental builder's latency-bound Adam hot loop (samples-from-noise
-    # + joint projection + centering + residual + weight gradient in ONE
-    # kernel; ops/pallas_kernels.py::logreg_grad_step_fused). Signature
-    # (xin, z, mu, linv, w_row, sc, s_true) -> (1, M_pad); routed by
-    # coresets/incremental.py when the sampler is a Laplace family
-    # (fit/from_fit) — see IncrementalConfig.fused_grad_step
+    # optional single-launch Pallas REFINEMENT STEP for the incremental
+    # builder's latency-bound Adam hot loop (samples-from-noise + joint
+    # projection + centering + residual + weight gradient + projected-Adam
+    # update in ONE kernel; ops/pallas_kernels.py::logreg_adam_step_fused).
+    # Signature (xin, z, mu, linv, w, m1, m2, sc, sclr, s_true) ->
+    # (w', m1', m2'); routed by coresets/incremental.py when the sampler is
+    # a Laplace family (fit/from_fit) — see IncrementalConfig.fused_grad_step
     fused_ll_grad_step: Optional[Callable] = None
     fused_beta_grad_step: Optional[Callable] = None
 

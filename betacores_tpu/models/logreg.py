@@ -131,7 +131,7 @@ def predictive_loglik(Zt, thetas):
 def bundle(fused: bool | None = None) -> ModelFns:
     """``fused=None`` (default) attaches the single-launch Pallas GRAD-STEP
     kernel (ops/pallas_kernels.py::logreg_grad_step_fused; routed on TPU by
-    coresets/incremental.py — headline build 0.95 s -> 0.79 s).
+    coresets/incremental.py — headline build 0.95 s -> 0.70 s).
     ``fused=False`` disables it. No fused *projection* kernel: a logreg
     projection is one matmul + elementwise + centering, which XLA already
     fuses to a single HBM pass — an earlier hand-written Pallas projection
@@ -139,15 +139,15 @@ def bundle(fused: bool | None = None) -> ModelFns:
     retired (RESULTS.md round-2 microbenchmark audit)."""
     fused_ll_step = fused_beta_step = None
     if fused is None or fused:
-        from ..ops.pallas_kernels import logreg_grad_step_fused
+        from ..ops.pallas_kernels import logreg_adam_step_fused
 
-        def fused_ll_step(xin, z, mu, linv, w_row, sc, s_true):
-            return logreg_grad_step_fused(xin, z, mu, linv, w_row, sc,
-                                          s_true, use_beta=False)
+        def fused_ll_step(xin, z, mu, linv, w, m1, m2, sc, sclr, s_true):
+            return logreg_adam_step_fused(xin, z, mu, linv, w, m1, m2, sc,
+                                          sclr, s_true, use_beta=False)
 
-        def fused_beta_step(xin, z, mu, linv, w_row, sc, s_true):
-            return logreg_grad_step_fused(xin, z, mu, linv, w_row, sc,
-                                          s_true, use_beta=True)
+        def fused_beta_step(xin, z, mu, linv, w, m1, m2, sc, sclr, s_true):
+            return logreg_adam_step_fused(xin, z, mu, linv, w, m1, m2, sc,
+                                          sclr, s_true, use_beta=True)
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=beta_likelihood,

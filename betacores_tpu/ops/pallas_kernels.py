@@ -11,9 +11,10 @@ the axon tunnel). Two kernels genuinely pay and remain:
   * ``multiclass_projection_fused`` — the K-class softmax transform needs
     per-class logsumexp state that XLA materializes as (N, S, K) HBM
     intermediates; keeping it in VMEM measured 5.8 ms vs 60 ms XLA (10x).
-  * ``logreg_grad_step_fused`` — the incremental build's Adam step is a
-    LATENCY-bound chain of ~6 tiny dependent kernels; one launch for the
-    whole step cut the N=1M headline build 0.95 s -> 0.79 s end to end.
+  * ``logreg_adam_step_fused`` — the incremental build's Adam step is a
+    LATENCY-bound chain of ~7 tiny dependent kernels; one launch for the
+    whole step (gradient through projected-Adam update) cut the N=1M
+    headline build 0.95 s -> 0.70 s end to end.
 
 Both run in interpret mode off-TPU; the test battery checks agreement with
 the XLA composition within float tolerance.
@@ -86,22 +87,33 @@ def _pad_cols(x, m):
     return x
 
 
-def _logreg_grad_step_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref, w_ref,
-                             out_ref, *, use_beta: bool, d_feat: int,
-                             n_sub_pad: int, s_true: int):
-    """One whole Adam-step gradient of the incremental refinement objective
-    (coresets/incremental.py grad_fn) in a single kernel: posterior samples
-    from pre-drawn noise, the joint [subsample; coreset] (beta-)projection,
-    centering, the residual, and the weight gradient — the per-step XLA
-    composition is ~6 dependent tiny kernels and the build hot loop is
-    latency-bound (RESULTS.md roofline section), so collapsing the chain to
-    one launch is wall-clock off every one of the M x opt_itrs steps.
+# Adam constants of the fused step kernel — MUST match utils/opt.py::nn_adam
+# defaults (the fused branch of coresets/incremental.py replays nn_adam's
+# exact update; the equivalence tests below pin the two implementations)
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def _logreg_adam_step_kernel(sc_ref, sclr_ref, xin_ref, z_ref, mu_ref,
+                             linv_ref, w_ref, m1_ref, m2_ref,
+                             w_out, m1_out, m2_out, *, use_beta: bool,
+                             d_feat: int, n_sub_pad: int, s_true: int):
+    """One ENTIRE Adam refinement step of the incremental builder
+    (coresets/incremental.py fused branch) in a single kernel: posterior
+    samples from pre-drawn noise, the joint [subsample; coreset]
+    (beta-)projection, centering, the residual, the weight gradient, AND the
+    projected-Adam update — the per-step XLA composition is ~7 dependent
+    tiny kernels and the build hot loop is latency-bound (RESULTS.md
+    roofline section), so collapsing the chain to one launch is wall-clock
+    off every one of the M x opt_itrs steps. Only the Newton-Laplace refit
+    (cholesky + solves) stays on XLA.
 
     Layout contract (wrapper below): rows are packed [x | valid-mask] with
     the subsample block padded to ``n_sub_pad`` rows and the coreset buffer
     padded to a 128-multiple; z is padded to s_pad rows of zeros (extra
-    sample columns are masked out of the centering and the sums); w is a
-    (1, M_pad) row. sc = [beta, sum_scaling] in SMEM.
+    sample columns are masked out of the centering and the sums); w/m1/m2
+    are (1, M_pad) rows. sc = [beta, sum_scaling]; sclr = per-step
+    [lr, 1-b1^t, 1-b2^t] (bias corrections precomputed OUTSIDE the scan,
+    bit-identical to nn_adam's) — both SMEM.
     """
     s_pad = z_ref.shape[0]
     th = jnp.dot(z_ref[:], linv_ref[:],
@@ -121,47 +133,52 @@ def _logreg_grad_step_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref, w_ref,
     vals = jnp.where(valid, vals - mean, 0.0) * msk
     sub, core = vals[:n_sub_pad], vals[n_sub_pad:]                 # (., s_pad)
     tsum = jnp.sum(sub, axis=0, keepdims=True)                     # (1, s_pad)
-    wcore = jnp.dot(w_ref[:], core, preferred_element_type=jnp.float32)
+    w = w_ref[:]
+    wcore = jnp.dot(w, core, preferred_element_type=jnp.float32)
     resid = sc_ref[1] * tsum - wcore                               # (1, s_pad)
     g = -jax.lax.dot_general(resid, core, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) / s_true
-    out_ref[:] = g.astype(out_ref.dtype)                           # (1, M_pad)
+    # projected Adam (utils/opt.py::nn_adam semantics, all coords >= 0).
+    # Gradient entries at masked/padded slots are exactly 0 (their core rows
+    # are zeroed), so those weights and moments stay 0 forever.
+    m1 = ADAM_B1 * m1_ref[:] + (1.0 - ADAM_B1) * g
+    m2 = ADAM_B2 * m2_ref[:] + (1.0 - ADAM_B2) * g * g
+    m1hat = m1 / sclr_ref[1]
+    m2hat = m2 / sclr_ref[2]
+    w_new = jnp.maximum(w - sclr_ref[0] * m1hat / (ADAM_EPS + jnp.sqrt(m2hat)), 0.0)
+    w_out[:] = w_new.astype(w_out.dtype)
+    m1_out[:] = m1.astype(m1_out.dtype)
+    m2_out[:] = m2.astype(m2_out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("use_beta", "s_true"))
-def logreg_grad_step_fused(xin: jnp.ndarray, z: jnp.ndarray, mu: jnp.ndarray,
+def logreg_adam_step_fused(xin: jnp.ndarray, z: jnp.ndarray, mu: jnp.ndarray,
                            linv: jnp.ndarray, w_row: jnp.ndarray,
-                           sc: jnp.ndarray, s_true: int,
-                           use_beta: bool = False) -> jnp.ndarray:
-    """(1, M_pad) refinement weight gradient in ONE kernel launch.
+                           m1_row: jnp.ndarray, m2_row: jnp.ndarray,
+                           sc: jnp.ndarray, sclr: jnp.ndarray, s_true: int,
+                           use_beta: bool = False):
+    """(w', m1', m2') of one projected-Adam refinement step in ONE launch.
 
     ALL operands arrive pre-padded (the caller pads once OUTSIDE its scan —
     per-step pad kernels would give back the latency this kernel removes):
     xin (n_sub_pad + M_pad, d+1) rows [x | mask]; z (s_pad, d) pre-drawn
     noise (zero rows beyond s_true); mu (1, d) and linv (d, d) = L^-1 from
     the current Laplace fit (theta = mu + z @ L^-1, the exact
-    sample_laplace_from_noise transform); w_row (1, M_pad); sc = [beta,
-    sum_scaling] f32. Gradient entries at masked/padded slots are exactly 0
-    (their core rows are zeroed), so Adam on the padded weight vector leaves
-    them untouched."""
+    sample_laplace_from_noise transform); w/m1/m2 (1, M_pad) Adam state;
+    sc = [beta, sum_scaling]; sclr = [lr, 1-b1^t, 1-b2^t] per step."""
     d_feat = xin.shape[1] - 1
     M_pad = w_row.shape[1]
     n_sub_pad = xin.shape[0] - M_pad
+    shp = jax.ShapeDtypeStruct((1, M_pad), w_row.dtype)
     out = pl.pallas_call(
-        functools.partial(_logreg_grad_step_kernel, use_beta=use_beta,
+        functools.partial(_logreg_adam_step_kernel, use_beta=use_beta,
                           d_feat=d_feat, n_sub_pad=n_sub_pad, s_true=s_true),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, M_pad), w_row.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[shp, shp, shp],
         interpret=_interpret(),
-    )(sc, xin, z, mu, linv, w_row)
+    )(sc, sclr, xin, z, mu, linv, w_row, m1_row, m2_row)
     return out
 
 

@@ -33,17 +33,19 @@ def test_fused_dispatch_threshold(rng):
     assert calls["fused"] == 1
 
 
-def test_logreg_grad_step_fused_matches_composition(rng):
-    """The single-launch refinement-step gradient kernel == the exact XLA
-    composition it replaces (samples-from-noise -> joint beta-projection ->
-    centering -> residual -> weight gradient), on the kernel's padded layout
-    (interpret mode; on the v5e the kernel cut the N=1M headline build
-    0.953 s -> 0.793 s, RESULTS.md)."""
-    from betacores_tpu.ops.pallas_kernels import logreg_grad_step_fused
+def test_logreg_adam_step_fused_matches_composition(rng):
+    """The single-launch refinement-step kernel == the exact XLA composition
+    it replaces (samples-from-noise -> joint beta-projection -> centering ->
+    residual -> weight gradient -> projected-Adam update), on the kernel's
+    padded layout (interpret mode; on the v5e the fused step cut the N=1M
+    headline build 0.953 s -> 0.70 s, RESULTS.md)."""
+    from betacores_tpu.ops.pallas_kernels import (ADAM_B1, ADAM_B2, ADAM_EPS,
+                                                  logreg_adam_step_fused)
 
     d, S, n_sub, M = 6, 50, 24, 5
     s_pad, M_pad = 128, 128
     scaling, beta = 41.7, 0.3
+    lr, t = 0.37, 5.0
     rows = rng.normal(size=(n_sub + M, d)).astype(np.float32)
     mask = np.ones(n_sub + M, np.float32)
     mask[n_sub + 3:] = 0.0  # dead coreset slots
@@ -54,13 +56,23 @@ def test_logreg_grad_step_fused_matches_composition(rng):
     linv = np.linalg.inv(Lp).astype(np.float32)
     w = np.zeros((1, M_pad), np.float32)
     w[0, :M] = rng.uniform(size=M) * 3
+    m1 = np.zeros((1, M_pad), np.float32)
+    m2 = np.zeros((1, M_pad), np.float32)
+    m1[0, :M] = 0.1 * rng.normal(size=M)
+    m2[0, :M] = 0.01 * rng.uniform(size=M)
 
-    # the exact composition (coresets/incremental.py grad_fn)
+    # the exact composition (coresets/incremental.py fused branch semantics
+    # == utils/opt.py::nn_adam update on the gradient)
     theta = mu + z[:S] @ linv
     allvecs = center(logreg.beta_likelihood(jnp.asarray(rows), jnp.asarray(theta), beta))
     vals = np.asarray(allvecs) * mask[:, None]
     resid = scaling * vals[:n_sub].sum(axis=0) - w[0, :M] @ vals[n_sub:]
-    expected = -(vals[n_sub:] @ resid) / S
+    g = -(vals[n_sub:] @ resid) / S
+    m1e = ADAM_B1 * m1[0, :M] + (1 - ADAM_B1) * g
+    m2e = ADAM_B2 * m2[0, :M] + (1 - ADAM_B2) * g * g
+    we = np.maximum(
+        w[0, :M] - lr * (m1e / (1 - ADAM_B1**t))
+        / (ADAM_EPS + np.sqrt(m2e / (1 - ADAM_B2**t))), 0.0)
 
     # kernel-layout operands (padded rows/cols; mask packed as last column)
     xin = np.zeros((n_sub + M_pad, d + 1), np.float32)
@@ -69,14 +81,16 @@ def test_logreg_grad_step_fused_matches_composition(rng):
     xin[n_sub:n_sub + M, :d] = rows[n_sub:]
     xin[n_sub:n_sub + M, d] = mask[n_sub:]
     sc = jnp.asarray([beta, scaling], jnp.float32)
-    got = logreg_grad_step_fused(jnp.asarray(xin), jnp.asarray(z),
-                                 jnp.asarray(mu)[None, :], jnp.asarray(linv),
-                                 jnp.asarray(w), sc, S, use_beta=True)
-    got = np.asarray(got)[0]
-    np.testing.assert_allclose(got[:M], expected, atol=2e-4, rtol=2e-4)
-    # padded / masked slots must be exactly zero, or Adam would update them
-    assert (got[M:] == 0.0).all()
-    assert (got[3:M][mask[n_sub + 3:n_sub + M] == 0.0] == 0.0).all()
+    sclr = jnp.asarray([lr, 1 - ADAM_B1**t, 1 - ADAM_B2**t], jnp.float32)
+    wn, m1n, m2n = logreg_adam_step_fused(
+        jnp.asarray(xin), jnp.asarray(z), jnp.asarray(mu)[None, :],
+        jnp.asarray(linv), jnp.asarray(w), jnp.asarray(m1), jnp.asarray(m2),
+        sc, sclr, S, use_beta=True)
+    wn, m1n, m2n = (np.asarray(a)[0] for a in (wn, m1n, m2n))
+    np.testing.assert_allclose(m1n[:M], m1e, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(wn[:M], we, atol=2e-4, rtol=2e-4)
+    # padded slots (zero init + zero grad) must stay exactly zero
+    assert (wn[M:] == 0.0).all() and (m1n[M:] == 0.0).all() and (m2n[M:] == 0.0).all()
 
 
 def test_fused_grad_step_build_matches_xla_path(rng):
