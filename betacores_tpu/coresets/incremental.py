@@ -402,7 +402,14 @@ def make_incremental_builder(
                              1.0 - ADAM_B1 ** steps_f,
                              1.0 - ADAM_B2 ** steps_f], axis=1)    # (T, 3)
 
+                        fit_inv = getattr(smp, "fit_inv", None)
+
                         def refit_state(w, lap_aux):
+                            if fit_inv is not None:
+                                # the refit computes L^-1 as part of its own
+                                # Newton direction — no separate inversion
+                                lap = fit_inv(w, st.pts, lap_aux)
+                                return lap, lap.prec_chol_inv.astype(f32)
                             lap = fit(w, st.pts, lap_aux)
                             linv = jax.scipy.linalg.solve_triangular(
                                 lap.prec_chol.astype(f32), eye_d, lower=True)

@@ -107,7 +107,7 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
     (reference zellner_logreg/main.py:139-144). ``aux`` is the previous mode
     (warm start); pass zeros initially."""
 
-    def _fit(wts, pts, aux):
+    def _fit(wts, pts, aux, with_inverse: bool = False):
         mu_ws = aux if warm_start else jnp.zeros_like(aux)
         lj = lambda th: logreg_model.log_joint(pts, th, wts)
         g = lambda th: logreg_model.grad_th_log_joint(pts, th, wts)
@@ -115,7 +115,8 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
             dh = lambda th: logreg_model.diag_hess_th_log_joint(pts, th, wts)
             return newton_laplace_diag(lj, g, dh, mu_ws, n_iters=n_newton + 4)
         h = lambda th: logreg_model.hess_th_log_joint(pts, th, wts)
-        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton)
+        return newton_laplace(lj, g, h, mu_ws, n_iters=n_newton,
+                              with_inverse=with_inverse)
 
     def from_noise(z, wts, pts, aux):
         lap = _fit(wts, pts, aux)
@@ -131,6 +132,12 @@ def logreg_laplace_sampler(diag: bool = False, n_newton: int = 8,
     sampler.fit = _fit
     sampler.from_fit = sample_laplace_from_noise
     sampler.fit_aux = lambda lap: lap.mu
+    if not diag:
+        # fit that also returns L^-1 (Newton direction computed through it —
+        # same math, fewer dependent kernels): the fused-step build consumes
+        # L^-1 directly each Adam step, see coresets/incremental.py
+        sampler.fit_inv = lambda wts, pts, aux: _fit(wts, pts, aux,
+                                                     with_inverse=True)
     return sampler
 
 
