@@ -126,21 +126,29 @@ def run() -> float:
     return t_build
 
 
-def _backend_reachable(timeout_s: float = 300.0) -> bool:
+def _backend_reachable(timeout_s: float = 600.0, attempts: int = 2) -> bool:
     """Probe TPU backend init in a throwaway subprocess with a hard timeout.
 
     Backend init under the axon plugin is a tunnel RPC with no client-side
     deadline: if the tunnel is wedged, ``jax.devices()`` hangs forever and
     this script would never print its JSON line (observed 2026-08-17, a
-    multi-hour relay outage). Normal init is ~3-5 s, so 300 s is generous."""
+    multi-hour relay outage). Normal init is ~3-5 s, but multi-minute init
+    stalls on an otherwise-healthy tunnel were observed 2026-08-19 (a
+    13-minute init immediately after another process's clean exit), so the
+    probe is generous AND retried — a stalled-but-alive tunnel usually
+    recovers between attempts."""
     import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe attempt {i} failed", file=sys.stderr)
+    return False
 
 
 def main():
