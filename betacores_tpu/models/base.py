@@ -59,6 +59,18 @@ class ModelFns(NamedTuple):
     # a Laplace family (fit/from_fit) — see IncrementalConfig.fused_grad_step
     fused_ll_grad_step: Optional[Callable] = None
     fused_beta_grad_step: Optional[Callable] = None
+    # optional single-launch Pallas SHARD-LOCAL refinement-step partials for
+    # the SHARDED incremental builder (parallel/sharded.py fused branch):
+    # samples from this device's pre-drawn noise column block + joint
+    # [local subsample; coreset] projection + every local reduction the
+    # distributed gradient needs, in one launch; the two psums and an O(M)
+    # Adam epilogue stay outside (ops/pallas_kernels.py::
+    # logreg_shard_step_partials). Signature
+    # (xin, z_loc, mu, linv, w_row, sc, s_loc_true) ->
+    # (colsum (1, s_pad), core (M_pad, s_pad), corerow (1, M_pad),
+    #  wcore (1, s_pad)).
+    fused_ll_shard_partials: Optional[Callable] = None
+    fused_beta_shard_partials: Optional[Callable] = None
 
 
 def beta_gradient_from_autodiff(beta_likelihood: Callable) -> Callable:

@@ -138,8 +138,10 @@ def bundle(fused: bool | None = None) -> ModelFns:
     measured 2.5 ms vs XLA's 1.5 ms at N=2^20 x S=100 on v5e and was
     retired (RESULTS.md round-2 microbenchmark audit)."""
     fused_ll_step = fused_beta_step = None
+    fused_ll_shard = fused_beta_shard = None
     if fused is None or fused:
-        from ..ops.pallas_kernels import logreg_adam_step_fused
+        from ..ops.pallas_kernels import (logreg_adam_step_fused,
+                                          logreg_shard_step_partials)
 
         def fused_ll_step(xin, z, mu, linv, w, m1, m2, sc, sclr, s_true):
             return logreg_adam_step_fused(xin, z, mu, linv, w, m1, m2, sc,
@@ -148,6 +150,14 @@ def bundle(fused: bool | None = None) -> ModelFns:
         def fused_beta_step(xin, z, mu, linv, w, m1, m2, sc, sclr, s_true):
             return logreg_adam_step_fused(xin, z, mu, linv, w, m1, m2, sc,
                                           sclr, s_true, use_beta=True)
+
+        def fused_ll_shard(xin, z, mu, linv, w, sc, s_true):
+            return logreg_shard_step_partials(xin, z, mu, linv, w, sc,
+                                              s_true, use_beta=False)
+
+        def fused_beta_shard(xin, z, mu, linv, w, sc, s_true):
+            return logreg_shard_step_partials(xin, z, mu, linv, w, sc,
+                                              s_true, use_beta=True)
     return ModelFns(
         log_likelihood=log_likelihood,
         beta_likelihood=beta_likelihood,
@@ -155,4 +165,6 @@ def bundle(fused: bool | None = None) -> ModelFns:
         grad_z_log_likelihood=grad_z_log_likelihood,
         fused_ll_grad_step=fused_ll_step,
         fused_beta_grad_step=fused_beta_step,
+        fused_ll_shard_partials=fused_ll_shard,
+        fused_beta_shard_partials=fused_beta_shard,
     )

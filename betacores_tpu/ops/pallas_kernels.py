@@ -182,6 +182,85 @@ def logreg_adam_step_fused(xin: jnp.ndarray, z: jnp.ndarray, mu: jnp.ndarray,
     return out
 
 
+def _logreg_shard_partials_kernel(sc_ref, xin_ref, z_ref, mu_ref, linv_ref,
+                                  w_ref, colsum_out, core_out, corerow_out,
+                                  wcore_out, *, use_beta: bool, d_feat: int,
+                                  n_sub_pad: int, s_true: int):
+    """Shard-local half of one sharded Adam refinement step
+    (parallel/sharded.py fused branch): posterior samples from this device's
+    pre-drawn noise COLUMN BLOCK, the joint [local subsample; coreset]
+    (beta-)projection, and every LOCAL reduction the distributed gradient
+    needs — in one launch. The step's only cross-device work (a
+    psum('data') of the column sums and one psum('samp') of the packed
+    row-reductions) stays outside; everything between the two collectives
+    is an O(M) XLA epilogue.
+
+    Centering note: unlike the single-chip step kernel this one does NOT
+    center — the row mean is over the FULL sample axis, which is sharded
+    here. The gradient is computed from UNCENTERED projections via the
+    identity (coreset gradient, centering constants cancel):
+
+        g_m = -(<U_m, r_unc>_S - mu_m * sum_s r_unc[s]) / S,
+        r_unc = scaling * sum_n U_n - w . U_core,   mu_m = (1/S) sum_s U_m[s]
+
+    which equals the centered gradient EXACTLY in real arithmetic (the
+    sub-row centering shifts r by a constant c that multiplies centered
+    core rows summing to zero; the core-row centering is the mu_m term).
+    Float op order differs from the centered path — the equivalence tests
+    compare within tolerance, like the single-chip fused kernel.
+
+    Outputs: colsum (1, s_pad) sum of subsample rows (feeds the data-axis
+    psum), core (M_pad, s_pad) uncentered coreset block, corerow (1, M_pad)
+    per-core-row sums over the local true columns (feeds mu_m), and
+    wcore (1, s_pad) = w . core (the residual's coreset term)."""
+    th = jnp.dot(z_ref[:], linv_ref[:],
+                 preferred_element_type=jnp.float32) + mu_ref[:]   # (s_pad, d)
+    x = xin_ref[:, :d_feat]
+    msk = xin_ref[:, d_feat:d_feat + 1]                            # (R, 1)
+    m = -jax.lax.dot_general(x, th, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (R, s_pad)
+    vals = _logreg_vals(m, sc_ref, use_beta)
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    vals = jnp.where(col < s_true, vals, 0.0) * msk                # no centering
+    sub, core = vals[:n_sub_pad], vals[n_sub_pad:]
+    colsum_out[:] = jnp.sum(sub, axis=0, keepdims=True).astype(colsum_out.dtype)
+    core_out[:] = core.astype(core_out.dtype)
+    corerow_out[:] = jnp.sum(core, axis=1)[None, :].astype(corerow_out.dtype)
+    wcore_out[:] = jnp.dot(w_ref[:], core,
+                           preferred_element_type=jnp.float32).astype(wcore_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("use_beta", "s_true"))
+def logreg_shard_step_partials(xin: jnp.ndarray, z: jnp.ndarray,
+                               mu: jnp.ndarray, linv: jnp.ndarray,
+                               w_row: jnp.ndarray, sc: jnp.ndarray,
+                               s_true: int, use_beta: bool = False):
+    """(colsum, core, corerow, wcore) of one sharded refinement step's
+    shard-local work in ONE launch (see kernel docstring). Operands arrive
+    pre-padded like ``logreg_adam_step_fused``: xin (n_sub_pad + M_pad, d+1)
+    rows [x | mask]; z (s_loc_pad, d_theta) = this device's pre-drawn noise
+    column block (zero rows beyond s_true = S_loc); mu (1, d), linv (d, d);
+    w_row (1, M_pad); sc = [beta]."""
+    d_feat = xin.shape[1] - 1
+    M_pad = w_row.shape[1]
+    n_sub_pad = xin.shape[0] - M_pad
+    s_pad = z.shape[0]
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_logreg_shard_partials_kernel, use_beta=use_beta,
+                          d_feat=d_feat, n_sub_pad=n_sub_pad, s_true=s_true),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((1, s_pad), f32),
+                   jax.ShapeDtypeStruct((M_pad, s_pad), f32),
+                   jax.ShapeDtypeStruct((1, M_pad), f32),
+                   jax.ShapeDtypeStruct((1, s_pad), f32)],
+        interpret=_interpret(),
+    )(sc, xin, z, mu, linv, w_row)
+    return out
+
+
 # minimum rows for the fused path to beat plain XLA (below this, dispatch
 # overhead dominates and the XLA fusion is fine)
 FUSED_MIN_ROWS = 8192

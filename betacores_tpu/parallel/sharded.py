@@ -203,34 +203,232 @@ def make_sharded_incremental_builder(
             from_fit = getattr(sampler, "from_fit", None)
             fit_aux = getattr(sampler, "fit_aux", None)
             draw_noise = getattr(sampler, "draw_noise", None)
-            if (config.refit_every > 1 and fit is not None and from_fit is not None
-                    and fit_aux is not None and draw_noise is not None):
-                # lagged posterior refits (config.refit_every, same contract
-                # as the single-chip fast path in coresets/incremental.py):
-                # the Adam carry holds the replicated fit state; the Newton
-                # chain runs only every k-th step inside a lax.cond, other
-                # steps draw fresh noise through the last fit. Every piece
-                # is replicated (same keys, same w), so no collectives move.
+            from_noise = getattr(sampler, "from_noise", None)
+            laplace_family = (fit is not None and from_fit is not None
+                              and fit_aux is not None)
+            if draw_noise is not None and from_noise is not None:
+                # Single-chip fast-path parity (coresets/incremental.py
+                # fused/pre-drawn branch, ported shard-local): pre-draw the
+                # WHOLE refinement loop's posterior noise and per-shard
+                # subsample indices in batched kernels and pre-gather the
+                # local rows in one pass, instead of one
+                # randn+randint+gather chain per Adam step. The draws replay
+                # nn_adam's exact key stream (split(key, T), then
+                # split(k) -> (k_samp, k_sub), then fold_in(k_sub, ax_d))
+                # through the SAME functions the per-step path used, so
+                # every value is bit-identical by construction. Noise and
+                # the posterior refit are REPLICATED (same keys everywhere);
+                # only the subsample rows are shard-local.
+                T = step_sizes.shape[0]
+                aux0 = st.sampler_aux
+                keys = jax.random.split(k_opt, T)
+                pair = jax.vmap(jax.random.split)(keys)        # (T, 2)
+                k_samp_all, k_sub_all = pair[:, 0], pair[:, 1]
+                z_all = jax.vmap(
+                    lambda k: draw_noise(k, S, st.wts, st.pts, aux0))(k_samp_all)
+                sub_all = jax.vmap(lambda k: jax.random.randint(
+                    jax.random.fold_in(k, ax_d), (n_opt_loc,), 0,
+                    jnp.maximum(local_valid, 1)))(k_sub_all)
+                rows_all = data_local[sub_all]                 # (T, n_opt_loc, D)
+                has_rows = (local_valid > 0).astype(dtype)
+                shard_scale = local_valid.astype(dtype) / n_opt_loc
+                mask = st.slot_mask[:, None].astype(dtype)
+                M_buf = st.pts.shape[0]
+                lagged = config.refit_every > 1 and laplace_family
                 k_refit = config.refit_every
 
-                def grad_fn(w, lap, k, i):
-                    k_samp, k_sub = jax.random.split(k)
-                    lap = jax.lax.cond(
-                        jnp.logical_and(i % k_refit == 0, i > 0),
-                        lambda: fit(w, st.pts, fit_aux(lap)),
-                        lambda: lap)
-                    z = draw_noise(k_samp, S, w, st.pts, fit_aux(lap))
-                    samples = from_fit(lap, z)
-                    vecs_o, corevecs_o, total_o, _, _, _ = _tangent_core(
-                        samples, st, st.beta, n_opt_loc, k_sub, data_local,
-                        u_local, ax_d, ax_s, local_valid)
-                    resid = total_o - w @ corevecs_o
-                    return -_dot_S(corevecs_o, resid) / S, lap
+                fstep = getattr(
+                    model, "fused_beta_shard_partials" if config.use_beta
+                    else "fused_ll_shard_partials", None)
+                want = config.fused_grad_step
+                # gridless kernel: the local (R, s_loc_pad) step block plus
+                # intermediates must fit scoped VMEM (always true at sharded
+                # per-device shapes; the check keeps parity with the
+                # single-chip gate)
+                _R = n_opt_loc + -(-M_buf // 128) * 128
+                _s_loc_pad = -(-S_loc // 128) * 128
+                fits_vmem = _R * _s_loc_pad * 4 * 6 <= 12 * 1024 * 1024
+                use_fused = (
+                    fstep is not None and u_local is None and laplace_family
+                    and fits_vmem
+                    and (want if want is not None
+                         else jax.default_backend() == "tpu"))
+                if use_fused:
+                    # Shard-local fused step kernel
+                    # (ops/pallas_kernels.py::logreg_shard_step_partials):
+                    # this device's noise column block -> samples -> joint
+                    # [subsample; coreset] projection -> local reductions,
+                    # ONE launch. Only two collectives remain per step — a
+                    # psum('data') of the S_loc-column sums and ONE packed
+                    # psum('samp') of [core dot products, core row sums,
+                    # residual sum] — plus an O(M) XLA Adam epilogue. The
+                    # kernel skips centering (the full-S row mean is sharded
+                    # here); the gradient uses the exact uncentered identity
+                    # g = -(a - mu_core * b)/S (see kernel docstring), so
+                    # the trajectory differs from the centered path in float
+                    # low bits only. All padding happens HERE, outside the
+                    # scan, like the single-chip fused branch.
+                    f32 = jnp.float32
+                    D = data_local.shape[1]
+                    d_th = z_all.shape[-1]
+                    n_sub_pad = -(-n_opt_loc // 8) * 8
+                    M_pad = -(-M_buf // 128) * 128
+                    s_loc_pad = _s_loc_pad
+                    pad_sub = n_sub_pad - n_opt_loc
+                    core = st.pts.astype(f32)
+                    if M_pad > M_buf:
+                        core = jnp.concatenate(
+                            [core, jnp.zeros((M_pad - M_buf, D), f32)])
+                    blocks = [rows_all.astype(f32)]
+                    if pad_sub:
+                        blocks.append(jnp.zeros((T, pad_sub, D), f32))
+                    blocks.append(jnp.broadcast_to(core, (T, M_pad, D)))
+                    rows_blk = jnp.concatenate(blocks, axis=1)
+                    mask_col = jnp.concatenate([
+                        jnp.full((n_opt_loc,), has_rows, f32),
+                        jnp.zeros((pad_sub,), f32),
+                        st.slot_mask.astype(f32),
+                        jnp.zeros((M_pad - M_buf,), f32)])
+                    R = rows_blk.shape[1]
+                    xin_all = jnp.concatenate(
+                        [rows_blk,
+                         jnp.broadcast_to(mask_col[None, :, None], (T, R, 1))],
+                        axis=2)
+                    # this device's pre-drawn noise COLUMN block, padded
+                    z_loc_all = jax.lax.dynamic_slice_in_dim(
+                        z_all, ax_s * S_loc, S_loc, axis=1).astype(f32)
+                    if s_loc_pad > S_loc:
+                        z_loc_all = jnp.concatenate(
+                            [z_loc_all,
+                             jnp.zeros((T, s_loc_pad - S_loc, d_th), f32)],
+                            axis=1)
+                    sc = jnp.asarray(st.beta, f32)[None]
+                    eye_d = jnp.eye(d_th, dtype=f32)
+                    from ..ops.pallas_kernels import ADAM_B1, ADAM_B2, ADAM_EPS
+                    steps_f = jnp.arange(T, dtype=f32) + 1.0
+                    sclr_all = jnp.stack(
+                        [step_sizes.astype(f32),
+                         1.0 - ADAM_B1 ** steps_f,
+                         1.0 - ADAM_B2 ** steps_f], axis=1)    # (T, 3)
+                    fit_inv = getattr(sampler, "fit_inv", None)
+                    shard_scale_f = shard_scale.astype(f32)
+                    S_f = jnp.asarray(S, f32)
 
-                lap0 = fit(st.wts, st.pts, st.sampler_aux)
-                w_new, lap = nn_adam(st.wts, grad_fn, lap0, k_opt, step_sizes,
-                                     xs=jnp.arange(step_sizes.shape[0]))
-                return st._replace(wts=w_new, sampler_aux=fit_aux(lap))
+                    def refit_state(w, lap_aux):
+                        if fit_inv is not None:
+                            lap = fit_inv(w, st.pts, lap_aux)
+                            return lap, lap.prec_chol_inv.astype(f32)
+                        lap = fit(w, st.pts, lap_aux)
+                        linv = jax.scipy.linalg.solve_triangular(
+                            lap.prec_chol.astype(f32), eye_d, lower=True)
+                        return lap, linv
+
+                    def body(carry, inp):
+                        w, m1, m2, lap_c = carry
+                        i, sclr, xin, z = inp
+                        if lagged:
+                            lap, linv = jax.lax.cond(
+                                jnp.logical_and(i % k_refit == 0, i > 0),
+                                lambda: refit_state(
+                                    w[0, :M_buf].astype(dtype),
+                                    fit_aux(lap_c[0])),
+                                lambda: lap_c)
+                        else:
+                            lap, linv = refit_state(
+                                w[0, :M_buf].astype(dtype), lap_c)
+                        colsum, core_blk, corerow, wcore = fstep(
+                            xin, z, lap.mu.astype(f32)[None, :], linv, w, sc,
+                            S_loc)
+                        # collective 1: the Sigma-over-N target (data axis)
+                        total = jax.lax.psum(shard_scale_f * colsum, DATA_AXIS)
+                        r_unc = total - wcore                  # (1, s_loc_pad)
+                        a_loc = jax.lax.dot_general(
+                            r_unc, core_blk, (((1,), (1,)), ((), ())))  # (1, M_pad)
+                        b_loc = jnp.sum(r_unc, axis=1, keepdims=True)   # (1, 1)
+                        # collective 2: every S-axis reduction, packed
+                        packed = jax.lax.psum(
+                            jnp.concatenate([a_loc, corerow, b_loc], axis=1),
+                            SAMP_AXIS)
+                        a = packed[:, :M_pad]
+                        r = packed[:, M_pad:2 * M_pad]
+                        b = packed[:, 2 * M_pad:]
+                        g = -(a - (r / S_f) * b) / S_f
+                        # projected-Adam epilogue (nn_adam semantics, bias
+                        # corrections precomputed in sclr)
+                        m1 = ADAM_B1 * m1 + (1.0 - ADAM_B1) * g
+                        m2 = ADAM_B2 * m2 + (1.0 - ADAM_B2) * g * g
+                        w = jnp.maximum(
+                            w - sclr[0] * (m1 / sclr[1])
+                            / (ADAM_EPS + jnp.sqrt(m2 / sclr[2])), 0.0)
+                        return (w, m1, m2,
+                                (lap, linv) if lagged else fit_aux(lap)), None
+
+                    wp0 = jnp.zeros((1, M_pad), f32).at[0, :M_buf].set(
+                        st.wts.astype(f32))
+                    z0 = jnp.zeros_like(wp0)
+                    lap_c0 = refit_state(st.wts, aux0) if lagged else aux0
+                    (wp, _, _, carry), _ = jax.lax.scan(
+                        body, (wp0, z0, z0, lap_c0),
+                        (jnp.arange(T), sclr_all, xin_all, z_loc_all))
+                    aux = fit_aux(carry[0]) if lagged else carry
+                    w_new = wp[0, :M_buf].astype(st.wts.dtype)
+                    return st._replace(wts=w_new, sampler_aux=aux)
+
+                # XLA pre-drawn path. Pre-append the coreset buffer (constant
+                # across this refinement pass) to every step's subsample
+                # rows: joint projection is bit-identical to two separate
+                # calls (centering is per-row; the sharded _proj has no
+                # row-count kernel routing), one kernel chain instead of two.
+                rows_all = jnp.concatenate(
+                    [rows_all,
+                     jnp.broadcast_to(st.pts, (T, M_buf) + st.pts.shape[1:])],
+                    axis=1)                                    # (T, n_opt_loc+M, D)
+                u_all = None if u_local is None else u_local[sub_all]
+
+                if lagged:
+                    def mk_samples(w, lap, z, i):
+                        lap = jax.lax.cond(
+                            jnp.logical_and(i % k_refit == 0, i > 0),
+                            lambda: fit(w, st.pts, fit_aux(lap)),
+                            lambda: lap)
+                        return from_fit(lap, z), lap
+
+                    carry0 = fit(st.wts, st.pts, aux0)
+                    steps = jnp.arange(T)
+                else:
+                    def mk_samples(w, aux, z, i):
+                        return from_noise(z, w, st.pts, aux)
+
+                    carry0 = aux0
+                    steps = None
+
+                def unpack(xsl):
+                    if steps is None:
+                        return (None,) + tuple(xsl) + ((None,) if u_all is None else ())
+                    return tuple(xsl) + ((None,) if u_all is None else ())
+
+                xs = (z_all, rows_all) if u_all is None else (z_all, rows_all, u_all)
+                if steps is not None:
+                    xs = (steps,) + xs
+
+                def grad_fn(w, carry, k, xsl):
+                    i, z, rows, usub = unpack(xsl)
+                    samples, carry = mk_samples(w, carry, z, i)
+                    samples_loc = jax.lax.dynamic_slice_in_dim(
+                        samples, ax_s * S_loc, S_loc, axis=0)
+                    allvecs = _proj(rows, samples_loc, st.beta)
+                    vecs_o = allvecs[:n_opt_loc] * has_rows
+                    corevecs_o = allvecs[n_opt_loc:] * mask
+                    rowsum = (vecs_o.sum(axis=0) if usub is None
+                              else usub @ vecs_o)
+                    total_o = jax.lax.psum(shard_scale * rowsum, DATA_AXIS)
+                    resid = total_o - w @ corevecs_o
+                    return -_dot_S(corevecs_o, resid) / S, carry
+
+                w_new, carry = nn_adam(st.wts, grad_fn, carry0, k_opt,
+                                       step_sizes, xs=xs)
+                aux = fit_aux(carry) if lagged else carry
+                return st._replace(wts=w_new, sampler_aux=aux)
 
             def grad_fn(w, aux, k):
                 vecs_o, corevecs_o, total_o, _, _, aux, _ = _tangent(

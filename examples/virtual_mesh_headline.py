@@ -1,0 +1,92 @@
+"""Headline config on the VIRTUAL 8-device mesh: N=1M, M=100 sharded build.
+
+VERDICT round-2 item 1: the sharded incremental builder had no at-scale
+evidence — tests and the driver dryrun run toy shapes. This script executes
+the full headline configuration (bench.py: N=1M contaminated logreg rows,
+M=100 selections x 500 Adam steps, S=100, n_subsample_select=1000,
+n_subsample_opt=200) through ``make_sharded_incremental_builder`` on an
+8-device virtual CPU mesh end to end — validating shard-local memory
+behavior, the pre-drawn fast path, and collective correctness at real
+shapes without multi-chip hardware. Wall-clock here is NOT a TPU number
+(virtual devices timeshare host cores; the fused kernel path would run in
+interpret mode so it stays off) — the point is execution + quality parity,
+recorded in RESULTS.md.
+
+Run:  python examples/virtual_mesh_headline.py [--mesh 4x2] [--itrs 100]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# FORCE the CPU backend (this script must never touch the TPU tunnel —
+# CLAUDE.md one-process rule). The axon plugin IGNORES the JAX_PLATFORMS
+# env var; only the config update works (tests/conftest.py:14).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="4x2", help="data x samp mesh shape")
+    ap.add_argument("--itrs", type=int, default=100, help="selections (M)")
+    ap.add_argument("--n", type=int, default=1_000_000)
+    args = ap.parse_args()
+    n_data, n_samp = (int(t) for t in args.mesh.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from betacores_tpu.coresets import IncrementalConfig, init_state
+    from betacores_tpu.data import gen_synthetic_logreg, perturb_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+    from betacores_tpu.parallel import (make_mesh,
+                                        make_sharded_incremental_builder,
+                                        shard_data)
+
+    assert jax.device_count() >= n_data * n_samp, jax.devices()
+    N, D_FEAT, S = args.n, 10, 100
+    k0, k1, k2 = jax.random.split(jax.random.key(0), 3)
+    X, y, Z = gen_synthetic_logreg(k0, N, d=D_FEAT, dtype=jnp.float32)
+    X, y, Z, _ = perturb_logreg(k1, X, y, f_rate=0.1)
+    Z = jax.block_until_ready(Z)
+
+    cfg = IncrementalConfig(projection_dim=S, n_subsample_select=1000,
+                            n_subsample_opt=200, opt_itrs=500, i0=1.0,
+                            use_beta=True)
+    model, sampler = logreg.bundle(), logreg_laplace_sampler()
+    mesh = make_mesh(n_data, n_samp)
+    Zs, n_true = shard_data(Z, mesh)
+    build = make_sharded_incremental_builder(Zs, n_true, model, sampler,
+                                             cfg, mesh)
+    st0 = init_state(128, D_FEAT, beta=0.1, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    st = jax.block_until_ready(build(k2, st0, args.itrs))
+    t_total = time.perf_counter() - t0
+    w = np.asarray(st.wts)
+    idcs = np.asarray(st.idcs)[: int(st.m)]
+    ok = (int(st.m) > 0 and np.isfinite(w).all() and (w >= 0).all()
+          and (idcs >= 0).all() and (idcs < N).all()
+          and len(set(idcs.tolist())) == len(idcs))
+    print(f"mesh={dict(mesh.shape)} N={N} M={args.itrs} S={S}: "
+          f"selected m={int(st.m)}, nnz(w)={(w > 0).sum()}, "
+          f"sum(w)={w.sum():.1f} (N={N}), "
+          f"wall={t_total:.1f}s (compile included; virtual CPU devices — "
+          f"not a TPU number), ok={ok}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

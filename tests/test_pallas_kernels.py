@@ -156,3 +156,63 @@ def test_multiclass_fused_matches_xla(rng):
     a = project_beta(m_fused, Zbig, TH, jnp.asarray(0.3, jnp.float32))
     b = project_beta(m_plain, Zbig, TH, jnp.asarray(0.3, jnp.float32))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_logreg_shard_partials_matches_centered_gradient(rng):
+    """The SHARD-LOCAL step kernel (parallel/sharded.py fused branch): run it
+    once per simulated samp-shard column block, combine the partials exactly
+    as the sharded builder does (psum == sum over blocks; uncentered identity
+    g = -(a - mu_core * b)/S), and compare against the CENTERED gradient the
+    XLA path computes — pinning both the kernel and the
+    centering-cancellation algebra it relies on."""
+    from betacores_tpu.ops.pallas_kernels import logreg_shard_step_partials
+
+    d, S, n_sub, M = 6, 64, 24, 5
+    n_samp, S_loc = 2, 32
+    s_loc_pad, M_pad = 128, 128
+    scaling, beta = 17.3, 0.4
+    rows = rng.normal(size=(n_sub + M, d)).astype(np.float32)
+    slot_mask = np.ones(M, np.float32)
+    slot_mask[3:] = 0.0
+    z = rng.normal(size=(S, d)).astype(np.float32)
+    mu = rng.normal(size=d).astype(np.float32)
+    Lp = np.tril(rng.normal(size=(d, d))).astype(np.float32) + 2 * np.eye(d, dtype=np.float32)
+    linv = np.linalg.inv(Lp).astype(np.float32)
+    w = np.zeros((1, M_pad), np.float32)
+    w[0, :M] = rng.uniform(size=M) * 2 * slot_mask
+
+    # centered reference gradient (the sharded XLA path's math)
+    theta = mu + z @ linv
+    vals = np.array(center(logreg.beta_likelihood(
+        jnp.asarray(rows), jnp.asarray(theta), beta)))
+    vals[n_sub:] *= slot_mask[:, None]
+    resid_c = scaling * vals[:n_sub].sum(axis=0) - w[0, :M] @ vals[n_sub:]
+    g_ref = -(vals[n_sub:] @ resid_c) / S
+
+    # kernel partials per samp shard, combined like the builder
+    xin = np.zeros((n_sub + M_pad, d + 1), np.float32)
+    xin[:n_sub, :d] = rows[:n_sub]
+    xin[:n_sub, d] = 1.0
+    xin[n_sub:n_sub + M, :d] = rows[n_sub:]
+    xin[n_sub:n_sub + M, d] = slot_mask
+    sc = jnp.asarray([beta], jnp.float32)
+    a = np.zeros((1, M_pad), np.float32)
+    r = np.zeros((1, M_pad), np.float32)
+    b = 0.0
+    for ax_s in range(n_samp):
+        z_blk = np.zeros((s_loc_pad, d), np.float32)
+        z_blk[:S_loc] = z[ax_s * S_loc:(ax_s + 1) * S_loc]
+        colsum, core, corerow, wcore = logreg_shard_step_partials(
+            jnp.asarray(xin), jnp.asarray(z_blk), jnp.asarray(mu)[None, :],
+            jnp.asarray(linv), jnp.asarray(w), sc, S_loc, use_beta=True)
+        # psum('data') is a no-op here (one data shard); builder scales by
+        # shard_scale == N/n == scaling / 1 ... the target scaling is applied
+        # to colsum before the residual, exactly as in the builder
+        r_unc = scaling * np.asarray(colsum) - np.asarray(wcore)  # (1, s_loc_pad)
+        a += r_unc @ np.asarray(core).T
+        r += np.asarray(corerow)
+        b += r_unc.sum()
+    g_kernel = -(a[0, :M] - (r[0, :M] / S) * b) / S
+    np.testing.assert_allclose(g_kernel, g_ref, atol=3e-4, rtol=3e-4)
+    # padded core slots contribute exactly zero
+    assert (a[0, M:] == 0.0).all() and (r[0, M:] == 0.0).all()

@@ -554,3 +554,64 @@ def test_sharded_lagged_refit(problem):
     # weight vectors land close (same key stream, slightly stale tangent)
     w1, w4 = np.asarray(res[1].wts), np.asarray(res[4].wts)
     assert np.linalg.norm(w4 - w1) < 0.5 * np.linalg.norm(w1) + 1e-6
+
+
+def test_sharded_predrawn_fast_path_matches_per_step(problem):
+    """The sharded refinement loop's pre-drawn fast path (batched noise +
+    per-shard subsample draws + pre-gathered rows, single-chip fast-path
+    parity) replays nn_adam's exact key stream through the same sampler
+    functions, so every random draw is bit-identical to the per-step
+    fallback; the joint [subsample; coreset] projection merges the two
+    centering psums into one (a collective saved per step) at the cost of
+    matmul-blocking low bits at large shapes (measured 2.5e-4 rel after a
+    30x80-step f32 trajectory at n_opt=256). At THIS f64 config the values
+    are byte-equal — pin that, plus exact selections."""
+    X, model, sampler, aux = problem
+    slow = lambda key, n, w, pts, a: sampler(key, n, w, pts, a)
+    assert getattr(slow, "from_noise", None) is None
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                            n_subsample_opt=32, opt_itrs=12, i0=1.0)
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    st0 = init_state(16, X.shape[1], dtype=ds.dtype)
+    key = jax.random.key(3)
+    out = []
+    for smp in (sampler, slow):
+        b = make_sharded_incremental_builder(ds, n_true, model, smp, cfg, mesh)
+        out.append(b(key, st0, 5))
+    np.testing.assert_array_equal(np.asarray(out[0].idcs), np.asarray(out[1].idcs))
+    np.testing.assert_array_equal(np.asarray(out[0].wts), np.asarray(out[1].wts))
+    assert int(out[0].m) == int(out[1].m) and int(out[0].m) >= 2
+
+
+@pytest.mark.parametrize("refit_every", [1, 3])
+def test_sharded_fused_step_matches_xla_path(refit_every):
+    """End to end on the mesh: a sharded build with fused_grad_step=True
+    (the shard-local Pallas partials kernel + two-psum epilogue, interpret
+    mode here) lands on the XLA pre-drawn path's weights within float
+    tolerance — same math, f32 kernel + uncentered-identity op order."""
+    from betacores_tpu.data import gen_synthetic_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+
+    _, _, Z = gen_synthetic_logreg(jax.random.key(2), 400, d=5,
+                                   dtype=jnp.float32)
+    model, sampler = logreg.bundle(), logreg_laplace_sampler()
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(Z, mesh)
+    st0 = init_state(16, Z.shape[1], beta=0.4, dtype=ds.dtype)
+    key = jax.random.key(9)
+    res = {}
+    for fused in (True, False):
+        cfg = IncrementalConfig(projection_dim=16, n_subsample_select=64,
+                                n_subsample_opt=32, opt_itrs=15, i0=1.0,
+                                use_beta=True, refit_every=refit_every,
+                                fused_grad_step=fused)
+        b = make_sharded_incremental_builder(ds, n_true, model, sampler,
+                                             cfg, mesh)
+        res[fused] = b(key, st0, 5)
+    w1, w0 = np.asarray(res[True].wts), np.asarray(res[False].wts)
+    assert int(res[True].m) == int(res[False].m)
+    np.testing.assert_array_equal(np.asarray(res[True].idcs),
+                                  np.asarray(res[False].idcs))
+    np.testing.assert_allclose(w1, w0, atol=5e-3 * max(1.0, np.abs(w0).max()))
