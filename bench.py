@@ -126,7 +126,7 @@ def run() -> float:
     return t_build
 
 
-def _backend_reachable(timeout_s: float = 600.0, attempts: int = 2) -> bool:
+def _backend_reachable(timeouts_s=(600.0, 120.0)) -> bool:
     """Probe TPU backend init in a throwaway subprocess with a hard timeout.
 
     Backend init under the axon plugin is a tunnel RPC with no client-side
@@ -135,10 +135,11 @@ def _backend_reachable(timeout_s: float = 600.0, attempts: int = 2) -> bool:
     multi-hour relay outage). Normal init is ~3-5 s, but multi-minute init
     stalls on an otherwise-healthy tunnel were observed 2026-08-19 (a
     13-minute init immediately after another process's clean exit), so the
-    probe is generous AND retried — a stalled-but-alive tunnel usually
-    recovers between attempts."""
+    FIRST probe is generous and a retry follows — a stalled-but-alive tunnel
+    usually recovers between attempts. The retry's timeout is short so the
+    guaranteed-JSON worst case stays ~12 min, not 20 (round-2 advisor)."""
     import subprocess
-    for i in range(attempts):
+    for i, timeout_s in enumerate(timeouts_s):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; print(len(jax.devices()))"],

@@ -53,8 +53,17 @@ def make_sharded_incremental_builder(
     """Returns jitted ``build(key, state, itrs) -> state`` where
     ``data_sharded`` is row-sharded over the mesh's data axis (zero-padded
     to divisibility; ``n_true`` is the unpadded row count) and the state is
-    replicated. Subsampled selection/optimization only (n_subsample_* must
-    be set: full-data mode on a shard is just the single-device builder).
+    replicated.
+
+    ``n_subsample_select/opt = None`` is FULL-DATA mode (reference
+    sparsevi.py:14-15: score ALL N candidates / exact Sigma-over-N in the
+    refinement gradient): every shard projects all of its local rows, the
+    column sums meet in one psum('data'), and the distributed argmax runs
+    over every valid row — the mode that makes "N sharded because it does
+    not fit one chip" EXACT rather than stratified. With the same key it
+    computes the single-device full-data builder's quantities up to float
+    summation order (tested); the two modes mix freely per phase
+    (e.g. full-data select + subsampled optimize).
 
     ``data_weights`` (optional, the output of ``mesh.shard_weights`` — an
     (N_pad,) vector sharded like the data rows, zero-padded) makes row n
@@ -64,8 +73,6 @@ def make_sharded_incremental_builder(
     (padding / dead merge-reduce leaf slots) are masked out of the
     distributed candidate argmax. ``None`` keeps the unweighted program
     bit-identical."""
-    if config.n_subsample_select is None or config.n_subsample_opt is None:
-        raise ValueError("sharded builder requires n_subsample_select/opt")
     if config.learn_beta and getattr(model, "beta_gradient", None) is None:
         raise ValueError("learn_beta requires a model with beta_gradient")
     weighted = data_weights is not None
@@ -84,8 +91,10 @@ def make_sharded_incremental_builder(
     if S % n_samp:
         raise ValueError(f"projection_dim {S} must divide over samp axis {n_samp}")
     S_loc = S // n_samp
-    n_sel_loc = max(1, config.n_subsample_select // n_data)
-    n_opt_loc = max(1, config.n_subsample_opt // n_data)
+    n_sel_loc = (None if config.n_subsample_select is None
+                 else max(1, config.n_subsample_select // n_data))
+    n_opt_loc = (None if config.n_subsample_opt is None
+                 else max(1, config.n_subsample_opt // n_data))
     dtype = data_sharded.dtype
     if step_sizes is None:
         step_sizes = step_schedule(config.i0, config.opt_itrs, dtype=dtype)
@@ -107,20 +116,34 @@ def make_sharded_incremental_builder(
 
     def _tangent_core(samples, st, beta, n_loc, k_sub, data_local, u_local,
                       ax_d, ax_s, local_valid, with_beta_grad: bool = False):
-        """Subsample + project against ALREADY-DRAWN (replicated) samples."""
+        """Subsample + project against ALREADY-DRAWN (replicated) samples.
+        ``n_loc=None`` is full-data mode: every valid local row, exact
+        psum'd Sigma-over-N, no stratified rescale."""
         samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
-        # stratified local subsample of this shard's valid rows
-        sub = jax.random.randint(jax.random.fold_in(k_sub, ax_d), (n_loc,), 0,
-                                 jnp.maximum(local_valid, 1))
-        vecs = _proj(data_local[sub], samples_loc, beta)
-        has_rows = (local_valid > 0).astype(dtype)
-        vecs = vecs * has_rows
-        # unbiased stratified Sigma-over-N (weighted: Sigma u_n v_n):
-        # per-shard rescale, then psum
-        usub = None if u_local is None else u_local[sub]
-        rowsum = vecs.sum(axis=0) if usub is None else usub @ vecs
-        shard_scale = local_valid.astype(dtype) / n_loc
-        total = jax.lax.psum(shard_scale * rowsum, DATA_AXIS)  # (S_loc,)
+        if n_loc is None:
+            # FULL-DATA: project all local rows; zero-padding rows (indices
+            # >= local_valid) are masked out of the target and, in select,
+            # out of the candidate argmax
+            sub = None
+            row_valid = (jnp.arange(data_local.shape[0]) < local_valid)
+            vecs = _proj(data_local, samples_loc, beta)
+            vecs = vecs * row_valid[:, None].astype(dtype)
+            usub = u_local
+            rowsum = vecs.sum(axis=0) if usub is None else usub @ vecs
+            total = jax.lax.psum(rowsum, DATA_AXIS)             # (S_loc,)
+        else:
+            # stratified local subsample of this shard's valid rows
+            sub = jax.random.randint(jax.random.fold_in(k_sub, ax_d), (n_loc,), 0,
+                                     jnp.maximum(local_valid, 1))
+            vecs = _proj(data_local[sub], samples_loc, beta)
+            has_rows = (local_valid > 0).astype(dtype)
+            vecs = vecs * has_rows
+            # unbiased stratified Sigma-over-N (weighted: Sigma u_n v_n):
+            # per-shard rescale, then psum
+            usub = None if u_local is None else u_local[sub]
+            rowsum = vecs.sum(axis=0) if usub is None else usub @ vecs
+            shard_scale = local_valid.astype(dtype) / n_loc
+            total = jax.lax.psum(shard_scale * rowsum, DATA_AXIS)  # (S_loc,)
         mask = st.slot_mask[:, None].astype(dtype)
         corevecs = _proj(st.pts, samples_loc, beta) * mask
         betagrads = None
@@ -157,8 +180,12 @@ def make_sharded_incremental_builder(
         vn = jnp.sqrt(jax.lax.psum(jnp.sum(vecs * vecs, axis=1), SAMP_AXIS))
         vn = jnp.where(vn > 0, vn, jnp.inf)
         corrs = corr_num / vn / S
-        # shards with no valid rows (padding-only) never win the argmax
-        corrs = jnp.where(local_valid > 0, corrs, -jnp.inf)
+        if sub is None:
+            # full-data: per-row padding mask (row i valid iff i < local_valid)
+            corrs = jnp.where(jnp.arange(rows_loc) < local_valid, corrs, -jnp.inf)
+        else:
+            # shards with no valid rows (padding-only) never win the argmax
+            corrs = jnp.where(local_valid > 0, corrs, -jnp.inf)
         if usub is not None:
             # zero-base-weight rows contribute nothing to the target, so
             # they must never be selectable (incremental.py weighted select)
@@ -170,8 +197,9 @@ def make_sharded_incremental_builder(
 
         best_loc = jnp.argmax(corrs)
         best_score = corrs[best_loc]
-        best_gidx = (ax_d * rows_loc + sub[best_loc]).astype(jnp.int32)
-        best_pt = data_local[sub[best_loc]]
+        sel_row = best_loc if sub is None else sub[best_loc]
+        best_gidx = (ax_d * rows_loc + sel_row).astype(jnp.int32)
+        best_pt = data_local[sel_row]
         scores_g = jax.lax.all_gather(best_score, DATA_AXIS)   # (n_data,)
         gidx_g = jax.lax.all_gather(best_gidx, DATA_AXIS)
         pts_g = jax.lax.all_gather(best_pt, DATA_AXIS)
@@ -206,7 +234,8 @@ def make_sharded_incremental_builder(
             from_noise = getattr(sampler, "from_noise", None)
             laplace_family = (fit is not None and from_fit is not None
                               and fit_aux is not None)
-            if draw_noise is not None and from_noise is not None:
+            if (draw_noise is not None and from_noise is not None
+                    and n_opt_loc is not None):
                 # Single-chip fast-path parity (coresets/incremental.py
                 # fused/pre-drawn branch, ported shard-local): pre-draw the
                 # WHOLE refinement loop's posterior noise and per-shard
