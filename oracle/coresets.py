@@ -133,6 +133,129 @@ def incremental_build_learn_beta_deterministic(
     return wts, idcs, pts, beta
 
 
+def incremental_build_weighted_deterministic(
+    data, data_weights, M, opt_itrs, step_sched, sampler_fn, lik_fn
+):
+    """Weighted-target greedy incremental coreset: row n counts ``u_n``
+    times in the residual target ``resid = sum_n u_n v_n - w . corevecs``
+    (the merge-reduce streaming contract, coresets/incremental.py
+    data_weights). Selection scoring stays per-row but u==0 rows (non-data:
+    padding / dead leaf slots) are never selectable. Independent NumPy
+    golden for the jitted ``data_weights`` path.
+    Returns (wts, idcs, pts)."""
+    data = np.asarray(data, dtype=np.float64)
+    u = np.asarray(data_weights, dtype=np.float64)
+    N, D = data.shape
+    wts = np.zeros(0)
+    idcs = np.zeros(0, dtype=np.int64)
+    pts = np.zeros((0, D))
+
+    def projections(w, p):
+        samples = sampler_fn(w, p)
+        vecs = center(lik_fn(data, samples))
+        corevecs = center(lik_fn(p, samples)) if p.shape[0] > 0 else np.zeros((0, vecs.shape[1]))
+        return vecs, corevecs
+
+    for _ in range(M):
+        # --- select: per-row scores, u==0 rows masked out ---
+        vecs, corevecs = projections(wts, pts)
+        resid = u @ vecs - wts @ corevecs
+        S = vecs.shape[1]
+        vn = np.sqrt((vecs**2).sum(axis=1))
+        vn[vn == 0] = np.inf
+        corrs = vecs @ resid / vn / S
+        corrs[u <= 0] = -np.inf
+        if corevecs.shape[0] > 0:
+            cn = np.sqrt((corevecs**2).sum(axis=1))
+            cn[cn == 0] = np.inf
+            corecorrs = np.abs(corevecs @ resid / cn) / S
+            take_new = corrs.max() > corecorrs.max()
+        else:
+            take_new = True
+        if take_new and np.isfinite(corrs.max()):
+            f = int(np.argmax(corrs))
+            if f not in idcs:
+                wts = np.append(wts, 0.0)
+                idcs = np.append(idcs, f)
+                pts = np.vstack([pts, data[f]])
+
+        # --- optimize: weighted full-data target ---
+        def grd(w, i):
+            vecs_, corevecs_ = projections(w, pts)
+            resid_ = u @ vecs_ - w @ corevecs_
+            return -corevecs_ @ resid_ / corevecs_.shape[1]
+
+        wts = nn_adam(wts, grd, opt_itrs, step_sched)
+
+    return wts, idcs, pts
+
+
+def group_incremental_build_deterministic(
+    data, groups, itrs, opt_itrs, step_sched, sampler_fn, lik_fn
+):
+    """Group-mode greedy incremental coreset (reference bcores.py:91-123 /
+    sparsevi.py:97-126 group branches), deterministic sampler, no
+    subsampling: a group's tangent vector is the SUM of its members'
+    centered projections; the winning group's members are ALL appended with
+    zero weight; refinement runs at the individual-point level against the
+    full grouped-data target. Re-selecting an already-selected group is a
+    no-op iteration (reference semantics). Independent NumPy golden for
+    ``make_group_incremental_builder``.
+
+    ``groups`` is a list of member-index lists. Returns
+    (wts, idcs, pts, selected) with selected a (G,) bool array."""
+    data = np.asarray(data, dtype=np.float64)
+    N, D = data.shape
+    G = len(groups)
+    members = [np.asarray(g, dtype=np.int64) for g in groups]
+    wts = np.zeros(0)
+    idcs = np.zeros(0, dtype=np.int64)
+    pts = np.zeros((0, D))
+    selected = np.zeros(G, dtype=bool)
+    grouped = np.concatenate(members) if G else np.zeros(0, dtype=np.int64)
+
+    def projections(w, p):
+        samples = sampler_fn(w, p)
+        vecs = center(lik_fn(data, samples))
+        corevecs = center(lik_fn(p, samples)) if p.shape[0] > 0 else np.zeros((0, vecs.shape[1]))
+        return vecs, corevecs
+
+    for _ in range(itrs):
+        # --- select (whole-group argmax) ---
+        vecs, corevecs = projections(wts, pts)
+        gvecs = np.stack([vecs[m].sum(axis=0) for m in members])   # (G, S)
+        S = vecs.shape[1]
+        resid = gvecs.sum(axis=0) - wts @ corevecs
+        vn = np.sqrt((gvecs**2).sum(axis=1))
+        vn[vn == 0] = np.inf
+        corrs = gvecs @ resid / vn / S
+        if corevecs.shape[0] > 0:
+            cn = np.sqrt((corevecs**2).sum(axis=1))
+            cn[cn == 0] = np.inf
+            corecorrs = np.abs(corevecs @ resid / cn) / S
+            take_new = corrs.max() > corecorrs.max()
+        else:
+            take_new = True
+        if take_new:
+            f = int(np.argmax(corrs))
+            if not selected[f]:
+                wts = np.concatenate([wts, np.zeros(len(members[f]))])
+                idcs = np.concatenate([idcs, members[f]])
+                pts = np.vstack([pts, data[members[f]]])
+                selected[f] = True
+
+        # --- optimize (point-level weights, full grouped-data target) ---
+        def grd(w, i):
+            vecs_, corevecs_ = projections(w, pts)
+            resid_ = vecs_[grouped].sum(axis=0) - w @ corevecs_
+            return -corevecs_ @ resid_ / corevecs_.shape[1]
+
+        if wts.shape[0] > 0:
+            wts = nn_adam(wts, grd, opt_itrs, step_sched)
+
+    return wts, idcs, pts, selected
+
+
 def bpsvi_build_deterministic(data, init_idcs, opt_itrs, step_sched, sampler_fn, lik_fn, grad_lik_fn):
     """Batch pseudo-coreset (spec: reference coreset/bpsvi.py:17-62):
     joint Adam over (w, pts) with w >= 0 only; point gradients via the

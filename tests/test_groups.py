@@ -216,3 +216,38 @@ def test_group_refine_and_uniform_group_trace(setup):
     np.testing.assert_array_equal(sorted(il.tolist()), sorted(i2.tolist()))
     np.testing.assert_allclose(sorted(wl.tolist()), sorted(w2.tolist()), rtol=1e-9)
     assert a1.selected_groups == a2.selected_groups
+
+
+def test_group_build_matches_oracle(setup):
+    """VERDICT r2 item 6: the group-append trajectory (reference
+    bcores.py:91-123) golden-checked against an independent NumPy oracle
+    (deterministic sampler, no subsampling) — the existing equivalence
+    tests (group build == sharded group build) would pass a shared bug in
+    the group tangent math."""
+    from oracle import coresets as ocs
+    from oracle import models as om
+
+    X, samples, model, groups, Siginv = setup
+    d = X.shape[1]
+    logdetSig = np.linalg.slogdet(2.0 * np.eye(d))[1]
+    gp = Groups.from_lists(groups)
+    itrs, opt_itrs, i0 = 4, 20, 0.5
+    cfg = IncrementalConfig(projection_dim=samples.shape[0],
+                            opt_itrs=opt_itrs, i0=i0)
+    builder = make_group_incremental_builder(
+        jnp.asarray(X), gp, model, fixed_sampler(jnp.asarray(samples)), cfg)
+    gst = builder(jax.random.key(0),
+                  init_group_state(init_state(60, d, dtype=jnp.float64),
+                                   gp.n_groups), itrs)
+
+    w_o, i_o, p_o, sel_o = ocs.group_incremental_build_deterministic(
+        X, groups, itrs, opt_itrs, lambda i: i0 / (1.0 + i),
+        lambda w, p: samples,
+        lambda pts, s: om.gauss_log_likelihood(pts, s, Siginv, logdetSig))
+
+    np.testing.assert_array_equal(np.asarray(gst.selected), sel_o)
+    m = int(gst.core.m)
+    assert m == len(i_o) > 0
+    np.testing.assert_array_equal(np.asarray(gst.core.idcs)[:m], i_o)
+    np.testing.assert_allclose(np.asarray(gst.core.wts)[:m], w_o,
+                               rtol=1e-6, atol=1e-9)

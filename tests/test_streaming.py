@@ -414,3 +414,40 @@ def test_review_regressions_weighted_edges(rng):
     with pytest.raises(ValueError, match="NaN"):
         select_beta(build_fn, (0.1,), lambda w, p: jnp.full(5, jnp.nan),
                     trim=0.2)
+
+
+def test_weighted_target_matches_oracle(rng):
+    """VERDICT r2 item 6: the data_weights tangent target golden-checked
+    against an independent NumPy oracle (deterministic sampler, full-data)
+    — the internal equivalences above (u=ones == unweighted, integer u ==
+    row duplication) would both pass a shared weighted-math bug."""
+    from betacores_tpu.inference import fixed_sampler
+    from oracle import coresets as ocs
+    from oracle import models as om
+
+    X, model, _, Siginv = _gauss_problem(rng, N=50)
+    d = X.shape[1]
+    logdetSig = np.linalg.slogdet(2.0 * np.eye(d))[1]
+    S = 8
+    samples = np.asarray(rng.normal(size=(S, d)))
+    u = np.ones(50)
+    u[:10] = 0.0       # non-data rows: never selectable
+    u[10:20] = 3.0
+    u[20:30] = 0.5
+    itrs, opt_itrs, i0 = 6, 15, 0.5
+    cfg = IncrementalConfig(projection_dim=S, opt_itrs=opt_itrs, i0=i0)
+    b = make_incremental_builder(X, model,
+                                 fixed_sampler(jnp.asarray(samples)), cfg,
+                                 data_weights=jnp.asarray(u))
+    st = b.build(jax.random.key(0), init_state(16, d, dtype=jnp.float64), itrs)
+
+    w_o, i_o, p_o = ocs.incremental_build_weighted_deterministic(
+        X, u, itrs, opt_itrs, lambda i: i0 / (1.0 + i),
+        lambda w, p: samples,
+        lambda pts, s: om.gauss_log_likelihood(pts, s, Siginv, logdetSig))
+    m = int(st.m)
+    assert m == len(i_o) > 0
+    np.testing.assert_array_equal(np.asarray(st.idcs)[:m], i_o)
+    np.testing.assert_allclose(np.asarray(st.wts)[:m], w_o,
+                               rtol=1e-6, atol=1e-9)
+    assert not np.isin(i_o, np.arange(10)).any()
