@@ -48,6 +48,19 @@ def main():
                     help="jointly optimize beta by gradient (the reference's "
                          "dead learn_beta path, working here)")
     ap.add_argument("--pihat-noise", type=float, default=0.75)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="BCORES only: pick beta by the trimmed held-out "
+                         "predictive criterion (coresets/select_beta.py) over "
+                         "--beta-grid before the main trajectory, overriding "
+                         "--beta. The robust alternative to --learn-beta (the "
+                         "in-build tangent objective cannot identify beta; "
+                         "see select_beta.py docstring)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.2,
+                    help="fraction of lowest held-out scores to drop; choose "
+                         ">= the suspected contamination rate")
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -104,6 +117,76 @@ def main():
         "RAND": lambda: bc.UniformSamplingCoreset(Xc, seed=args.trial),
         "PRIOR": lambda: None,
     }
+
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import select_beta
+
+        # fresh held-out CONTAMINATED draw from the same generator — the
+        # trimmed criterion is contamination-robust by construction, so the
+        # held-out split needs no oracle clean/dirty labels
+        _, Xho, _ = gen_synthetic_gaussian(jax.random.fold_in(kd, 777),
+                                           N=2000, d=d, dtype=jnp.float32)
+        M_sel = args.select_M or args.M
+        alg_sel = bc.BetaCoreset(Xc, prj_bw, beta=args.beta, **common)
+        cache = {}
+
+        def build_fn(b):
+            # beta is TRACED state (CoresetState.beta): every grid point
+            # reuses the one compiled build program
+            alg_sel._beta0 = b
+            alg_sel.reset()
+            alg_sel.build(M_sel, M_sel)
+            wb, pb = alg_sel.get()[:2]
+            cache[b] = (wb, pb)
+            return wb, pb
+
+        @jax.jit
+        def _pred_ll(wm, pm):
+            # held-out predictive: x | mu ~ N(mu, Sig), mu ~ N(mu_w, Sig_w)
+            # => x ~ N(mu_w, Sig + Sig_w); per-point log pdf
+            post = gmod.weighted_post(mu0, Sig0inv, Siginv, pm, wm)
+            L = jnp.linalg.cholesky(jnp.asarray(Sig) + post.cov)
+            r = jax.scipy.linalg.solve_triangular(L, (Xho - post.mu).T, lower=True)
+            return (-0.5 * jnp.sum(r * r, axis=0) - jnp.log(jnp.diag(L)).sum()
+                    - 0.5 * d * jnp.log(2.0 * jnp.pi))
+
+        def score_fn(wm, pm):
+            # zero-weight pad to one static shape: one compiled scorer
+            wm, pm = np.atleast_1d(wm), np.atleast_2d(pm)
+            wp = np.zeros(args.M, dtype=np.float32)
+            pp = np.zeros((args.M, d), dtype=np.float32)
+            wp[: len(wm)], pp[: len(wm)] = wm, pm
+            return _pred_ll(jnp.asarray(wp), jnp.asarray(pp))
+
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        t_sel = time.perf_counter()
+        best_beta, grid_scores = select_beta(build_fn, grid, score_fn,
+                                             trim=args.select_trim)
+        t_sel = time.perf_counter() - t_sel
+        # closed-form rKL of each candidate build vs the clean posterior —
+        # the oracle answer the criterion is supposed to recover (reporting
+        # only; the selection above never saw clean/dirty labels)
+        grid_rkl = {}
+        for b, (wb, pb) in cache.items():
+            post_b = gmod.weighted_post(mu0, Sig0inv, Siginv,
+                                        jnp.asarray(np.atleast_2d(pb)),
+                                        jnp.asarray(np.atleast_1d(wb)))
+            grid_rkl[b] = float(reverse_forward_kl(post_b, post_full)[0])
+        print("select-beta grid (beta: trimmed-pll | oracle rKL):")
+        for b, s in zip(grid, grid_scores):
+            mark = " <- selected" if b == best_beta else ""
+            print(f"  {b:g}: {s:.4f} | {grid_rkl[b]:.4g}{mark}")
+        rkl_argmin = min(grid, key=lambda b: grid_rkl[b])
+        print(f"selected beta = {best_beta:g} (oracle rKL argmin = {rkl_argmin:g}) "
+              f"[{t_sel:.1f}s for {len(grid)} builds]")
+        args.beta = best_beta
+        select_record = {"grid": grid, "scores": [float(s) for s in grid_scores],
+                         "rkl": grid_rkl, "beta": best_beta,
+                         "rkl_argmin": rkl_argmin, "trim": args.select_trim,
+                         "select_time_s": t_sel}
 
     t0 = time.perf_counter()
     w = [np.zeros(1)]
@@ -175,12 +258,13 @@ def main():
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"{args.alg}_{args.trial}"
     if args.alg == "BCORES":
-        tag += f"_b{args.beta}" + ("_learned" if args.learn_beta else "")
+        tag += f"_b{args.beta}" + ("_learned" if args.learn_beta else "") \
+            + ("_selected" if args.select_beta else "")
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"alg": args.alg, "trial": args.trial, "w": w, "p": p,
                      "rklw": rklw, "fklw": fklw, "betas": betas,
-                     "build_time_s": build_time,
+                     "build_time_s": build_time, "select_beta": select_record,
                      "mup": np.asarray(post_full.mu), "Sigp": np.asarray(post_full.cov)}, fh)
     print(f"{args.alg} trial {args.trial}: build {build_time:.1f}s, "
           f"rKL[1]={rklw[1]:.3f} rKL[M]={rklw[args.M]:.3f} -> {out}")

@@ -74,6 +74,18 @@ def main():
                          "reference every-step parity; ~4 is a measured "
                          "quality-free 20%% latency cut, RESULTS.md)")
     ap.add_argument("--beta", type=float, default=0.1)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="BCORES only: pick beta by the trimmed held-out "
+                         "predictive criterion (coresets/select_beta.py) over "
+                         "--beta-grid before the main trajectory, overriding "
+                         "--beta (the in-build tangent objective cannot "
+                         "identify beta — see select_beta.py docstring)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.2,
+                    help="fraction of lowest held-out scores to drop; choose "
+                         ">= the suspected contamination rate")
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--eval-every", type=int, default=10,
                     help="evaluate accuracy/pll every k-th coreset size")
     ap.add_argument("--mcmc-samples", type=int, default=1000)
@@ -119,6 +131,61 @@ def main():
         "RAND": lambda: bc.UniformSamplingCoreset(Z, seed=args.trial),
         "PRIOR": lambda: None,
     }
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import select_beta
+        from betacores_tpu.models.logreg import log_likelihood as lr_ll
+
+        # hold out a slice of the CORRUPTED training rows — the trimmed
+        # criterion needs no clean/dirty labels; builds use the rest
+        n_ho = min(2000, Z.shape[0] // 6)
+        Zho, Zbuild = Z[-n_ho:], Z[:-n_ho]
+        M_sel = args.select_M or args.M
+        alg_sel = bc.BetaCoreset(Zbuild, prj_bw, beta=args.beta,
+                                 learn_beta=False, **common)
+        k_score = jax.random.key(args.trial * 31 + 5)
+        S_score = 256
+
+        def build_fn(b):
+            # beta is TRACED state: one compiled build program for the grid
+            alg_sel._beta0 = b
+            alg_sel.reset()
+            alg_sel.build(M_sel, M_sel)
+            return alg_sel.get()[:2]
+
+        @jax.jit
+        def _pred_ll(wm, pm):
+            # per-point held-out predictive log-lik under the coreset's
+            # Laplace posterior: log mean_s p(z | th_s)
+            samples, _ = sampler_w(k_score, S_score, wm, pm,
+                                   jnp.zeros(D, dtype=jnp.float32))
+            ll = lr_ll(Zho, samples)
+            return (jax.scipy.special.logsumexp(ll, axis=1)
+                    - jnp.log(float(S_score)))
+
+        def score_fn(wm, pm):
+            wm, pm = np.atleast_1d(wm), np.atleast_2d(pm)
+            wp = np.zeros(args.M, dtype=np.float32)
+            pp = np.zeros((args.M, D), dtype=np.float32)
+            wp[: len(wm)], pp[: len(wm)] = wm, pm
+            return _pred_ll(jnp.asarray(wp), jnp.asarray(pp))
+
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        t_sel = time.perf_counter()
+        best_beta, grid_scores = select_beta(build_fn, grid, score_fn,
+                                             trim=args.select_trim)
+        t_sel = time.perf_counter() - t_sel
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, grid_scores)))
+        print(f"selected beta = {best_beta:g} "
+              f"[{t_sel:.1f}s for {len(grid)} builds]")
+        args.beta = best_beta
+        select_record = {"grid": grid, "scores": [float(s) for s in grid_scores],
+                         "beta": best_beta, "trim": args.select_trim,
+                         "select_time_s": t_sel}
+
     alg = algs[args.alg]()
 
     t0 = time.perf_counter()
@@ -213,13 +280,16 @@ def main():
     # config-encoding filename (reference pattern, main.py:235): include
     # every swept hyperparameter or sweep points overwrite each other
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}_i{args.i0}"
+    if args.select_beta:
+        tag += "_selected"
     if args.structured:
         tag += "_struct"
     out = os.path.join(args.results_dir, f"results_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "accs": accs, "plls": plls,
                      "build_time_s": build_time, "mcmc_times": mcmc_times,
-                     "mcmc_diagnostics": diags, "full_data": full}, fh)
+                     "mcmc_diagnostics": diags, "full_data": full,
+                     "select_beta": select_record}, fh)
     print(f"saved -> {out}")
 
 
