@@ -39,8 +39,19 @@ ALGS = ["BCORES", "SVI", "RAND", "PRIOR"]
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alg", choices=ALGS, default="BCORES")
+    ap.add_argument("--dataset", default="synth",
+                    help="synth (generator, reference "
+                         "model_neurlinr.py:80-88), or a real regression npz "
+                         "resolvable by reference_dataset_path: biketrips / "
+                         "biketrips_large / airportdelays (reference "
+                         "examples/data), movielens5 (in-repo star ratings "
+                         "1-5 as regression). The reference's boston/news/"
+                         "year loaders (model_neurlinr.py:6-35) need "
+                         "network/sklearn downloads unavailable here.")
     ap.add_argument("--trial", type=int, default=1)
-    ap.add_argument("--N", type=int, default=2000)
+    ap.add_argument("--N", type=int, default=2000,
+                    help="train rows (real datasets: subsampled without "
+                         "replacement if smaller than the file; 0 = all)")
     ap.add_argument("--D", type=int, default=12)
     ap.add_argument("--M", type=int, default=20, help="coreset iterations (batches)")
     ap.add_argument("--batch-size", type=int, default=20, help="group size")
@@ -62,11 +73,29 @@ def main():
     rng = np.random.default_rng(args.trial)
     key = jax.random.key(args.trial)
 
-    # data: synthetic regression (UCI loaders available via data.loaders)
-    X, Y, _ = gen_synthetic_linreg(key, N=args.N + 1500, D=args.D)
-    X, Y = np.asarray(X), np.asarray(Y)
-    X, Xt = X[: args.N], X[args.N :]
-    Y, Yt = Y[: args.N], Y[args.N :]
+    if args.dataset == "synth":
+        X, Y, _ = gen_synthetic_linreg(key, N=args.N + 1500, D=args.D)
+        X, Y = np.asarray(X), np.asarray(Y)
+        X, Xt = X[: args.N], X[args.N :]
+        Y, Yt = Y[: args.N], Y[args.N :]
+    else:
+        # real regression npz (VERDICT r2 item 2): same (X, y, Xt, yt)
+        # format as the logreg sets; ratings-as-regression for movielens5
+        from betacores_tpu.data.loaders import load_npz, reference_dataset_path
+
+        path = reference_dataset_path(args.dataset)
+        if path is None:
+            raise SystemExit(f"dataset {args.dataset!r} not found (searched "
+                             f"$BETACORES_DATA, repo data/, reference mirror)")
+        X, Y, Xt, Yt = load_npz(path)
+        if args.dataset.startswith("movielens"):
+            Y, Yt = Y + 1.0, Yt + 1.0  # star buckets 0..4 -> 1..5 stars
+        if args.N and args.N < X.shape[0]:
+            sel = rng.choice(X.shape[0], args.N, replace=False)
+            X, Y = X[sel], Y[sel]
+        Y, Yt = Y[:, None], Yt[:, None]
+        print(f"dataset {args.dataset}: N={X.shape[0]} d={X.shape[1]} "
+              f"test={Xt.shape[0]} (y in [{Y.min():.3g}, {Y.max():.3g}])")
     Xi, Yi = X[: args.init_size].copy(), Y[: args.init_size].copy()
     X, Y, Xi, Yi, Xt, Yt, in_m, in_s, out_m, out_s = standardize(X, Y, Xi, Yi, Xt, Yt)
 
@@ -133,7 +162,7 @@ def main():
     total = time.perf_counter() - t0
 
     os.makedirs(args.results_dir, exist_ok=True)
-    tag = f"synth_{args.alg}_frate_{args.f_rate}_beta_{args.beta}_i0_{args.i0}_{args.trial}"
+    tag = f"{args.dataset}_{args.alg}_frate_{args.f_rate}_beta_{args.beta}_i0_{args.i0}_{args.trial}"
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "rmses": rmses, "nlls": nlls,
                      "time_s": total}, fh)
