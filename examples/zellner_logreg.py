@@ -37,18 +37,21 @@ from betacores_tpu.models import logreg
 ALGS = ["BCORES", "SVI", "BPSVI", "RAND", "PRIOR"]
 
 
-def load_dataset(name: str, trial: int):
+def load_dataset(name: str, trial: int, synth_n: int = 12000, synth_d: int = 10):
     path = reference_dataset_path(name)
     if path is not None:
         X, Y, Xt, Yt = load_npz(path)
         X, Y, Z, mean_, cov_ = std_cov(X, Y)
         Xt, Yt, Zt, _, _ = std_cov(Xt, Yt, mean_, cov_)
         return (np.asarray(a, dtype=np.float32) for a in (X, Y, Z, Xt, Yt, Zt))
-    # synthetic fallback (zero-egress environments)
+    # synthetic fallback (zero-egress environments). --synth-N/--synth-d pin
+    # shapes of datasets whose raw blobs are stripped from the mirror, e.g.
+    # webspam/covtype at d=127 / N=126,185 (reference
+    # zellner_logreg/data_tabulate.py:3-7)
     k = jax.random.key(trial + 7)
     k1, k2 = jax.random.split(k)
-    X, Y, Z = gen_synthetic_logreg(k1, 12000, d=10)
-    Xt, Yt, Zt = gen_synthetic_logreg(k2, 2000, d=10)
+    X, Y, Z = gen_synthetic_logreg(k1, synth_n, d=synth_d)
+    Xt, Yt, Zt = gen_synthetic_logreg(k2, max(2000, synth_n // 6), d=synth_d)
     return X, Y, Z, Xt, Yt, Zt
 
 
@@ -56,6 +59,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alg", choices=ALGS, default="BCORES")
     ap.add_argument("--dataset", default="synth_lr")
+    ap.add_argument("--synth-N", type=int, default=12000,
+                    help="rows for the synthetic generator (used when "
+                         "--dataset resolves to no npz)")
+    ap.add_argument("--synth-d", type=int, default=10,
+                    help="feature dim for the synthetic generator (127 = "
+                         "webspam/covtype shape, reference "
+                         "data_tabulate.py:3-7)")
     ap.add_argument("--trial", type=int, default=1)
     ap.add_argument("--graddiag", action="store_true")
     ap.add_argument("--i0", type=float, default=1.0)
@@ -103,7 +113,8 @@ def main():
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
-    X, Y, Z, Xt, Yt, Zt = (jnp.asarray(a) for a in load_dataset(args.dataset, args.trial))
+    X, Y, Z, Xt, Yt, Zt = (jnp.asarray(a) for a in load_dataset(
+        args.dataset, args.trial, args.synth_N, args.synth_d))
     kp = jax.random.key(args.trial)
     X, Y, Z, out_idx = perturb_logreg(kp, X, Y, f_rate=args.f_rate,
                                       structured=args.structured)
