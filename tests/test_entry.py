@@ -77,7 +77,7 @@ def test_dryrun_axon_env_never_probes_backend():
         [sys.executable, "-c",
          "import __graft_entry__ as g; "
          "g.dryrun_multichip(2); print('AXON_GATE_OK')"],
-        env=_fresh_env(JAX_PLATFORMS="axon"), cwd=ROOT,
-        capture_output=True, text=True, timeout=1800)
+        env=_fresh_env(JAX_PLATFORMS="axon", _BETACORES_DRYRUN_SMOKE="1"),
+        cwd=ROOT, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "AXON_GATE_OK" in r.stdout

@@ -290,3 +290,53 @@ def test_multiclass_driver(tmp_path, capsys, monkeypatch):
     import pickle
     res = pickle.load(open(tmp_path / f, "rb"))
     assert np.isfinite(res["accs"]).all() and res["accs"][-1] > res["base"]
+
+
+def test_select_beta_driver_flag(tmp_path, capsys, monkeypatch):
+    """--select-beta (round-3 driver surface for coresets/select_beta.py):
+    the gaussian driver runs the grid, overrides --beta, and records the
+    grid scores in a *_selected.pk results pickle."""
+    _run("zellner_gaussian.py",
+         ["--alg", "BCORES", "--trial", "1", "--M", "3", "--N", "200",
+          "--d", "4", "--proj-dim", "8", "--opt-itrs", "5",
+          "--n-subsample-opt", "50", "--n-subsample-select", "100",
+          "--select-beta", "--beta-grid", "0.1,0.5", "--select-M", "2",
+          "--results-dir", str(tmp_path)],
+         monkeypatch)
+    (f,) = _pickles(tmp_path)
+    assert f.endswith("_selected.pk")
+    res = pickle.load(open(tmp_path / f, "rb"))
+    rec = res["select_beta"]
+    assert rec["beta"] in (0.1, 0.5)
+    assert set(rec["grid"]) == {0.1, 0.5}
+    assert all(np.isfinite(s) for s in rec["scores"])
+    assert rec["rkl_argmin"] in (0.1, 0.5)
+
+
+def test_streaming_outofcore_driver(capsys, monkeypatch):
+    """Out-of-core merge-reduce demo (round-3 verdict item 4) at toy scale:
+    streamed coreset must land closer to the exact full-data posterior than
+    the prior, and the JSON record must carry the quality fields."""
+    import json
+
+    _run("streaming_outofcore.py",
+         ["--n", "4000", "--d", "3", "--chunk", "1000", "--n-single", "2000",
+          "--m-leaf", "4", "--m-final", "6", "--proj-dim", "12",
+          "--opt-itrs", "10"],
+         monkeypatch)
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["nnz_stream"] >= 2
+    assert np.isfinite(rec["rkl_stream"]) and np.isfinite(rec["rkl_single"])
+    assert rec["rkl_stream"] < rec["rkl_prior"]
+
+
+def test_virtual_mesh_headline_driver(capsys, monkeypatch):
+    """Headline-config-on-the-virtual-mesh script (round-3 verdict item 1)
+    at toy scale: executes the sharded fast path end to end on the 8-device
+    CPU mesh and reports a sane build."""
+    _run("virtual_mesh_headline.py",
+         ["--mesh", "4x2", "--itrs", "3", "--n", "2000"],
+         monkeypatch)
+    out = capsys.readouterr().out
+    assert "selected m=" in out or "m=" in out
