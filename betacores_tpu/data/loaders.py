@@ -127,3 +127,62 @@ def groups_pickle_path(dataset: str, dataset_path: Optional[str] = None) -> Opti
             if os.path.exists(p):
                 return p
     return None
+
+def load_uci_regression(name: str, data_dir: Optional[str] = None):
+    """The reference neural-linear experiment's UCI regression loaders
+    (spec: reference examples/common/model_neurlinr.py:6-35), pandas/sklearn
+    free and gated on LOCAL files (this sandbox has zero egress; boston was
+    also removed from sklearn >= 1.2). Returns ``(X, Y)`` with ``Y`` of
+    shape (N, 1).
+
+    - ``boston``:  ``boston.csv`` (header row, MEDV target last) or the
+      classic whitespace ``housing.data`` (506 x 14, target last).
+    - ``news``:    ``news.csv`` — drop every column whose name contains
+      ``_is_``, drop the first data row and first two remaining columns
+      (url, timedelta), min-max scale features; target = last column.
+    - ``year``:    ``year.txt`` comma-delimited; X = all but last column,
+      Y = last (the reference applies this split regardless of the
+      file's column convention; behavior matched verbatim).
+    - ``prices2018``: ``prices2018.npy`` (built by
+      ``examples/preprocess.py housing``); same last-column-target split.
+
+    Searches ``data_dir`` if given, else the standard roots
+    (``$BETACORES_DATA``, repo ``data/``, reference mirror)."""
+    import numpy as _np
+
+    roots = [data_dir] if data_dir else [r for r in _data_roots() if r]
+
+    def _find(*fnames):
+        for root in roots:
+            for fn in fnames:
+                p = os.path.join(root, fn)
+                if os.path.exists(p):
+                    return p
+        raise FileNotFoundError(
+            f"{name}: none of {fnames} found under {roots} — raw UCI blobs "
+            f"are not fetchable in this sandbox; drop the file into "
+            f"$BETACORES_DATA or data/ to enable this dataset")
+
+    if name == "boston":
+        p = _find("boston.csv", "housing.data")
+        data = (_np.genfromtxt(p, delimiter=",", skip_header=1)
+                if p.endswith(".csv") else _np.genfromtxt(p))
+    elif name == "news":
+        p = _find("news.csv", "OnlineNewsPopularity.csv")
+        with open(p) as f:
+            header = [c.strip() for c in f.readline().split(",")]
+        keep = [i for i, c in enumerate(header) if "_is_" not in c]
+        data = _np.genfromtxt(p, delimiter=",", skip_header=1)[:, keep]
+        data = data[1:, 2:]  # reference drops the first data row + url/timedelta
+        X, Y = data[:, :-1], data[:, -1:]
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        span = _np.where(_np.isclose(hi - lo, 0.0), 1.0, hi - lo)
+        return (X - lo) / span, Y
+    elif name == "year":
+        data = _np.genfromtxt(_find("year.txt", "YearPredictionMSD.txt"),
+                              delimiter=",")
+    elif name == "prices2018":
+        data = _np.load(_find("prices2018.npy"))
+    else:
+        raise ValueError(f"Unsupported UCI regression dataset: {name!r}")
+    return data[:, :-1], data[:, -1:]

@@ -45,9 +45,11 @@ def main():
                          "resolvable by reference_dataset_path: biketrips / "
                          "biketrips_large / airportdelays (reference "
                          "examples/data), movielens5 (in-repo star ratings "
-                         "1-5 as regression). The reference's boston/news/"
-                         "year loaders (model_neurlinr.py:6-35) need "
-                         "network/sklearn downloads unavailable here.")
+                         "1-5 as regression), or a reference UCI name "
+                         "boston / news / year / prices2018 "
+                         "(model_neurlinr.py:6-35 loader semantics via "
+                         "data.loaders.load_uci_regression; needs the raw "
+                         "file dropped locally — zero egress here).")
     ap.add_argument("--trial", type=int, default=1)
     ap.add_argument("--N", type=int, default=2000,
                     help="train rows (real datasets: subsampled without "
@@ -78,6 +80,22 @@ def main():
         X, Y = np.asarray(X), np.asarray(Y)
         X, Xt = X[: args.N], X[args.N :]
         Y, Yt = Y[: args.N], Y[args.N :]
+    elif args.dataset in ("boston", "news", "year", "prices2018"):
+        # the reference's own UCI loaders (model_neurlinr.py:6-35), local
+        # files only; 80/20 split like its driver (main.py uses sklearn
+        # train_test_split on the loaded arrays)
+        from betacores_tpu.data.loaders import load_uci_regression
+
+        X, Y = load_uci_regression(args.dataset)
+        perm = rng.permutation(X.shape[0])
+        n_te = max(1, int(0.2 * X.shape[0]))
+        X, Y = X[perm].astype(np.float64), Y[perm].astype(np.float64)
+        Xt, Yt = X[:n_te], Y[:n_te]
+        X, Y = X[n_te:], Y[n_te:]
+        if args.N and args.N < X.shape[0]:
+            X, Y = X[: args.N], Y[: args.N]
+        print(f"dataset {args.dataset}: N={X.shape[0]} d={X.shape[1]} "
+              f"test={Xt.shape[0]} (y in [{Y.min():.3g}, {Y.max():.3g}])")
     else:
         # real regression npz (VERDICT r2 item 2): same (X, y, Xt, yt)
         # format as the logreg sets; ratings-as-regression for movielens5
