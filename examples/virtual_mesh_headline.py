@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--mesh", default="4x2", help="data x samp mesh shape")
     ap.add_argument("--itrs", type=int, default=100, help="selections (M)")
     ap.add_argument("--n", type=int, default=1_000_000)
+    # headline values by default; the smoke test shrinks them
+    ap.add_argument("--proj-dim", type=int, default=100)
+    ap.add_argument("--opt-itrs", type=int, default=500)
+    ap.add_argument("--n-subsample-select", type=int, default=1000)
+    ap.add_argument("--n-subsample-opt", type=int, default=200)
     args = ap.parse_args()
     n_data, n_samp = (int(t) for t in args.mesh.split("x"))
 
@@ -55,14 +60,16 @@ def main():
                                         shard_data)
 
     assert jax.device_count() >= n_data * n_samp, jax.devices()
-    N, D_FEAT, S = args.n, 10, 100
+    N, D_FEAT, S = args.n, 10, args.proj_dim
     k0, k1, k2 = jax.random.split(jax.random.key(0), 3)
     X, y, Z = gen_synthetic_logreg(k0, N, d=D_FEAT, dtype=jnp.float32)
     X, y, Z, _ = perturb_logreg(k1, X, y, f_rate=0.1)
     Z = jax.block_until_ready(Z)
 
-    cfg = IncrementalConfig(projection_dim=S, n_subsample_select=1000,
-                            n_subsample_opt=200, opt_itrs=500, i0=1.0,
+    cfg = IncrementalConfig(projection_dim=S,
+                            n_subsample_select=args.n_subsample_select,
+                            n_subsample_opt=args.n_subsample_opt,
+                            opt_itrs=args.opt_itrs, i0=1.0,
                             use_beta=True)
     model, sampler = logreg.bundle(), logreg_laplace_sampler()
     mesh = make_mesh(n_data, n_samp)

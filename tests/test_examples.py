@@ -336,7 +336,28 @@ def test_virtual_mesh_headline_driver(capsys, monkeypatch):
     at toy scale: executes the sharded fast path end to end on the 8-device
     CPU mesh and reports a sane build."""
     _run("virtual_mesh_headline.py",
-         ["--mesh", "4x2", "--itrs", "3", "--n", "2000"],
+         ["--mesh", "4x2", "--itrs", "3", "--n", "2000", "--proj-dim", "16",
+          "--opt-itrs", "10", "--n-subsample-select", "120",
+          "--n-subsample-opt", "60"],
          monkeypatch)
     out = capsys.readouterr().out
     assert "selected m=" in out or "m=" in out
+
+
+def test_dp_bpsvi_driver(tmp_path, capsys, monkeypatch):
+    """Privacy/utility driver for DiffPrivBatchPSVICoreset (the component
+    the reference exports but does not ship): finite-eps rows must carry a
+    positive RDP bound and coreset quality far above the prior."""
+    import json
+
+    _run("dp_bpsvi.py",
+         ["--N", "400", "--d", "3", "--M", "6", "--proj-dim", "16",
+          "--opt-itrs", "30", "--n-subsample-opt", "64",
+          "--noise-grid", "1.0", "--results-dir", str(tmp_path)],
+         monkeypatch)
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    (np_row, dp_row) = rec["rows"]
+    assert np_row["eps"] == float("inf") and dp_row["eps"] > 0
+    assert dp_row["rkl"] < rec["rkl_prior"] / 10
+    assert any(f.endswith(".pk") for f in os.listdir(tmp_path))
