@@ -337,9 +337,12 @@ def make_incremental_builder(
                     want = config.fused_grad_step
                     # gridless kernel: the whole (R, s_pad) step block plus
                     # ~6 f32 intermediates must fit scoped VMEM (~16 MB) —
-                    # large n_subsample_opt stays on the tiled XLA path
-                    _R = n_opt + -(-st.pts.shape[0] // 128) * 128
-                    _s_pad = -(-S // 128) * 128
+                    # large n_subsample_opt stays on the tiled XLA path.
+                    # R uses the PADDED row counts the kernel actually
+                    # receives (subsample rounded to 8, buffer to 128)
+                    from ..ops.pallas_kernels import _round_up
+                    _R = _round_up(n_opt, 8) + _round_up(st.pts.shape[0], 128)
+                    _s_pad = _round_up(S, 128)
                     fits_vmem = _R * _s_pad * 4 * 6 <= 12 * 1024 * 1024
                     use_fused = (
                         fstep is not None and u is None and fits_vmem

@@ -32,7 +32,7 @@ from typing import Callable, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["trimmed_mean", "select_beta"]
+__all__ = ["trimmed_mean", "select_beta", "padded_scorer", "driver_select_beta"]
 
 
 def trimmed_mean(x: jnp.ndarray, trim: float) -> jnp.ndarray:
@@ -81,3 +81,48 @@ def select_beta(
         raise ValueError(f"select_beta: every candidate build scored NaN/inf "
                          f"(scores={scores})")
     return float(betas[int(np.argmax(ranked))]), scores
+
+
+def padded_scorer(M: int, D: int, pred_ll: Callable, dtype=np.float32) -> Callable:
+    """Wrap a jitted ``pred_ll(wts, pts, *extra)`` into a ``score_fn(w, p)``
+    that zero-weight-pads every build to ONE static (M, D) shape, so the
+    whole beta grid reuses a single compiled scorer (driver-surface glue
+    shared by examples/zellner_gaussian.py and zellner_logreg.py)."""
+    def score_fn(wm, pm):
+        wm, pm = np.atleast_1d(wm), np.atleast_2d(pm)
+        wp = np.zeros(M, dtype=dtype)
+        pp = np.zeros((M, D), dtype=dtype)
+        wp[: len(wm)], pp[: len(wm)] = wm, pm
+        return pred_ll(jnp.asarray(wp), jnp.asarray(pp))
+    return score_fn
+
+
+def driver_select_beta(alg_sel, grid: Sequence[float], score_fn: Callable,
+                       trim: float, M_sel: int):
+    """The --select-beta driver block shared by the example drivers: run the
+    grid through ``select_beta`` on a warm eager coreset (beta is traced
+    state, so one compiled build program serves the whole grid), time it,
+    and assemble the results-pickle record.
+
+    Returns (best_beta, record, cache) where cache[beta] = (wts, pts) of
+    each candidate build (the gaussian driver scores them against its
+    closed-form oracle for reporting)."""
+    import time
+
+    cache = {}
+
+    def build_fn(b):
+        alg_sel._beta0 = b
+        alg_sel.reset()
+        alg_sel.build(M_sel, M_sel)
+        wb, pb = alg_sel.get()[:2]
+        cache[b] = (wb, pb)
+        return wb, pb
+
+    t0 = time.perf_counter()
+    best_beta, scores = select_beta(build_fn, list(grid), score_fn, trim=trim)
+    t_sel = time.perf_counter() - t0
+    record = {"grid": [float(b) for b in grid],
+              "scores": [float(s) for s in scores],
+              "beta": best_beta, "trim": trim, "select_time_s": t_sel}
+    return best_beta, record, cache

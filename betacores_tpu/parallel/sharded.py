@@ -273,9 +273,11 @@ def make_sharded_incremental_builder(
                 # gridless kernel: the local (R, s_loc_pad) step block plus
                 # intermediates must fit scoped VMEM (always true at sharded
                 # per-device shapes; the check keeps parity with the
-                # single-chip gate)
-                _R = n_opt_loc + -(-M_buf // 128) * 128
-                _s_loc_pad = -(-S_loc // 128) * 128
+                # single-chip gate). R uses the PADDED row counts the kernel
+                # actually receives (subsample rounded to 8, buffer to 128)
+                from ..ops.pallas_kernels import _round_up
+                _R = _round_up(n_opt_loc, 8) + _round_up(M_buf, 128)
+                _s_loc_pad = _round_up(S_loc, 128)
                 fits_vmem = _R * _s_loc_pad * 4 * 6 <= 12 * 1024 * 1024
                 use_fused = (
                     fstep is not None and u_local is None and laplace_family

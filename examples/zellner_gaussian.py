@@ -122,7 +122,8 @@ def main():
     if args.select_beta:
         if args.alg != "BCORES":
             raise SystemExit("--select-beta only applies to BCORES")
-        from betacores_tpu.coresets.select_beta import select_beta
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
 
         # fresh held-out CONTAMINATED draw from the same generator — the
         # trimmed criterion is contamination-robust by construction, so the
@@ -131,41 +132,23 @@ def main():
                                            N=2000, d=d, dtype=jnp.float32)
         M_sel = args.select_M or args.M
         alg_sel = bc.BetaCoreset(Xc, prj_bw, beta=args.beta, **common)
-        cache = {}
-
-        def build_fn(b):
-            # beta is TRACED state (CoresetState.beta): every grid point
-            # reuses the one compiled build program
-            alg_sel._beta0 = b
-            alg_sel.reset()
-            alg_sel.build(M_sel, M_sel)
-            wb, pb = alg_sel.get()[:2]
-            cache[b] = (wb, pb)
-            return wb, pb
 
         @jax.jit
-        def _pred_ll(wm, pm):
+        def _pred_ll(wm, pm, xho):
             # held-out predictive: x | mu ~ N(mu, Sig), mu ~ N(mu_w, Sig_w)
-            # => x ~ N(mu_w, Sig + Sig_w); per-point log pdf
+            # => x ~ N(mu_w, Sig + Sig_w); per-point log pdf. xho is a jit
+            # ARGUMENT (CLAUDE.md: never close a jitted fn over a dataset)
             post = gmod.weighted_post(mu0, Sig0inv, Siginv, pm, wm)
             L = jnp.linalg.cholesky(jnp.asarray(Sig) + post.cov)
-            r = jax.scipy.linalg.solve_triangular(L, (Xho - post.mu).T, lower=True)
+            r = jax.scipy.linalg.solve_triangular(L, (xho - post.mu).T, lower=True)
             return (-0.5 * jnp.sum(r * r, axis=0) - jnp.log(jnp.diag(L)).sum()
                     - 0.5 * d * jnp.log(2.0 * jnp.pi))
 
-        def score_fn(wm, pm):
-            # zero-weight pad to one static shape: one compiled scorer
-            wm, pm = np.atleast_1d(wm), np.atleast_2d(pm)
-            wp = np.zeros(args.M, dtype=np.float32)
-            pp = np.zeros((args.M, d), dtype=np.float32)
-            wp[: len(wm)], pp[: len(wm)] = wm, pm
-            return _pred_ll(jnp.asarray(wp), jnp.asarray(pp))
-
+        score_fn = padded_scorer(args.M, d,
+                                 lambda w, p: _pred_ll(w, p, jnp.asarray(Xho)))
         grid = [float(b) for b in args.beta_grid.split(",")]
-        t_sel = time.perf_counter()
-        best_beta, grid_scores = select_beta(build_fn, grid, score_fn,
-                                             trim=args.select_trim)
-        t_sel = time.perf_counter() - t_sel
+        best_beta, select_record, cache = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
         # closed-form rKL of each candidate build vs the clean posterior —
         # the oracle answer the criterion is supposed to recover (reporting
         # only; the selection above never saw clean/dirty labels)
@@ -176,17 +159,14 @@ def main():
                                         jnp.asarray(np.atleast_1d(wb)))
             grid_rkl[b] = float(reverse_forward_kl(post_b, post_full)[0])
         print("select-beta grid (beta: trimmed-pll | oracle rKL):")
-        for b, s in zip(grid, grid_scores):
+        for b, s in zip(grid, select_record["scores"]):
             mark = " <- selected" if b == best_beta else ""
             print(f"  {b:g}: {s:.4f} | {grid_rkl[b]:.4g}{mark}")
         rkl_argmin = min(grid, key=lambda b: grid_rkl[b])
         print(f"selected beta = {best_beta:g} (oracle rKL argmin = {rkl_argmin:g}) "
-              f"[{t_sel:.1f}s for {len(grid)} builds]")
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} builds]")
         args.beta = best_beta
-        select_record = {"grid": grid, "scores": [float(s) for s in grid_scores],
-                         "rkl": grid_rkl, "beta": best_beta,
-                         "rkl_argmin": rkl_argmin, "trim": args.select_trim,
-                         "select_time_s": t_sel}
+        select_record.update({"rkl": grid_rkl, "rkl_argmin": rkl_argmin})
 
     t0 = time.perf_counter()
     w = [np.zeros(1)]

@@ -146,56 +146,41 @@ def main():
     if args.select_beta:
         if args.alg != "BCORES":
             raise SystemExit("--select-beta only applies to BCORES")
-        from betacores_tpu.coresets.select_beta import select_beta
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
         from betacores_tpu.models.logreg import log_likelihood as lr_ll
 
         # hold out a slice of the CORRUPTED training rows — the trimmed
         # criterion needs no clean/dirty labels; builds use the rest
-        n_ho = min(2000, Z.shape[0] // 6)
-        Zho, Zbuild = Z[-n_ho:], Z[:-n_ho]
+        n_ho = min(2000, max(1, Z.shape[0] // 6))
+        Zho, Zbuild = Z[-n_ho:], Z[: Z.shape[0] - n_ho]
         M_sel = args.select_M or args.M
         alg_sel = bc.BetaCoreset(Zbuild, prj_bw, beta=args.beta,
                                  learn_beta=False, **common)
         k_score = jax.random.key(args.trial * 31 + 5)
         S_score = 256
 
-        def build_fn(b):
-            # beta is TRACED state: one compiled build program for the grid
-            alg_sel._beta0 = b
-            alg_sel.reset()
-            alg_sel.build(M_sel, M_sel)
-            return alg_sel.get()[:2]
-
         @jax.jit
-        def _pred_ll(wm, pm):
+        def _pred_ll(wm, pm, zho):
             # per-point held-out predictive log-lik under the coreset's
-            # Laplace posterior: log mean_s p(z | th_s)
+            # Laplace posterior: log mean_s p(z | th_s). zho is a jit
+            # ARGUMENT (CLAUDE.md: never close a jitted fn over a dataset)
             samples, _ = sampler_w(k_score, S_score, wm, pm,
                                    jnp.zeros(D, dtype=jnp.float32))
-            ll = lr_ll(Zho, samples)
+            ll = lr_ll(zho, samples)
             return (jax.scipy.special.logsumexp(ll, axis=1)
                     - jnp.log(float(S_score)))
 
-        def score_fn(wm, pm):
-            wm, pm = np.atleast_1d(wm), np.atleast_2d(pm)
-            wp = np.zeros(args.M, dtype=np.float32)
-            pp = np.zeros((args.M, D), dtype=np.float32)
-            wp[: len(wm)], pp[: len(wm)] = wm, pm
-            return _pred_ll(jnp.asarray(wp), jnp.asarray(pp))
-
+        score_fn = padded_scorer(args.M, D,
+                                 lambda w, p: _pred_ll(w, p, jnp.asarray(Zho)))
         grid = [float(b) for b in args.beta_grid.split(",")]
-        t_sel = time.perf_counter()
-        best_beta, grid_scores = select_beta(build_fn, grid, score_fn,
-                                             trim=args.select_trim)
-        t_sel = time.perf_counter() - t_sel
+        best_beta, select_record, _ = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
         print("select-beta grid: " + "  ".join(
-            f"{b:g}:{s:.4f}" for b, s in zip(grid, grid_scores)))
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, select_record["scores"])))
         print(f"selected beta = {best_beta:g} "
-              f"[{t_sel:.1f}s for {len(grid)} builds]")
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} builds]")
         args.beta = best_beta
-        select_record = {"grid": grid, "scores": [float(s) for s in grid_scores],
-                         "beta": best_beta, "trim": args.select_trim,
-                         "select_time_s": t_sel}
 
     alg = algs[args.alg]()
 

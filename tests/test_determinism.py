@@ -53,7 +53,7 @@ def test_jit_no_jit_equivalence(problem):
     import dataclasses
 
     X, model, sampler, cfg = problem
-    cfg = dataclasses.replace(cfg, opt_itrs=4)
+    cfg = dataclasses.replace(cfg, opt_itrs=2)
     b = make_incremental_builder(X, model, sampler, cfg)
     st0 = init_state(16, X.shape[1], dtype=X.dtype)
     jitted = np.asarray(b.build(jax.random.key(3), st0, 2).wts)

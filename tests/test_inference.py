@@ -148,10 +148,10 @@ def test_run_chains_weighted_logreg_diagnosed():
 
     _, _, Z = gen_synthetic_logreg(jax.random.key(0), 400, d=3)
     w = jnp.ones(Z.shape[0])
-    cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+    cfg = hmc.HMCConfig(n_samples=250, n_warmup=200, L_max=16)
     s, stats = run_chains_weighted_logreg(jax.random.key(1), Z, w,
                                           jnp.zeros(3), 2, cfg)
-    assert s.shape == (2, 400, 3)
+    assert s.shape == (2, 250, 3)
     summ = summarize_chains(s)
     assert (np.asarray(summ["rhat"]) < 1.1).all()
     sampler = logreg_laplace_sampler(n_newton=20)
@@ -176,10 +176,10 @@ def test_run_chains_weighted_poisson_diagnosed():
 
     X, y, Z, th_true = gen_synthetic_poisson(jax.random.key(0), 500, d=3)
     w = jnp.ones(Z.shape[0])
-    cfg = hmc.HMCConfig(n_samples=400, n_warmup=300, L_max=16)
+    cfg = hmc.HMCConfig(n_samples=250, n_warmup=200, L_max=16)
     s, _ = run_chains_weighted_poisson(jax.random.key(1), Z, w,
                                        jnp.zeros(3), 2, cfg)
-    assert s.shape == (2, 400, 3) and np.isfinite(np.asarray(s)).all()
+    assert s.shape == (2, 250, 3) and np.isfinite(np.asarray(s)).all()
     summ = summarize_chains(s)
     assert (np.asarray(summ["rhat"]) < 1.1).all()
     sampler = poisson_laplace_sampler(n_newton=20)
@@ -207,7 +207,7 @@ class TestDiagnostics:
     def test_ar1_ess_matches_theory(self, rng):
         from betacores_tpu.inference import effective_sample_size
 
-        C, n, d, rho = 4, 2000, 2, 0.9
+        C, n, d, rho = 4, 1200, 2, 0.9
         x = np.zeros((C, n, d))
         eps = rng.normal(size=(C, n, d)) * np.sqrt(1 - rho**2)
         for t in range(1, n):
@@ -229,9 +229,9 @@ class TestDiagnostics:
         def logprob(th):
             return -0.5 * jnp.sum(th * th)
 
-        # 8 x 250 draws: se(mean) ~ 0.02 against the atol=0.1 contract below,
-        # and dual-averaging settles well inside 200 warmup steps
-        cfg = hmc.HMCConfig(n_samples=250, n_warmup=200, L_max=16)
+        # 8 x 150 draws: se(mean) ~ 0.03 against the atol=0.1 contract below,
+        # and dual-averaging settles well inside 150 warmup steps
+        cfg = hmc.HMCConfig(n_samples=150, n_warmup=150, L_max=16)
         mesh = make_mesh(4, 2)
         s1, st1 = hmc.run_chains(jax.random.key(1), logprob, jnp.zeros(2), 8, cfg)
         s2, st2 = run_chains_sharded(jax.random.key(1), logprob, jnp.zeros(2), 8, mesh, cfg)

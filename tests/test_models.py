@@ -102,11 +102,11 @@ class TestGaussian:
         mu = np.zeros(self.d)
         post = gaussian.GaussianPosterior(mu=jnp.asarray(mu), prec_chol=jnp.asarray(np.linalg.cholesky(self.Siginv)))
         Sig = np.asarray(post.cov)
-        samps = gaussian.sample_gaussian_prec(jax.random.key(1), post, 400_000)
+        samps = gaussian.sample_gaussian_prec(jax.random.key(1), post, 150_000)
         ll = np.asarray(gaussian.log_likelihood(jnp.asarray(self.x), samps, jnp.asarray(self.Siginv), self.logdetSig))
         mean_want, var_want = om.gauss_ll_moments_exact(self.x, mu, Sig, self.Siginv, self.logdetSig)
-        np.testing.assert_allclose(ll.mean(axis=1), mean_want, rtol=2e-2)
-        np.testing.assert_allclose(ll.var(axis=1), var_want, rtol=5e-2)
+        np.testing.assert_allclose(ll.mean(axis=1), mean_want, rtol=4e-2)
+        np.testing.assert_allclose(ll.var(axis=1), var_want, rtol=1e-1)
 
     def test_kl_zero_and_positive(self, rng):
         Sig0 = _rand_spd(rng, self.d)
