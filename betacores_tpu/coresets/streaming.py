@@ -53,6 +53,9 @@ def merge_reduce_build(
     st_final: Optional[CoresetState] = None,
     parallel_leaves: bool = False,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
+    max_union_rows: Optional[int] = None,
 ) -> Tuple[CoresetState, jnp.ndarray, jnp.ndarray]:
     """Merge-reduce build: K = ceil(N / chunk_size) leaf builds of m_leaf
     points each, then one final weighted build of m_final points over the
@@ -74,7 +77,25 @@ def merge_reduce_build(
     padded up to a multiple of the data-axis size with all-zero-weight
     chunks, whose leaf weights provably come out zero (zero target, zero
     gradient); the pad lanes are sliced off before the final build, so the
-    returned union shape and the final coreset are mesh-shape independent."""
+    returned union shape and the final coreset are mesh-shape independent.
+
+    ``checkpoint_path`` (streaming path only) makes the hours-long leaf
+    pass FAULT-TOLERANT: after every ``checkpoint_every`` leaves the
+    accumulated leaf coresets are written atomically (tmp + os.replace) to
+    that .npz path; a rerun with the same arguments resumes at the first
+    unfinished leaf and — because every leaf key derives deterministically
+    from ``key`` — produces bit-identical results to an uninterrupted run
+    (the key fingerprint and problem shape are validated on resume; the
+    file is removed after the final build succeeds).
+
+    ``max_union_rows`` enables HIERARCHICAL reduction for unbounded N: if
+    the (K * M_buf_leaf)-row leaf union exceeds it, consecutive groups of
+    ``max_union_rows`` weighted rows are themselves summarized into
+    m_leaf-point coresets (one compiled weighted-build program reused
+    across every group and level), recursing until the union fits — the
+    classical merge-reduce tree (peak memory O(max_union_rows) instead of
+    O(N/chunk_size * M_buf); per-level approximation error composes
+    additively in the tangent norm)."""
     N, D = data.shape
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
@@ -137,9 +158,16 @@ def merge_reduce_build(
             leaf_wts = jax.device_put(leaf_wts, NamedSharding(mesh, P()))
             leaf_pts = jax.device_put(leaf_pts, NamedSharding(mesh, P()))
     else:
-        wts_list, pts_list = [], []
+        M_buf_leaf = st_leaf.wts.shape[0]
+        wts_acc = np.zeros((K, M_buf_leaf), dtype=dtype)
+        pts_acc = np.zeros((K, M_buf_leaf, D), dtype=dtype)
+        i0 = 0
+        key_fp = np.asarray(jax.random.key_data(key))
+        if checkpoint_path is not None:
+            i0 = _load_leaf_checkpoint(checkpoint_path, key_fp,
+                                       (K, M_buf_leaf, D), wts_acc, pts_acc)
         data = np.asarray(data)
-        for i in range(K):
+        for i in range(i0, K):
             chunk = data[i * chunk_size:(i + 1) * chunk_size]
             n_i = chunk.shape[0]
             u_i = np.ones(chunk_size)
@@ -150,10 +178,52 @@ def merge_reduce_build(
             st_i = builder.build_with_data(
                 jnp.asarray(chunk, dtype=dtype), jnp.asarray(u_i, dtype=dtype),
                 leaf_keys[i], st_leaf, m_leaf)
-            wts_list.append(st_i.wts)
-            pts_list.append(st_i.pts)
-        leaf_wts = jnp.concatenate(wts_list)
-        leaf_pts = jnp.concatenate(pts_list)
+            wts_acc[i] = np.asarray(st_i.wts)
+            pts_acc[i] = np.asarray(st_i.pts)
+            if (checkpoint_path is not None
+                    and ((i + 1) % max(1, checkpoint_every) == 0 or i == K - 1)):
+                _save_leaf_checkpoint(checkpoint_path, key_fp, i + 1,
+                                      wts_acc, pts_acc)
+        leaf_wts = jnp.asarray(wts_acc.reshape(-1))
+        leaf_pts = jnp.asarray(pts_acc.reshape(-1, D))
+
+    if max_union_rows is not None:
+        # hierarchical reduction: summarize groups of max_union_rows
+        # weighted rows into m_leaf-point coresets until the union fits.
+        # ONE weighted-build program (static (max_union_rows, D) shape)
+        # serves every group of every level.
+        M_buf_leaf = st_leaf.wts.shape[0]
+        if max_union_rows < 2 * M_buf_leaf:
+            raise ValueError(
+                f"max_union_rows ({max_union_rows}) must be >= 2x the leaf "
+                f"buffer ({M_buf_leaf}) or each level cannot shrink the union")
+        red_builder = None
+        level = 0
+        while leaf_wts.shape[0] > max_union_rows:
+            R = leaf_wts.shape[0]
+            G = math.ceil(R / max_union_rows)
+            rows_pad = G * max_union_rows
+            w_np = np.zeros(rows_pad, dtype=dtype)
+            p_np = np.zeros((rows_pad, D), dtype=dtype)
+            w_np[:R] = np.asarray(leaf_wts)   # pad rows: zero weight = inert
+            p_np[:R] = np.asarray(leaf_pts)
+            if red_builder is None:
+                red_builder = make_incremental_builder(
+                    np.zeros((max_union_rows, D), dtype=dtype), model,
+                    sampler, leaf_config)
+            keys_lvl = jax.random.split(
+                jax.random.fold_in(final_key, 1000 + level), G)
+            nw, npts = [], []
+            for g in range(G):
+                sl = slice(g * max_union_rows, (g + 1) * max_union_rows)
+                st_g = red_builder.build_with_data(
+                    jnp.asarray(p_np[sl]), jnp.asarray(w_np[sl]),
+                    keys_lvl[g], st_leaf, m_leaf)
+                nw.append(np.asarray(st_g.wts))
+                npts.append(np.asarray(st_g.pts))
+            leaf_wts = jnp.asarray(np.concatenate(nw))
+            leaf_pts = jnp.asarray(np.concatenate(npts, axis=0))
+            level += 1
 
     if st_final is None:
         st_final = init_state(m_final, D, beta=float(st_leaf.beta), dtype=dtype)
@@ -162,4 +232,47 @@ def merge_reduce_build(
     final_builder = make_incremental_builder(
         leaf_pts, model, sampler, final_config, data_weights=leaf_wts)
     final_state = final_builder.build(final_key, st_final, m_final)
+    if checkpoint_path is not None and not parallel_leaves:
+        import contextlib
+        import os
+        with contextlib.suppress(OSError):
+            os.remove(checkpoint_path)
     return final_state, leaf_pts, leaf_wts
+
+
+def _save_leaf_checkpoint(path: str, key_fp: np.ndarray, n_done: int,
+                          wts_acc: np.ndarray, pts_acc: np.ndarray) -> None:
+    """Atomic (tmp + rename) save of the leaf pass so far."""
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, key_fp=key_fp, n_done=np.int64(n_done),
+                 wts=wts_acc, pts=pts_acc)
+    os.replace(tmp, path)
+
+
+def _load_leaf_checkpoint(path: str, key_fp: np.ndarray, shape3, wts_acc,
+                          pts_acc) -> int:
+    """Resume point (leaves already done) from a checkpoint, or 0. Raises if
+    the checkpoint belongs to a different key or problem shape — resuming a
+    different stream would silently corrupt the result."""
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    K, M_buf, D = shape3
+    with np.load(path) as z:
+        if not np.array_equal(np.asarray(z["key_fp"]), key_fp):
+            raise ValueError(
+                f"streaming checkpoint {path!r} was written under a different "
+                f"PRNG key — pass the original key or delete the file")
+        if z["wts"].shape != (K, M_buf) or z["pts"].shape != (K, M_buf, D):
+            raise ValueError(
+                f"streaming checkpoint {path!r} shape {z['wts'].shape} does "
+                f"not match this problem (K={K}, M_buf={M_buf}, d={D}) — "
+                f"delete the file to start over")
+        n_done = int(z["n_done"])
+        wts_acc[:n_done] = z["wts"][:n_done]
+        pts_acc[:n_done] = z["pts"][:n_done]
+    return n_done

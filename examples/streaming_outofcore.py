@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--opt-itrs", type=int, default=300)
     ap.add_argument("--i0", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--checkpoint", default="",
+                    help="npz path: leaf-pass fault tolerance — crash and "
+                         "rerun with the same args to resume bit-identically")
+    ap.add_argument("--max-union-rows", type=int, default=0,
+                    help=">0: hierarchical merge-reduce tree, capping every "
+                         "level's working set at this many weighted rows")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +113,9 @@ def main():
     final_state, leaf_pts, leaf_wts = merge_reduce_build(
         jax.random.key(args.seed), data, model, sampler,
         leaf_config=cfg, final_config=cfg, chunk_size=C,
-        m_leaf=args.m_leaf, m_final=args.m_final, st_leaf=st_leaf)
+        m_leaf=args.m_leaf, m_final=args.m_final, st_leaf=st_leaf,
+        checkpoint_path=args.checkpoint or None,
+        max_union_rows=args.max_union_rows or None)
     w = np.asarray(jax.block_until_ready(final_state.wts))
     p = np.asarray(final_state.pts)
     t_stream = time.perf_counter() - t0

@@ -451,3 +451,98 @@ def test_weighted_target_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(st.wts)[:m], w_o,
                                rtol=1e-6, atol=1e-9)
     assert not np.isin(i_o, np.arange(10)).any()
+
+
+def test_checkpoint_resume_bit_identical(rng, tmp_path):
+    """Streaming fault tolerance (round 3): crash after 2 of 4 leaves, rerun
+    with the same args + checkpoint_path -> bit-identical to an
+    uninterrupted run; the checkpoint is removed on success; resuming under
+    a different key refuses."""
+    import betacores_tpu.coresets.streaming as streaming_mod
+
+    d = 3
+    Xall, _ = _contaminated(rng, N=800, d=d)
+    X = jnp.asarray(Xall)
+    _, model, smp, _ = _gauss_problem(rng, N=4)
+    cfg = IncrementalConfig(projection_dim=12, n_subsample_select=80,
+                            n_subsample_opt=40, opt_itrs=12, i0=1.0,
+                            use_beta=True)
+    st_leaf = init_state(6, d, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(3)
+    args = dict(model=model, sampler=smp, leaf_config=cfg, final_config=cfg,
+                chunk_size=220, m_leaf=5, m_final=8, st_leaf=st_leaf)
+
+    st_ref, lp_ref, lw_ref = merge_reduce_build(key, X, **args)
+
+    ck = str(tmp_path / "mr.npz")
+    orig_make = streaming_mod.make_incremental_builder
+    calls = {"n": 0}
+
+    def crashing_make(*a, **k):
+        b = orig_make(*a, **k)
+        orig_bwd = b.build_with_data
+
+        def bwd(*aa, **kk):
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash")
+            calls["n"] += 1
+            return orig_bwd(*aa, **kk)
+
+        b.build_with_data = bwd
+        return b
+
+    streaming_mod.make_incremental_builder = crashing_make
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_reduce_build(key, X, checkpoint_path=ck, **args)
+    finally:
+        streaming_mod.make_incremental_builder = orig_make
+
+    import os
+    assert os.path.exists(ck)
+    with np.load(ck) as z:
+        assert int(z["n_done"]) == 2
+
+    # wrong key refuses to resume
+    with pytest.raises(ValueError, match="different"):
+        merge_reduce_build(jax.random.key(99), X, checkpoint_path=ck, **args)
+
+    st_r, lp_r, lw_r = merge_reduce_build(key, X, checkpoint_path=ck, **args)
+    np.testing.assert_array_equal(np.asarray(st_r.idcs), np.asarray(st_ref.idcs))
+    np.testing.assert_allclose(np.asarray(st_r.wts), np.asarray(st_ref.wts),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lw_r), np.asarray(lw_ref),
+                               rtol=0, atol=0)
+    assert not os.path.exists(ck)  # removed after success
+
+
+def test_hierarchical_reduction_caps_union_and_keeps_quality(rng):
+    """max_union_rows (round 3): the union fed to the final build never
+    exceeds the cap (multi-level tree actually engaged), and the merged
+    coreset still tracks the clean posterior far below the corrupted
+    summary."""
+    d = 3
+    Xall, Xclean = _contaminated(rng, N=1200, d=d)
+    X = jnp.asarray(Xall)
+    _, model, smp, Siginv = _gauss_problem(rng, N=4)
+    cfg = IncrementalConfig(projection_dim=12, n_subsample_select=80,
+                            n_subsample_opt=40, opt_itrs=15, i0=1.0,
+                            use_beta=True)
+    st_leaf = init_state(6, d, beta=0.4, dtype=jnp.float64)
+    # 12 chunks x 6 slots = 72 union rows; cap at 24 -> needs >= 2 levels
+    st_f, lp, lw = merge_reduce_build(
+        jax.random.key(7), X, model, smp, cfg, cfg, chunk_size=100,
+        m_leaf=5, m_final=8, st_leaf=st_leaf, max_union_rows=24)
+    assert lp.shape[0] <= 24 and lw.shape[0] <= 24
+    assert int(st_f.m) >= 2
+    w = np.asarray(st_f.wts)
+    mask = np.asarray(st_f.slot_mask)
+    rkl_h = _rkl(w[mask], np.asarray(st_f.pts)[mask], Xclean, Siginv, d)
+    rkl_corrupt = _rkl(np.ones(X.shape[0]), Xall, Xclean, Siginv, d)
+    assert np.isfinite(rkl_h) and rkl_h < rkl_corrupt
+
+    # cap below 2x the leaf buffer cannot shrink: explicit error
+    with pytest.raises(ValueError, match="max_union_rows"):
+        merge_reduce_build(jax.random.key(7), X, model, smp, cfg, cfg,
+                           chunk_size=100, m_leaf=5, m_final=8,
+                           st_leaf=st_leaf, max_union_rows=8)
