@@ -159,14 +159,20 @@ def merge_reduce_build(
             leaf_pts = jax.device_put(leaf_pts, NamedSharding(mesh, P()))
     else:
         M_buf_leaf = st_leaf.wts.shape[0]
-        wts_acc = np.zeros((K, M_buf_leaf), dtype=dtype)
-        pts_acc = np.zeros((K, M_buf_leaf, D), dtype=dtype)
         i0 = 0
-        key_fp = np.asarray(jax.random.key_data(key))
+        wts_acc = pts_acc = key_fp = None
         if checkpoint_path is not None:
+            # checkpointing costs one device->host sync per leaf; the
+            # no-checkpoint path below keeps leaf results ON DEVICE so the
+            # next chunk's transfer overlaps the current build (async
+            # dispatch)
+            wts_acc = np.zeros((K, M_buf_leaf), dtype=dtype)
+            pts_acc = np.zeros((K, M_buf_leaf, D), dtype=dtype)
+            key_fp = np.asarray(jax.random.key_data(key))
             i0 = _load_leaf_checkpoint(checkpoint_path, key_fp,
                                        (K, M_buf_leaf, D), wts_acc, pts_acc)
         data = np.asarray(data)
+        wts_list, pts_list = [], []
         for i in range(i0, K):
             chunk = data[i * chunk_size:(i + 1) * chunk_size]
             n_i = chunk.shape[0]
@@ -178,14 +184,21 @@ def merge_reduce_build(
             st_i = builder.build_with_data(
                 jnp.asarray(chunk, dtype=dtype), jnp.asarray(u_i, dtype=dtype),
                 leaf_keys[i], st_leaf, m_leaf)
-            wts_acc[i] = np.asarray(st_i.wts)
-            pts_acc[i] = np.asarray(st_i.pts)
-            if (checkpoint_path is not None
-                    and ((i + 1) % max(1, checkpoint_every) == 0 or i == K - 1)):
-                _save_leaf_checkpoint(checkpoint_path, key_fp, i + 1,
-                                      wts_acc, pts_acc)
-        leaf_wts = jnp.asarray(wts_acc.reshape(-1))
-        leaf_pts = jnp.asarray(pts_acc.reshape(-1, D))
+            if checkpoint_path is not None:
+                wts_acc[i] = np.asarray(st_i.wts)
+                pts_acc[i] = np.asarray(st_i.pts)
+                if (i + 1) % max(1, checkpoint_every) == 0 or i == K - 1:
+                    _save_leaf_checkpoint(checkpoint_path, key_fp, i + 1,
+                                          wts_acc, pts_acc)
+            else:
+                wts_list.append(st_i.wts)
+                pts_list.append(st_i.pts)
+        if checkpoint_path is not None:
+            leaf_wts = jnp.asarray(wts_acc.reshape(-1))
+            leaf_pts = jnp.asarray(pts_acc.reshape(-1, D))
+        else:
+            leaf_wts = jnp.concatenate(wts_list)
+            leaf_pts = jnp.concatenate(pts_list)
 
     if max_union_rows is not None:
         # hierarchical reduction: summarize groups of max_union_rows
