@@ -374,6 +374,7 @@ class _IncrementalCoreset(Coreset):
         pass ``return_selected=True`` to get ``(out, selected)`` where
         ``selected`` is the (itrs, G) boolean trace — the group-selection
         order is the sequence of columns that turn on."""
+        pts0 = np.asarray(self.state.pts)  # pre-build buffer: warm slots
         if self.groups is not None:
             self._gstate = self._gstate._replace(core=self.state)
             gst, (W, I, B, Sel) = self._builder.build_trace(
@@ -384,13 +385,27 @@ class _IncrementalCoreset(Coreset):
             if return_selected:
                 raise ValueError("return_selected: group mode only")
             self._ensure_capacity(int(self.state.m) + itrs)
+            pts0 = np.asarray(self.state.pts)  # after capacity growth
             st, (W, I, B) = self._builder.build_trace(self.keys(), self.state,
                                                       int(itrs), self.ctx)
             self.state = st
         self._error_key = self._error_keys()  # same per-build refresh as _build
         W, I, B = np.asarray(W), np.asarray(I), np.asarray(B)
+        N = self.data.shape[0]
         # one padded gather for every iteration's points: (itrs, cap, d)
-        P = np.asarray(self.data[jnp.asarray(np.maximum(I, 0))])
+        P = np.asarray(self.data[jnp.asarray(np.clip(I, 0, N - 1))])
+        # warm-start slots may carry EXTERNAL sentinel indices (e.g. the
+        # neural-linear driver's 1e7+i inducing points, reference
+        # zellner_neural_linear/main.py:146-150): their coordinates live
+        # in the state buffer, never in data — a clamp-gather would
+        # silently report data[N-1] for them. A slot only changes at
+        # selection (which writes a real data row + its index), so the
+        # pre-build buffer is exact for every out-of-range index.
+        ext = (I < 0) | (I >= N)
+        if ext.any():
+            P = np.array(P)  # np.asarray of a jax array is read-only
+            slot = np.broadcast_to(np.arange(I.shape[1]), I.shape)
+            P[ext] = pts0[slot[ext]]
         out = []
         for m in range(itrs):
             keep = W[m] > 0
@@ -538,7 +553,7 @@ class HilbertCoreset(Coreset):
         pad_idcs = np.zeros(cap, dtype=np.int32)
         pad_idcs[: len(idcs)] = idcs
         pts = np.asarray(self.data[jnp.asarray(pad_idcs)])[: len(idcs)]
-        self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
+        self.state = state_lib.warm_start_state(cap, wts.astype(self.data.dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())
 
@@ -683,16 +698,27 @@ class UniformSamplingCoreset(Coreset):
         """Per-iteration compact coresets [(wts, pts, idcs)] * itrs — the
         output of a ``for m: build(1, m); get()`` loop (same host RNG
         stream) with ONE device gather at the end instead of per-size
-        round trips."""
+        round trips. A constructor warm start (count-1 prefix, possibly
+        EXTERNAL points — see __init__) appears in every snapshot exactly
+        as ``get()`` would report it."""
         N = self.data.shape[0]
         total = float(N) if self._u_total is None else self._u_total
+        if self._warm is not None:
+            widcs, wpts = self._warm
+            n_warm = len(widcs)
+        else:
+            widcs = np.zeros(0, dtype=np.int64)
+            n_warm = 0
 
         def snapshot():
             idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
             cts = np.fromiter(self.cts.values(), dtype=np.float64)
-            wts = (total * cts / cts.sum() if len(cts)
-                   else np.zeros(0))  # only empty groups drawn so far
-            return (idcs, wts)
+            # warm slots count 1 each (same normalization as
+            # _sync_device_state: concat(ones(warm), cts))
+            allc = np.concatenate([np.ones(n_warm), cts])
+            wts = (total * allc / allc.sum() if allc.sum() > 0
+                   else np.zeros(n_warm))  # only empty groups drawn so far
+            return (np.concatenate([widcs, idcs]), wts)
 
         snaps = []
         if self.groups is not None:
@@ -706,12 +732,18 @@ class UniformSamplingCoreset(Coreset):
         self._dirty = True
         all_idcs = np.fromiter(self.cts.keys(), dtype=np.int64)
         row_of = {int(i): r for r, i in enumerate(all_idcs)}
-        cap = _round_capacity(len(all_idcs))
+        cap = _round_capacity(max(1, len(all_idcs)))
         pad = np.zeros(cap, dtype=np.int32)
-        pad[: len(all_idcs)] = all_idcs
+        pad[: len(all_idcs)] = np.clip(all_idcs, 0, N - 1)
         P = np.asarray(self.data[jnp.asarray(pad)])[: len(all_idcs)]
         dtype = np.asarray(P).dtype
-        return [(wts.astype(dtype), P[[row_of[int(i)] for i in idcs]], idcs)
+        # warm points come from their stored coordinates, never a data
+        # gather: their indices may be external sentinels (e.g. 1e7+i)
+        wP = (np.zeros((0, self.data.shape[1]), dtype=dtype) if n_warm == 0
+              else np.atleast_2d(np.asarray(self._warm[1])).astype(dtype))
+        return [(wts.astype(dtype),
+                 np.concatenate([wP, P[[row_of[int(i)] for i in idcs[n_warm:]]]]),
+                 idcs)
                 for idcs, wts in snaps]
 
     def _sync_device_state(self) -> None:
@@ -732,7 +764,7 @@ class UniformSamplingCoreset(Coreset):
             cts = np.concatenate([np.ones(len(widcs)), cts])
         total = float(N) if self._u_total is None else self._u_total
         wts = total * cts / cts.sum()
-        self.state = state_lib.warm_start_state(cap, wts.astype(np.asarray(self.data).dtype),
+        self.state = state_lib.warm_start_state(cap, wts.astype(self.data.dtype),
                                                 idcs, pts, beta=self._beta0,
                                                 sampler_aux=self._init_aux())
 

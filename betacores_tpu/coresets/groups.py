@@ -84,6 +84,14 @@ def make_group_incremental_builder(
     data: merge-reduce padding / dead leaf slots) are DROPPED at append time
     so they can never receive coreset weight. ``None`` keeps the unweighted
     program bit-identical."""
+    if getattr(config, "learn_beta", False):
+        raise NotImplementedError(
+            "group-mode builders do not implement learn_beta (the joint "
+            "(w, beta) refinement exists on the point builders only; the "
+            "reference's group mode never learns beta either) — silently "
+            "keeping beta fixed while the caller asked to learn it would "
+            "be a wrong-result trap. Use learn_beta=False (and "
+            "coresets/select_beta.py to choose beta robustly).")
     N = data.shape[0]
     weighted = data_weights is not None
     if weighted:

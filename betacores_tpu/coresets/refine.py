@@ -27,6 +27,7 @@ the robustness relies on.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
@@ -65,6 +66,28 @@ def refine_weights(
             raise ValueError(
                 f"data_weights must be ({data.shape[0]},), got {data_weights.shape}")
 
+    try:
+        # reuse one jitted program per (model, sampler, config): a fresh
+        # jax.jit wrapper per call would RECOMPILE on every refine() —
+        # tens of seconds each through the TPU tunnel in a per-round
+        # acquisition loop (round-3 review finding)
+        refine_fn = _cached_refine(model, sampler, n_samples, n_subsample,
+                                   use_beta, nnls_iters)
+    except TypeError:  # unhashable model/sampler: fall back to per-call jit
+        refine_fn = _make_refine(model, sampler, n_samples, n_subsample,
+                                 use_beta, nnls_iters)
+    return refine_fn(data, data_weights, key, state)
+
+
+@lru_cache(maxsize=64)
+def _cached_refine(model, sampler, n_samples, n_subsample, use_beta,
+                   nnls_iters):
+    return _make_refine(model, sampler, n_samples, n_subsample, use_beta,
+                        nnls_iters)
+
+
+def _make_refine(model, sampler, n_samples: int, n_subsample, use_beta: bool,
+                 nnls_iters: int):
     @jax.jit
     def _refine(data, u, key, st: CoresetState) -> CoresetState:
         k_samp, k_sub = jax.random.split(key)
@@ -91,4 +114,4 @@ def refine_weights(
         return st._replace(wts=jnp.where(improved, w_new, st.wts),
                            sampler_aux=aux)
 
-    return _refine(data, data_weights, key, state)
+    return _refine

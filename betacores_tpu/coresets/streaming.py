@@ -99,6 +99,12 @@ def merge_reduce_build(
     N, D = data.shape
     if chunk_size <= 0:
         raise ValueError("chunk_size must be positive")
+    if checkpoint_path is not None and (parallel_leaves or mesh is not None):
+        raise ValueError(
+            "checkpoint_path requires the streamed leaf pass "
+            "(parallel_leaves=False, no mesh): batched/mesh leaf builds run "
+            "as one program with nothing to checkpoint between — silently "
+            "ignoring the flag would leave an hours-long run unprotected")
     K = math.ceil(N / chunk_size)
     dtype = st_leaf.wts.dtype
 

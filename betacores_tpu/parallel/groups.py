@@ -78,6 +78,14 @@ def make_sharded_group_builder(
     semantics as the single-device weighted group builder
     (coresets/groups.py). ``None`` keeps the unweighted program
     bit-identical."""
+    if getattr(config, "learn_beta", False):
+        raise NotImplementedError(
+            "group-mode builders do not implement learn_beta (the joint "
+            "(w, beta) refinement exists on the point builders only; the "
+            "reference's group mode never learns beta either) — silently "
+            "keeping beta fixed while the caller asked to learn it would "
+            "be a wrong-result trap. Use learn_beta=False (and "
+            "coresets/select_beta.py to choose beta robustly).")
     n_data, n_samp = require_axes(mesh)
     weighted = data_weights is not None
     if weighted:

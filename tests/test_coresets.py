@@ -637,3 +637,83 @@ def test_lagged_refit_quality_and_determinism(rng):
     assert int(st.m) >= 1
     with pytest.raises(ValueError):
         IncrementalConfig(refit_every=0)
+
+
+def test_build_trace_preserves_external_warm_points(rng):
+    """Regression (round-3 review): warm-start slots with EXTERNAL sentinel
+    indices (neural-linear pattern, 1e7+i) must report their stored
+    coordinates in every build_trace snapshot — a clamp-gather would
+    silently return data[N-1] for them."""
+    from betacores_tpu.inference import gaussian_conjugate_sampler
+    from betacores_tpu.models import gaussian as gmod
+
+    d = 3
+    X = jnp.asarray(rng.normal(size=(40, d)))
+    Sig = np.eye(d)
+    model = gmod.bundle(jnp.asarray(Sig), 0.0)
+    smp = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.asarray(Sig))
+    prj = bc.BlackBoxProjector(smp, 8, model.log_likelihood, model=model)
+    wpts = np.asarray(rng.normal(size=(3, d)) + 25.0)
+    alg = bc.SparseVICoreset(X, prj, opt_itrs=5, seed=1, max_size=10,
+                             n_subsample_select=20, n_subsample_opt=12,
+                             wts=np.ones(3),
+                             idcs=10_000_000 + np.arange(3), pts=wpts)
+    trace = alg.build_trace(3)
+    assert len(trace) == 3
+    for w, p, i, _ in trace:
+        for k in range(3):
+            sel = np.asarray(i) == 10_000_000 + k
+            if sel.any():
+                np.testing.assert_allclose(p[sel][0], wpts[k], rtol=1e-6)
+        # real selections still come from data
+        real = (np.asarray(i) >= 0) & (np.asarray(i) < 40)
+        for idx, row in zip(np.asarray(i)[real], p[real]):
+            np.testing.assert_allclose(row, np.asarray(X)[int(idx)], rtol=1e-6)
+
+
+def test_uniform_build_trace_includes_warm_prefix(rng):
+    """Regression (round-3 review): UniformSamplingCoreset.build_trace must
+    reproduce the build(1,m);get() loop INCLUDING the constructor warm
+    prefix (count-1, external coordinates)."""
+    X = jnp.asarray(rng.normal(size=(30, 3)))
+    wpts = np.asarray(rng.normal(size=(2, 3)) + 9.0)
+    mk = lambda: bc.UniformSamplingCoreset(
+        X, seed=4, wts=np.ones(2), idcs=10_000_000 + np.arange(2), pts=wpts)
+    a1, a2 = mk(), mk()
+    trace = a1.build_trace(4)
+    for m, (wt, pt, it) in enumerate(trace, start=1):
+        a2.build(1, m + 2)
+        w2, p2, i2 = a2.get()
+        m1 = {int(i): float(w) for i, w in zip(it, wt)}
+        m2 = {int(i): float(w) for i, w in zip(i2, w2)}
+        assert m1 == pytest.approx(m2), (m, m1, m2)
+        assert {10_000_000, 10_000_001} <= set(m1)
+        for k in range(2):
+            row = pt[np.asarray(it) == 10_000_000 + k][0]
+            np.testing.assert_allclose(row, wpts[k], rtol=1e-6)
+
+
+def test_refine_reuses_compiled_program(rng):
+    """Regression (round-3 review): refine() must reuse one jitted program
+    across calls — a fresh jax.jit wrapper per call recompiles every time
+    (tens of seconds each through the TPU tunnel)."""
+    from betacores_tpu.coresets import refine as refine_mod
+
+    d = 3
+    X = jnp.asarray(rng.normal(size=(40, d)))
+    model = gmod.bundle(jnp.eye(d), 0.0)
+    smp = gaussian_conjugate_sampler(jnp.zeros(d), jnp.eye(d), jnp.eye(d))
+    from betacores_tpu.coresets import init_state
+    st = init_state(8, d, dtype=jnp.float64)
+    st = st._replace(wts=st.wts.at[:3].set(1.0),
+                     idcs=st.idcs.at[:3].set(jnp.arange(3, dtype=jnp.int32)),
+                     pts=st.pts.at[:3].set(X[:3]),
+                     m=jnp.asarray(3, dtype=jnp.int32))
+    refine_mod._cached_refine.cache_clear()
+    st1 = refine_mod.refine_weights(jax.random.key(0), X, model, smp, st,
+                                    n_samples=16, nnls_iters=30)
+    st2 = refine_mod.refine_weights(jax.random.key(1), X, model, smp, st1,
+                                    n_samples=16, nnls_iters=30)
+    info = refine_mod._cached_refine.cache_info()
+    assert info.misses == 1 and info.hits == 1, info
+    assert np.isfinite(np.asarray(st2.wts)).all()

@@ -251,3 +251,17 @@ def test_group_build_matches_oracle(setup):
     np.testing.assert_array_equal(np.asarray(gst.core.idcs)[:m], i_o)
     np.testing.assert_allclose(np.asarray(gst.core.wts)[:m], w_o,
                                rtol=1e-6, atol=1e-9)
+
+
+def test_group_mode_learn_beta_refuses(setup):
+    """Regression (round-3 review): group builders do not implement
+    learn_beta — silently keeping beta fixed would be a wrong-result trap,
+    so they must refuse loudly."""
+    X, samples, model, groups, _ = setup
+    prj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)),
+                                   samples.shape[0], model.beta_likelihood,
+                                   model.log_likelihood, model.beta_gradient)
+    with pytest.raises(NotImplementedError, match="learn_beta"):
+        alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.3, learn_beta=True,
+                             opt_itrs=5, groups=groups, seed=1)
+        alg.build(1, 100)  # whichever of construction/build makes the builder
