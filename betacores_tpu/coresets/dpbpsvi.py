@@ -14,13 +14,17 @@ Gaussian mechanism —
      added to the (rescaled) sum.
 
 Everything downstream (weight/pseudo-point gradients, Adam updates) is
-post-processing of that privatized statistic plus the SYNTHETIC pseudo-
-points, so the released coreset satisfies (eps, delta)-DP by T-fold
-composition of the Gaussian mechanism. ``epsilon(delta)`` reports the RDP
-composition bound (Mironov 2017), conservatively ignoring subsampling
-amplification. NOTE: the pseudo-point INITIALIZATION must also be private —
-points are initialized from the prior predictive (noised data means), not
-from raw data rows as in non-private BPSVI.
+post-processing of the privatized statistics plus the SYNTHETIC pseudo-
+points, so the released coreset satisfies (eps, delta)-DP under the
+SUBSTITUTION neighboring relation by RDP composition (Mironov 2017) of
+T + 1 Gaussian mechanisms: T per-step sum releases (the per-step
+subsample is drawn WITHOUT replacement, so one substituted record moves
+the clipped sum by at most 2 * clip_norm — the accounted sensitivity) plus
+ONE noised clipped-mean release seeding the pseudo-point initialization
+(clip/spread are the PUBLIC ``DPConfig.init_clip_norm/init_spread``
+constants; no other data statistic touches the init). ``epsilon(delta)``
+reports the composed bound; subsampling amplification is NOT claimed
+(the bound is valid without it and would only improve with it).
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.projection import center, draw_subsample, project_ll_with_grad
+from ..ops.projection import center, project_ll_with_grad
 from ..utils.opt import nn_adam, step_schedule
 from .bpsvi import BPSVIConfig
 
@@ -44,17 +48,44 @@ class DPConfig:
     clip_norm: float = 1.0
     noise_multiplier: float = 1.0
     delta: float = 1e-5
+    # PUBLIC init constants (round-3 review: the original init read
+    # jnp.std(data) and the median row norm un-noised, which leaked through
+    # the released pseudo-points; all init knobs must be data-independent)
+    init_clip_norm: float = 10.0   # per-row L2 clip of the noised-mean release
+    init_spread: float = 1.0       # public pseudo-point scatter around the mean
 
 
-def gaussian_rdp_epsilon(steps: int, noise_multiplier: float, delta: float) -> float:
-    """(eps) for T-fold composition of the Gaussian mechanism via RDP:
-    RDP_alpha = T * alpha / (2 sigma^2); eps = min_alpha RDP_alpha +
-    log(1/delta)/(alpha - 1). Conservative (no subsampling amplification)."""
-    sigma = noise_multiplier
+def _rdp_epsilon_from_ratio2(total_ratio2: float, delta: float) -> float:
+    """eps for a composition of Gaussian mechanisms with
+    ``total_ratio2 = sum_i (Delta_i / sigma_i)^2`` via RDP (Mironov 2017):
+    RDP_alpha = total_ratio2 * alpha / 2; eps = min_alpha RDP_alpha +
+    log(1/delta)/(alpha - 1)."""
     alphas = np.concatenate([np.linspace(1.01, 64.0, 512), np.arange(65, 512)])
-    rdp = steps * alphas / (2.0 * sigma**2)
+    rdp = total_ratio2 * alphas / 2.0
     eps = rdp + math.log(1.0 / delta) / (alphas - 1.0)
     return float(np.min(eps))
+
+
+def gaussian_rdp_epsilon(steps: int, noise_multiplier: float, delta: float,
+                         sens_factor: float = 2.0,
+                         init_releases: int = 1) -> float:
+    """(eps, delta) bound for one DP-BPSVI build: ``steps`` releases of the
+    clipped per-step projection sum plus ``init_releases`` noised-mean init
+    release, composed via RDP. No subsampling amplification is claimed.
+
+    Neighboring relation: SUBSTITUTION of one record in a fixed-size
+    dataset. The per-step subsample is drawn WITHOUT replacement, so a
+    substituted record changes the clipped sum by at most
+    ``sens_factor = 2`` clip norms (remove its vector, add the
+    replacement's); the init mean release has substitution sensitivity
+    ``2 * init_clip_norm / N`` and noise ``noise_multiplier`` times exactly
+    that. Per-step noise is ``noise_multiplier * clip_norm`` against a
+    ``sens_factor * clip_norm`` sensitivity, so the (Delta/sigma)^2 terms
+    are ``sens_factor^2 / noise_multiplier^2`` (steps) and
+    ``1 / noise_multiplier^2`` (init)."""
+    nm2 = noise_multiplier ** 2
+    return _rdp_epsilon_from_ratio2(
+        (steps * sens_factor ** 2 + init_releases) / nm2, delta)
 
 
 def make_dp_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable,
@@ -71,18 +102,25 @@ def make_dp_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable,
     C = dp.clip_norm
     noise_std = dp.noise_multiplier * C
 
-    # private initialization: data mean + prior noise, each coordinate's
-    # mean privatized with the same Gaussian mechanism (sensitivity bounded
-    # by per-point clip to C_init in L2 over coordinates)
+    # private initialization: pseudo-points scatter around a Gaussian-
+    # mechanism release of the clipped data mean. EVERY data-dependent
+    # quantity here is clipped to the PUBLIC dp.init_clip_norm and noised
+    # (accounted as one extra mechanism in epsilon()); the scatter scale is
+    # the public dp.init_spread constant. Round-3 review: the previous init
+    # read jnp.std(data) and the median row norm raw — unbounded-sensitivity
+    # statistics flowing into the released points with no covering noise.
     def _private_init(key, sz):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(key)
+        C_init = jnp.asarray(dp.init_clip_norm, dtype=data.dtype)
         row_norms = jnp.linalg.norm(data, axis=1, keepdims=True)
-        C_init = jnp.median(row_norms)
         clipped = data * jnp.minimum(1.0, C_init / jnp.maximum(row_norms, 1e-12))
-        mean = clipped.sum(axis=0) / N + (dp.noise_multiplier * C_init / N) * \
+        # substitution sensitivity of the mean is 2*C_init/N; noise is
+        # noise_multiplier times THAT, so this release's (Delta/sigma)^2 is
+        # 1/nm^2 — exactly the init_releases=1 term in epsilon()
+        mean = clipped.sum(axis=0) / N + (dp.noise_multiplier * 2.0 * C_init / N) * \
             jax.random.normal(k1, (D,), dtype=data.dtype)
-        std = jnp.std(data) + 1.0  # order-of-magnitude scale; not released
-        pts0 = mean + std * jax.random.normal(k2, (sz, D), dtype=data.dtype)
+        pts0 = mean + dp.init_spread * jax.random.normal(
+            k2, (sz, D), dtype=data.dtype)
         return pts0
 
     def _build(key, sz: int, aux0):
@@ -95,7 +133,11 @@ def make_dp_bpsvi_builder(data: jnp.ndarray, model, sampler: Callable,
             p = x[sz:].reshape(sz, D)
             k_samp, k_sub, k_noise = jax.random.split(k, 3)
             samples, aux = sampler(k_samp, S, w, p, aux)
-            sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)
+            # WITHOUT replacement (round-3 review): with replacement a
+            # record drawn k times shifts the clipped sum by k*C while the
+            # noise covers only the accounted 2*C substitution sensitivity
+            sub_idcs = jax.random.permutation(k_sub, N)[:n_opt]
+            scaling = jnp.asarray(N / n_opt, dtype=data.dtype)
             vecs = center(model.log_likelihood(data[sub_idcs], samples))
             # --- the ONLY data-dependent statistic: clip + noise its sum ---
             norms = jnp.linalg.norm(vecs, axis=1, keepdims=True)
@@ -125,7 +167,8 @@ class DiffPrivBatchPSVICoreset:
     def __init__(self, data, ll_projector, opt_itrs: int = 100, n_subsample_opt=None,
                  step_sched: Callable = lambda m: (lambda i: 1.0 / (1.0 + i)),
                  clip_norm: float = 1.0, noise_multiplier: float = 1.0,
-                 delta: float = 1e-5, seed: int = 0):
+                 delta: float = 1e-5, seed: int = 0,
+                 init_clip_norm: float = 10.0, init_spread: float = 1.0):
         from ..utils.prng import KeySequence
 
         self.data = jnp.asarray(data)
@@ -133,7 +176,9 @@ class DiffPrivBatchPSVICoreset:
         self.opt_itrs = opt_itrs
         self.n_subsample_opt = n_subsample_opt
         self.step_sched = step_sched
-        self.dp = DPConfig(clip_norm=clip_norm, noise_multiplier=noise_multiplier, delta=delta)
+        self.dp = DPConfig(clip_norm=clip_norm, noise_multiplier=noise_multiplier,
+                           delta=delta, init_clip_norm=init_clip_norm,
+                           init_spread=init_spread)
         self.keys = KeySequence(seed)
         self.wts = np.zeros(0)
         self.pts = np.zeros((0, self.data.shape[1]))

@@ -352,91 +352,37 @@ def make_incremental_builder(
                              else jax.default_backend() == "tpu"))
                     if use_fused:
                         # Single-launch Pallas gradient per Adam step. All
-                        # padding happens HERE, outside the scan — per-step
-                        # pad/concat kernels would give back the latency the
-                        # fused kernel removes. The kernel reproduces
+                        # padding happens OUTSIDE the scan (shared packers in
+                        # ops/pallas_kernels.py) — per-step pad/concat kernels
+                        # would give back the latency the fused kernel
+                        # removes. The kernel reproduces
                         # sample_laplace_from_noise exactly via
                         # theta = mu + z @ L^-1 (inference/laplace.py:139-144),
                         # so only the Newton refit and the d x d triangular
                         # inverse remain on the XLA side of each step.
+                        from ..ops.pallas_kernels import (adam_sclr_stack,
+                                                          make_refit_state,
+                                                          make_step_refit,
+                                                          pack_fused_step_rows,
+                                                          pad_fused_step_noise)
                         f32 = jnp.float32
-                        D = data.shape[1]
                         d_th = z_all.shape[-1]
-                        n_sub_pad = -(-n_opt // 8) * 8
-                        M_pad = -(-M_buf // 128) * 128
-                        s_pad = -(-S // 128) * 128
-                        pad_sub = n_sub_pad - n_opt
-                        core = st.pts.astype(f32)
-                        if M_pad > M_buf:
-                            core = jnp.concatenate(
-                                [core, jnp.zeros((M_pad - M_buf, D), f32)])
-                        blocks = [rows_all.astype(f32)]
-                        if pad_sub:
-                            blocks.append(jnp.zeros((T, pad_sub, D), f32))
-                        blocks.append(jnp.broadcast_to(core, (T, M_pad, D)))
-                        rows_blk = jnp.concatenate(blocks, axis=1)
-                        mask_col = jnp.concatenate([
-                            jnp.ones((n_opt,), f32),
-                            jnp.zeros((pad_sub,), f32),
-                            st.slot_mask.astype(f32),
-                            jnp.zeros((M_pad - M_buf,), f32)])
-                        R = rows_blk.shape[1]
-                        xin_all = jnp.concatenate(
-                            [rows_blk,
-                             jnp.broadcast_to(mask_col[None, :, None], (T, R, 1))],
-                            axis=2)
-                        z_pad = z_all.astype(f32)
-                        if s_pad > S:
-                            z_pad = jnp.concatenate(
-                                [z_pad, jnp.zeros((T, s_pad - S, d_th), f32)],
-                                axis=1)
+                        xin_all, M_pad, _ = pack_fused_step_rows(
+                            rows_all, st.pts, st.slot_mask, n_opt, 1.0)
+                        z_pad = pad_fused_step_noise(z_all, S)
                         sc = jnp.stack([jnp.asarray(st.beta, f32),
                                         scaling.astype(f32)])
-                        eye_d = jnp.eye(d_th, dtype=f32)
-                        # per-step [lr, 1-b1^t, 1-b2^t] — the kernel replays
-                        # nn_adam's exact projected-Adam update (its default
-                        # b1/b2/eps, asserted against ADAM_* in the kernel
-                        # module) with the bias corrections precomputed here
-                        # in one batched pass, bit-identical elementwise
-                        from ..ops.pallas_kernels import (ADAM_B1, ADAM_B2)
-                        steps_f = jnp.arange(T, dtype=f32) + 1.0
-                        sclr_all = jnp.stack(
-                            [step_sizes.astype(f32),
-                             1.0 - ADAM_B1 ** steps_f,
-                             1.0 - ADAM_B2 ** steps_f], axis=1)    # (T, 3)
-
-                        fit_inv = getattr(smp, "fit_inv", None)
-
-                        def refit_state(w, lap_aux):
-                            if fit_inv is not None:
-                                # the refit computes L^-1 as part of its own
-                                # Newton direction — no separate inversion
-                                lap = fit_inv(w, st.pts, lap_aux)
-                                return lap, lap.prec_chol_inv.astype(f32)
-                            lap = fit(w, st.pts, lap_aux)
-                            linv = jax.scipy.linalg.solve_triangular(
-                                lap.prec_chol.astype(f32), eye_d, lower=True)
-                            return lap, linv
-
-                        k_refit = config.refit_every
+                        sclr_all = adam_sclr_stack(step_sizes)
+                        refit_state = make_refit_state(
+                            smp, st.pts, jnp.eye(d_th, dtype=f32))
+                        step_refit = make_step_refit(
+                            refit_state, lagged, config.refit_every, fit_aux,
+                            M_buf, data.dtype)
 
                         def body(carry, inp):
                             w, m1, m2, lap_c = carry
                             i, sclr, xin, z = inp
-                            if lagged:
-                                # lagged refits THROUGH the fused kernel:
-                                # the Newton chain runs only every k-th step
-                                # inside lax.cond (same schedule as the XLA
-                                # lagged path below)
-                                lap, linv = jax.lax.cond(
-                                    jnp.logical_and(i % k_refit == 0, i > 0),
-                                    lambda: refit_state(
-                                        w[0, :M_buf].astype(data.dtype),
-                                        fit_aux(lap_c[0])),
-                                    lambda: lap_c)
-                            else:
-                                lap, linv = refit_state(
-                                    w[0, :M_buf].astype(data.dtype), lap_c)
+                            lap, linv = step_refit(w, i, lap_c)
                             w, m1, m2 = fstep(xin, z,
                                               lap.mu.astype(f32)[None, :],
                                               linv, w, m1, m2, sc, sclr, S)

@@ -342,3 +342,112 @@ def multiclass_projection_fused(z: jnp.ndarray, thetas: jnp.ndarray,
         interpret=_interpret(),
     )(beta_arr, xp, yp, T)
     return out[:N, :S]
+
+
+# ---------------------------------------------------------------------------
+# Fused-step input packing (shared by coresets/incremental.py and
+# parallel/sharded.py — round-3 review: the two ~70-line assemblies had
+# drifted into near-copies; the kernel-facing layout lives HERE, next to the
+# kernels that consume it)
+# ---------------------------------------------------------------------------
+
+def pack_fused_step_rows(rows_all, core_pts, slot_mask, n_sub: int,
+                         sub_mask, dtype=None):
+    """Assemble the (T, R, D+1) xin tensor the fused step kernels consume:
+    [subsample rows; zero pad to 8; coreset buffer broadcast; zero pad to
+    128] with the mask as a last column — [sub_mask]*n_sub for data rows
+    (a traced scalar on sharded paths: 0 when the shard has no valid rows),
+    slot_mask for buffer rows, 0 for padding. All padding happens here,
+    OUTSIDE the Adam scan: per-step pad/concat kernels would give back the
+    launch latency the fused kernel removes.
+
+    Returns (xin_all, M_pad, R)."""
+    f32 = jnp.float32 if dtype is None else dtype
+    T = rows_all.shape[0]
+    D = rows_all.shape[2]
+    M_buf = core_pts.shape[0]
+    n_sub_pad = _round_up(n_sub, 8)
+    M_pad = _round_up(M_buf, 128)
+    pad_sub = n_sub_pad - n_sub
+    core = core_pts.astype(f32)
+    if M_pad > M_buf:
+        core = jnp.concatenate([core, jnp.zeros((M_pad - M_buf, D), f32)])
+    blocks = [rows_all.astype(f32)]
+    if pad_sub:
+        blocks.append(jnp.zeros((T, pad_sub, D), f32))
+    blocks.append(jnp.broadcast_to(core, (T, M_pad, D)))
+    rows_blk = jnp.concatenate(blocks, axis=1)
+    mask_col = jnp.concatenate([
+        jnp.full((n_sub,), sub_mask, f32),
+        jnp.zeros((pad_sub,), f32),
+        slot_mask.astype(f32),
+        jnp.zeros((M_pad - M_buf,), f32)])
+    R = rows_blk.shape[1]
+    xin_all = jnp.concatenate(
+        [rows_blk, jnp.broadcast_to(mask_col[None, :, None], (T, R, 1))],
+        axis=2)
+    return xin_all, M_pad, R
+
+
+def pad_fused_step_noise(z_all, s_active: int, dtype=None):
+    """Pad the (T, S, d_th) pre-drawn noise block's sample axis to the
+    kernel's 128 multiple."""
+    f32 = jnp.float32 if dtype is None else dtype
+    s_pad = _round_up(s_active, 128)
+    z = z_all.astype(f32)
+    if s_pad > s_active:
+        T, _, d_th = z.shape
+        z = jnp.concatenate([z, jnp.zeros((T, s_pad - s_active, d_th), f32)],
+                            axis=1)
+    return z
+
+
+def adam_sclr_stack(step_sizes, dtype=None):
+    """Per-step [lr, 1-b1^t, 1-b2^t] — the kernels replay nn_adam's exact
+    projected-Adam update (its default b1/b2/eps, asserted against ADAM_*
+    in this module) with the bias corrections precomputed in one batched
+    pass, bit-identical elementwise."""
+    f32 = jnp.float32 if dtype is None else dtype
+    T = step_sizes.shape[0]
+    steps_f = jnp.arange(T, dtype=f32) + 1.0
+    return jnp.stack([step_sizes.astype(f32),
+                      1.0 - ADAM_B1 ** steps_f,
+                      1.0 - ADAM_B2 ** steps_f], axis=1)        # (T, 3)
+
+
+def make_refit_state(smp, pts, eye_d, dtype=None):
+    """refit_state(w, lap_aux) -> (lap, L^-1) for the fused step kernels:
+    prefers the sampler's fit_inv (the refit computes L^-1 as part of its
+    own Newton direction — no separate inversion), else fits and inverts
+    the d x d Cholesky factor."""
+    f32 = jnp.float32 if dtype is None else dtype
+    fit = getattr(smp, "fit", None)
+    fit_inv = getattr(smp, "fit_inv", None)
+
+    def refit_state(w, lap_aux):
+        if fit_inv is not None:
+            lap = fit_inv(w, pts, lap_aux)
+            return lap, lap.prec_chol_inv.astype(f32)
+        lap = fit(w, pts, lap_aux)
+        linv = jax.scipy.linalg.solve_triangular(
+            lap.prec_chol.astype(f32), eye_d, lower=True)
+        return lap, linv
+
+    return refit_state
+
+
+def make_step_refit(refit_state, lagged: bool, k_refit: int, fit_aux,
+                    M_buf: int, w_dtype):
+    """Per-step (lap, L^-1) resolver: lagged refits run the Newton chain
+    only every k-th step inside lax.cond (same schedule as the XLA lagged
+    paths); otherwise every step refits."""
+    def step_refit(w, i, lap_c):
+        if lagged:
+            return jax.lax.cond(
+                jnp.logical_and(i % k_refit == 0, i > 0),
+                lambda: refit_state(w[0, :M_buf].astype(w_dtype),
+                                    fit_aux(lap_c[0])),
+                lambda: lap_c)
+        return refit_state(w[0, :M_buf].astype(w_dtype), lap_c)
+
+    return step_refit

@@ -299,74 +299,36 @@ def make_sharded_incremental_builder(
                     # the trajectory differs from the centered path in float
                     # low bits only. All padding happens HERE, outside the
                     # scan, like the single-chip fused branch.
+                    from ..ops.pallas_kernels import (ADAM_B1, ADAM_B2,
+                                                      ADAM_EPS,
+                                                      adam_sclr_stack,
+                                                      make_refit_state,
+                                                      make_step_refit,
+                                                      pack_fused_step_rows,
+                                                      pad_fused_step_noise)
                     f32 = jnp.float32
-                    D = data_local.shape[1]
                     d_th = z_all.shape[-1]
-                    n_sub_pad = -(-n_opt_loc // 8) * 8
-                    M_pad = -(-M_buf // 128) * 128
-                    s_loc_pad = _s_loc_pad
-                    pad_sub = n_sub_pad - n_opt_loc
-                    core = st.pts.astype(f32)
-                    if M_pad > M_buf:
-                        core = jnp.concatenate(
-                            [core, jnp.zeros((M_pad - M_buf, D), f32)])
-                    blocks = [rows_all.astype(f32)]
-                    if pad_sub:
-                        blocks.append(jnp.zeros((T, pad_sub, D), f32))
-                    blocks.append(jnp.broadcast_to(core, (T, M_pad, D)))
-                    rows_blk = jnp.concatenate(blocks, axis=1)
-                    mask_col = jnp.concatenate([
-                        jnp.full((n_opt_loc,), has_rows, f32),
-                        jnp.zeros((pad_sub,), f32),
-                        st.slot_mask.astype(f32),
-                        jnp.zeros((M_pad - M_buf,), f32)])
-                    R = rows_blk.shape[1]
-                    xin_all = jnp.concatenate(
-                        [rows_blk,
-                         jnp.broadcast_to(mask_col[None, :, None], (T, R, 1))],
-                        axis=2)
+                    # shard with no valid rows: its whole subsample block is
+                    # masked (has_rows = 0), contributing nothing to psums
+                    xin_all, M_pad, _ = pack_fused_step_rows(
+                        rows_all, st.pts, st.slot_mask, n_opt_loc, has_rows)
                     # this device's pre-drawn noise COLUMN block, padded
-                    z_loc_all = jax.lax.dynamic_slice_in_dim(
-                        z_all, ax_s * S_loc, S_loc, axis=1).astype(f32)
-                    if s_loc_pad > S_loc:
-                        z_loc_all = jnp.concatenate(
-                            [z_loc_all,
-                             jnp.zeros((T, s_loc_pad - S_loc, d_th), f32)],
-                            axis=1)
+                    z_loc_all = pad_fused_step_noise(
+                        jax.lax.dynamic_slice_in_dim(z_all, ax_s * S_loc,
+                                                     S_loc, axis=1), S_loc)
                     sc = jnp.asarray(st.beta, f32)[None]
-                    eye_d = jnp.eye(d_th, dtype=f32)
-                    from ..ops.pallas_kernels import ADAM_B1, ADAM_B2, ADAM_EPS
-                    steps_f = jnp.arange(T, dtype=f32) + 1.0
-                    sclr_all = jnp.stack(
-                        [step_sizes.astype(f32),
-                         1.0 - ADAM_B1 ** steps_f,
-                         1.0 - ADAM_B2 ** steps_f], axis=1)    # (T, 3)
-                    fit_inv = getattr(sampler, "fit_inv", None)
+                    sclr_all = adam_sclr_stack(step_sizes)
                     shard_scale_f = shard_scale.astype(f32)
                     S_f = jnp.asarray(S, f32)
-
-                    def refit_state(w, lap_aux):
-                        if fit_inv is not None:
-                            lap = fit_inv(w, st.pts, lap_aux)
-                            return lap, lap.prec_chol_inv.astype(f32)
-                        lap = fit(w, st.pts, lap_aux)
-                        linv = jax.scipy.linalg.solve_triangular(
-                            lap.prec_chol.astype(f32), eye_d, lower=True)
-                        return lap, linv
+                    refit_state = make_refit_state(
+                        sampler, st.pts, jnp.eye(d_th, dtype=f32))
+                    step_refit = make_step_refit(refit_state, lagged, k_refit,
+                                                 fit_aux, M_buf, dtype)
 
                     def body(carry, inp):
                         w, m1, m2, lap_c = carry
                         i, sclr, xin, z = inp
-                        if lagged:
-                            lap, linv = jax.lax.cond(
-                                jnp.logical_and(i % k_refit == 0, i > 0),
-                                lambda: refit_state(
-                                    w[0, :M_buf].astype(dtype),
-                                    fit_aux(lap_c[0])),
-                                lambda: lap_c)
-                        else:
-                            lap, linv = refit_state(
-                                w[0, :M_buf].astype(dtype), lap_c)
+                        lap, linv = step_refit(w, i, lap_c)
                         colsum, core_blk, corerow, wcore = fstep(
                             xin, z, lap.mu.astype(f32)[None, :], linv, w, sc,
                             S_loc)

@@ -72,7 +72,10 @@ def test_dp_bpsvi_build(rng):
     assert len(w) >= 1 and (w >= 0).all()
     assert np.isfinite(p).all()
     eps = alg.epsilon()
-    assert 0 < eps < 100
+    # honest substitution accounting (round 3): 30 steps at sens 2C + the
+    # init release at nm=1 compose to eps ~ 114
+    assert 0 < eps < 200
+    assert eps == pytest.approx(gaussian_rdp_epsilon(30, 1.0, 1e-5))
     # pseudo-points must not be raw data rows (privacy of initialization)
     dists = np.min(np.linalg.norm(p[:, None, :] - X[None, :, :], axis=-1), axis=1)
     assert (dists > 1e-6).all()
