@@ -29,8 +29,16 @@ def load_npz(path: str, ttr: float = 0.2):
     if has_test:
         Xt, Yt = np.asarray(data["Xt"], dtype=np.float64), np.asarray(data["yt"], dtype=np.float64).reshape(-1)
     else:
-        n_test = int(ttr * X.shape[0])
-        X, Y, Xt, Yt = X[:-n_test], Y[:-n_test], X[-n_test:], Y[-n_test:]
+        # max(1, ...): int(ttr*N) == 0 would make X[:-0] an EMPTY train set
+        # and hand every row to test (reference model_lr.py has the same
+        # flaw; fixed, not reproduced — round-3 review)
+        n_test = max(1, int(ttr * X.shape[0]))
+        n_train = X.shape[0] - n_test
+        if n_train < 1:
+            raise ValueError(
+                f"load_npz: {X.shape[0]} rows cannot satisfy a {ttr} test "
+                f"split with at least one training row")
+        X, Y, Xt, Yt = X[:n_train], Y[:n_train], X[n_train:], Y[n_train:]
     # remap {0,1} labels to {-1,+1}
     if set(np.unique(Y)) <= {0.0, 1.0}:
         Y = 2.0 * Y - 1.0

@@ -140,7 +140,13 @@ def hmc_sample(
     n_a = cfg.n_warmup // 2
     n_b = cfg.n_warmup - n_a
 
-    def make_warmup_phase(n_steps, collect_var):
+    def make_warmup_phase(n_steps, collect_var, mu_da):
+        # mu_da: the dual-averaging shrink anchor. Phase A anchors at
+        # log(10 * init_step_size) (Hoffman & Gelman); phase B re-anchors at
+        # 10x the PHASE-A ADAPTED step (Stan re-centers mu per window) —
+        # anchoring B at the init again biases eps toward a stale value on
+        # badly scaled targets, exactly what re-adaptation exists to fix
+        # (round-3 review)
         def warmup_step(carry, inp):
             th, logeps, logeps_bar, h_bar, mean, m2, inv_mass = carry
             k, i = inp
@@ -149,7 +155,6 @@ def hmc_sample(
             t = i + 1.0
             eta = 1.0 / (t + cfg.da_t0)
             h_bar = (1.0 - eta) * h_bar + eta * (cfg.target_accept - astat)
-            mu_da = jnp.log(10.0 * cfg.init_step_size)
             logeps = mu_da - jnp.sqrt(t) / cfg.da_gamma * h_bar
             w = t ** (-cfg.da_kappa)
             logeps_bar = w * logeps + (1.0 - w) * logeps_bar
@@ -167,8 +172,10 @@ def hmc_sample(
     init_a = (theta0, logeps0, logeps0, jnp.asarray(0.0, dtype),
               jnp.zeros(d, dtype), jnp.zeros(d, dtype), jnp.ones(d, dtype))
     keys_a = jax.random.split(jax.random.fold_in(key, 0), n_a)
+    mu_a = jnp.log(10.0 * cfg.init_step_size)
     (th, _, logeps_bar_a, _, mean, m2, _), astats_a = jax.lax.scan(
-        make_warmup_phase(n_a, True), init_a, (keys_a, jnp.arange(n_a, dtype=dtype))
+        make_warmup_phase(n_a, True, mu_a), init_a,
+        (keys_a, jnp.arange(n_a, dtype=dtype))
     )
     var = m2 / jnp.maximum(n_a - n_a // 2 - 1.0, 1.0)
     inv_mass = jnp.where(var > 1e-10, var, 1.0)  # inverse mass = posterior variance
@@ -177,7 +184,8 @@ def hmc_sample(
               jnp.zeros(d, dtype), jnp.zeros(d, dtype), inv_mass)
     keys_b = jax.random.split(jax.random.fold_in(key, 2), n_b)
     (th, _, logeps_bar, _, _, _, _), astats_b = jax.lax.scan(
-        make_warmup_phase(n_b, False), init_b, (keys_b, jnp.arange(n_b, dtype=dtype))
+        make_warmup_phase(n_b, False, logeps_bar_a + jnp.log(10.0)), init_b,
+        (keys_b, jnp.arange(n_b, dtype=dtype))
     )
     wu_astats = jnp.concatenate([astats_a, astats_b])
     eps = jnp.exp(logeps_bar)
@@ -258,8 +266,14 @@ def hmc_sample_full_logreg(key, Z, theta0, config: HMCConfig = HMCConfig(),
     (samples, stats); pass n_subsample >= len(Z) to skip subsampling."""
     k_sub, k_hmc = jax.random.split(key)
     n = min(n_subsample, Z.shape[0])
-    idcs = jax.random.randint(k_sub, (n,), 0, Z.shape[0])
-    Zs = Z[idcs]
+    if n >= Z.shape[0]:
+        # actually skip (round-3 review): the old path always drew WITH
+        # replacement, so n == N was a bootstrap resample (~36.8% of rows
+        # dropped), not the full posterior the docstring promises
+        Zs = Z
+    else:
+        idcs = jax.random.randint(k_sub, (n,), 0, Z.shape[0])
+        Zs = Z[idcs]
     return hmc_sample_weighted_logreg(k_hmc, Zs, jnp.ones(n, dtype=Zs.dtype),
                                       theta0, config)
 

@@ -36,7 +36,11 @@ def log_likelihood(z, th, sigsq):
     Spec: reference model_linreg.py:4-10 / model_neurlinr.py:90-97."""
     x, y = _split(z)
     pred = x @ th.T  # (N, S)
-    resid_sq = y[:, None] ** 2 - 2.0 * pred * y[:, None] + pred**2
+    # factored (y - pred)^2, NOT the reference's expanded
+    # y^2 - 2 pred y + pred^2 (model_linreg.py:10): the expansion
+    # catastrophically cancels in f32 at |y| >> |resid| (same failure
+    # models/mvn.py:55-62 measured at up to 6 nats); equally XLA-fusable
+    resid_sq = (y[:, None] - pred) ** 2
     return -0.5 * jnp.log(2.0 * math.pi * sigsq) - resid_sq / (2.0 * sigsq)
 
 
@@ -48,7 +52,7 @@ def beta_likelihood(z, th, beta, sigsq):
     Spec: reference model_neurlinr.py:102-110 (negated there)."""
     x, y = _split(z)
     pred = x @ th.T
-    resid_sq = y[:, None] ** 2 - 2.0 * pred * y[:, None] + pred**2
+    resid_sq = (y[:, None] - pred) ** 2  # factored: see log_likelihood
     cnst = (2.0 * math.pi * sigsq) ** (-0.5 * beta)
     return cnst * (
         (beta + 1.0) / beta * jnp.exp(-beta / (2.0 * sigsq) * resid_sq)

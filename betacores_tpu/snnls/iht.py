@@ -138,7 +138,7 @@ def aiht_solve(A: jnp.ndarray, b: jnp.ndarray, K, w0: jnp.ndarray,
 
 
 def aiht_solve_hybrid(A: jnp.ndarray, b: jnp.ndarray, K, w0: jnp.ndarray,
-                      inner_itrs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      inner_itrs, tol=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GIGA-initialized A-IHT: run K greedy GIGA steps from scratch, take
     the better of (greedy solution, warm start w0), refine with IHT.
 
@@ -153,7 +153,10 @@ def aiht_solve_hybrid(A: jnp.ndarray, b: jnp.ndarray, K, w0: jnp.ndarray,
 
     pre = giga_precompute(A, b)
     err_fn = lambda w: jnp.linalg.norm(A @ w - b)
-    gst = greedy_build(lambda w: giga_step(pre, w), err_fn,
+    # tol is threaded as an OPERAND so set_tolerance() between builds
+    # affects already-compiled programs (snnls/base.py contract; a None
+    # default here would bake errors.TOL in at trace time — round-3 review)
+    gst = greedy_build(lambda w: giga_step(pre, w, tol), err_fn,
                        jnp.zeros_like(w0), K)
     w_init = jnp.where(err_fn(gst.w) < err_fn(w0), gst.w, w0)
     return aiht_solve(A, b, K, w_init, inner_itrs)
@@ -176,11 +179,14 @@ class AccIHT(SparseNNLS):
         super().__init__(A, b, max_support=max_support)
         if init == "giga" and bool(jnp.any(jnp.sum(self.A * self.A, axis=0) == 0)):
             raise ValueError("AccIHT(init='giga'): A must not have zero columns")
-        solve = aiht_solve_hybrid if init == "giga" else aiht_solve
+        if init == "giga":
+            solve = aiht_solve_hybrid
+        else:
+            solve = lambda A, b, K, w0, inner, tol: aiht_solve(A, b, K, w0, inner)
 
-        def _trace(A, b, Ks, w0, inner):
+        def _trace(A, b, Ks, w0, inner, tol):
             def body(w, K):
-                w_new, _ = solve(A, b, K, w, inner)
+                w_new, _ = solve(A, b, K, w, inner, tol)
                 return w_new, w_new
 
             return jax.lax.scan(body, w0, Ks)
@@ -208,15 +214,19 @@ class AccIHT(SparseNNLS):
         self.K = min(self.K + int(itrs), self.max_support)
         # aiht_solve seeds best-so-far with the warm start, so the returned
         # iterate never has higher error than self.w (monotone contract)
+        from ..utils import errors
         self.w, _ = self._jit_solve(self.A, self.b, jnp.asarray(self.K),
-                                    self.w, jnp.asarray(self.inner_itrs))
+                                    self.w, jnp.asarray(self.inner_itrs),
+                                    jnp.asarray(errors.TOL, self.A.dtype))
 
     def build_trace(self, itrs: int) -> jnp.ndarray:
         """(itrs, N) weights at budgets K+1..K+itrs, one device program."""
         K0 = self.K
         Ks = jnp.minimum(jnp.arange(K0 + 1, K0 + int(itrs) + 1), self.max_support)
+        from ..utils import errors
         w_final, ws = self._jit_solve_trace(self.A, self.b, Ks, self.w,
-                                            jnp.asarray(self.inner_itrs))
+                                            jnp.asarray(self.inner_itrs),
+                                            jnp.asarray(errors.TOL, self.A.dtype))
         self.K = int(Ks[-1])
         self.w = w_final
         return ws

@@ -19,13 +19,35 @@ from ..utils.logging import get_logger
 from ..utils.prng import KeySequence, key_from_seed
 
 
-def sampling_build(key: jax.Array, ps: jnp.ndarray, counts: jnp.ndarray, itrs: int):
+def sampling_build(key: jax.Array, ps: jnp.ndarray, counts: jnp.ndarray, itrs,
+                   cap: int | None = None):
     """Draw ``itrs`` indices from p and fold them into running counts;
-    returns (counts, w) with w = (counts/sum) / ps."""
-    draws = jax.random.choice(key, ps.shape[0], shape=(itrs,), p=ps)
-    counts = counts + jnp.bincount(draws, length=ps.shape[0]).astype(ps.dtype)
+    returns (counts, w) with w = (counts/sum) / ps.
+
+    ``cap`` (static) is the draw-buffer capacity: ``itrs`` itself is a
+    TRACED operand — ``cap`` draws are made and the first ``itrs`` counted
+    (mask-weighted bincount), so one compiled program serves every build
+    size up to ``cap`` (a ``build(1, m)`` driver loop would otherwise
+    recompile per size; distribution-identical to drawing exactly ``itrs``,
+    which is this class's documented contract vs the reference's sequential
+    stream)."""
+    cap = int(cap if cap is not None else itrs)
+    draws = jax.random.choice(key, ps.shape[0], shape=(cap,), p=ps)
+    mask = (jnp.arange(cap) < itrs).astype(ps.dtype)
+    counts = counts + jnp.bincount(draws, weights=mask,
+                                   length=ps.shape[0]).astype(ps.dtype)
     w = (counts / jnp.sum(counts)) / ps
     return counts, w
+
+
+# ps/counts are jit ARGUMENTS (CLAUDE.md: never close a jitted program over
+# dataset-sized arrays — round-3 review) and the module-level program is
+# shared across instances; only the rarely-changing capacity is static.
+_jit_sampling_build = jax.jit(sampling_build, static_argnums=4)
+
+
+def _round_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1)).bit_length()
 
 
 class ImportanceSampling:
@@ -42,9 +64,6 @@ class ImportanceSampling:
         self.counts = jnp.zeros(self.A.shape[1], dtype=self.A.dtype)
         self.w = jnp.zeros(self.A.shape[1], dtype=self.A.dtype)
         self.reached_numeric_limit = False
-        self._jit_build = jax.jit(
-            lambda k, c, itrs: sampling_build(k, self.ps, c, itrs), static_argnums=2
-        )
 
     def _probs(self):
         ps = jnp.sqrt(jnp.sum(self.A * self.A, axis=0))
@@ -67,7 +86,9 @@ class ImportanceSampling:
         return float(jnp.linalg.norm(self.A @ self.w - self.b))
 
     def build(self, itrs: int) -> None:
-        self.counts, self.w = self._jit_build(self.keys(), self.counts, int(itrs))
+        self.counts, self.w = _jit_sampling_build(
+            self.keys(), self.ps, self.counts, int(itrs),
+            _round_pow2(int(itrs)))
 
     def optimize(self) -> None:  # parity: reference inherits the nnls re-solve
         from .base import optimize as _opt

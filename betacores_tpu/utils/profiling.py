@@ -19,6 +19,21 @@ import jax
 import numpy as np
 
 
+class _Section:
+    """Handle yielded by ``Timings.section``: register the section's device
+    outputs with ``hold(...)`` so the exit sync can block on THEM."""
+
+    def __init__(self):
+        self._held: list = []
+
+    def hold(self, *arrays):
+        """Register outputs whose completion defines the section's end.
+        Returns the single array (or the tuple) for inline use:
+        ``w = s.hold(build(...))``."""
+        self._held.extend(arrays)
+        return arrays[0] if len(arrays) == 1 else arrays
+
+
 class Timings:
     """Accumulates named wall-clock sections; saves the reference-style
     ``*_time.npy`` artifact plus a JSON summary."""
@@ -28,10 +43,23 @@ class Timings:
 
     @contextlib.contextmanager
     def section(self, name: str, sync: bool = True):
+        s = _Section()
         t0 = time.perf_counter()
-        yield
+        yield s
         if sync:
-            # flush async TPU dispatch so the measurement is real
+            # Flush async dispatch so the measurement is real. A pure jitted
+            # computation has no runtime effects, so jax.effects_barrier()
+            # alone returns while the device still runs (round-3 review: the
+            # old exit recorded dispatch time only — the exact '1000x too
+            # fast' artifact CLAUDE.md warns about). Block on the section's
+            # registered outputs by FETCHING one element of each (the host
+            # fetch forces device sync even under the axon client, where
+            # block_until_ready on small outputs can return early), and run
+            # the effects barrier for the effectful remainder.
+            for x in s._held:
+                for leaf in jax.tree_util.tree_leaves(x):
+                    if hasattr(leaf, "size") and getattr(leaf, "size", 0):
+                        np.asarray(jax.numpy.ravel(leaf)[0])
             jax.effects_barrier()
         self.sections.setdefault(name, []).append(time.perf_counter() - t0)
 

@@ -48,14 +48,19 @@ def capped_member_mask(key: jax.Array, groups: Groups, cap: Optional[int], n_dat
     return mask.at[jnp.where(flat >= 0, flat, n_data - 1)].max(keep.reshape(-1))
 
 
-def logreg_laplace_value_fn(Z: jnp.ndarray, Xt: jnp.ndarray, Yt: jnp.ndarray,
-                            n_samples: int = 256, n_newton: int = 10) -> Callable:
+def logreg_laplace_value_fn(n_samples: int = 256, n_newton: int = 10) -> Callable:
     """Value of a data subset = posterior-predictive test accuracy under the
     Laplace approximation (TPU replacement for the reference's per-subset
-    Stan NUTS fit, group_selection.py:166-171)."""
-    d = Z.shape[1]
+    Stan NUTS fit, group_selection.py:166-171).
 
-    def value(key, w):
+    Returns ``value(key, w, Z, Xt, Yt)``: the data arrays are call-time
+    OPERANDS, passed to ``make_dshapley/make_tmc_shapley`` via
+    ``value_args=(Z, Xt, Yt)`` so the jitted permutation runner threads
+    them as jit arguments (CLAUDE.md: a closure over the dataset embeds it
+    into the HLO as constants — round-3 review)."""
+
+    def value(key, w, Z, Xt, Yt):
+        d = Z.shape[1]
         lj = lambda th: logreg.log_joint(Z, th, w)
         g = lambda th: logreg.grad_th_log_joint(Z, th, w)
         h = lambda th: logreg.hess_th_log_joint(Z, th, w)
@@ -77,8 +82,9 @@ def _make_perm_runner(one_perm: Callable, mesh) -> Callable:
     if mesh is None:
 
         @partial(jax.jit, static_argnums=1)
-        def run(key, T: int):
-            phis, occs = jax.lax.map(one_perm, jax.random.split(key, T))
+        def run(key, T: int, vargs=()):
+            phis, occs = jax.lax.map(lambda k: one_perm(k, vargs),
+                                     jax.random.split(key, T))
             return phis.sum(axis=0), occs.sum(axis=0)
 
         return run
@@ -91,23 +97,24 @@ def _make_perm_runner(one_perm: Callable, mesh) -> Callable:
     lane_sharding = NamedSharding(mesh, P((DATA_AXIS, SAMP_AXIS)))
 
     @partial(jax.jit, static_argnums=1)
-    def _vmapped(keys, T: int):
-        phis, occs = jax.vmap(one_perm)(keys)
+    def _vmapped(keys, T: int, vargs=()):
+        phis, occs = jax.vmap(lambda k: one_perm(k, vargs))(keys)
         # padding lanes (index >= T) are dropped from the accumulation
         live = (jnp.arange(keys.shape[0]) < T).astype(phis.dtype)
         return (phis * live[:, None]).sum(axis=0), (occs * live[:, None]).sum(axis=0)
 
-    def run(key, T: int):
+    def run(key, T: int, vargs=()):
         pad = (-T) % n_dev
         keys = jax.device_put(jax.random.split(key, T + pad), lane_sharding)
-        return _vmapped(keys, T)
+        return _vmapped(keys, T, vargs)
 
     return run
 
 
 def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
                   max_groups: int, group_cap: Optional[int] = None,
-                  prior_value: float = 0.5, mesh=None) -> Callable:
+                  prior_value: float = 0.5, mesh=None,
+                  value_args: tuple = ()) -> Callable:
     """Returns jitted ``dshapley(key, T) -> phis (G,)``.
 
     ``prior_value`` is the value of the empty prefix (accuracy 0.5 under the
@@ -117,7 +124,7 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
     N = gid.shape[0]
     mg = min(max_groups, G)
 
-    def one_perm(key):
+    def one_perm(key, vargs=()):
         kp, kc, kv = jax.random.split(key, 3)
         perm = jax.random.permutation(kp, G)
         pos = jnp.zeros(G, dtype=jnp.int32).at[perm].set(jnp.arange(G, dtype=jnp.int32))
@@ -126,7 +133,7 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
         def prefix(carry, j):
             v_prev = carry
             w = jnp.logical_and(jnp.logical_and(pos[gid] <= j, gid < G), cmask)
-            v = value_fn(jax.random.fold_in(kv, j), w.astype(jnp.float32))
+            v = value_fn(jax.random.fold_in(kv, j), w.astype(jnp.float32), *vargs)
             marg = v - v_prev
             return v, (perm[j], marg)
 
@@ -139,8 +146,10 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
 
     run = _make_perm_runner(one_perm, mesh)
 
+    vargs = tuple(jnp.asarray(a) for a in value_args)
+
     def dshapley(key, T: int):
-        phis, occs = run(key, T)
+        phis, occs = run(key, T, vargs)
         return jnp.where(occs > 0, phis / occs, 0.0)
 
     return dshapley
@@ -149,7 +158,8 @@ def make_dshapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
 def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
                      full_value: float, tol: float = 0.01,
                      group_cap: Optional[int] = None,
-                     prior_value: float = 0.5, mesh=None) -> Callable:
+                     prior_value: float = 0.5, mesh=None,
+                     value_args: tuple = ()) -> Callable:
     """Truncated Monte-Carlo Shapley (reference tmcshapley.py:79-106):
     scan the FULL permutation but zero marginals once the prefix value is
     within ``tol`` of the full-data value (truncation), matching the
@@ -157,7 +167,7 @@ def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
     G = groups.n_groups
     N = gid.shape[0]
 
-    def one_perm(key):
+    def one_perm(key, vargs=()):
         kp, kc, kv = jax.random.split(key, 3)
         perm = jax.random.permutation(kp, G)
         pos = jnp.zeros(G, dtype=jnp.int32).at[perm].set(jnp.arange(G, dtype=jnp.int32))
@@ -171,7 +181,8 @@ def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
             v = jax.lax.cond(
                 truncated,
                 lambda _: v_prev,
-                lambda w_: value_fn(jax.random.fold_in(kv, j), w_.astype(jnp.float32)),
+                lambda w_: value_fn(jax.random.fold_in(kv, j),
+                                    w_.astype(jnp.float32), *vargs),
                 w,
             )
             marg = jnp.where(truncated, 0.0, v - v_prev)
@@ -187,8 +198,10 @@ def make_tmc_shapley(gid: jnp.ndarray, groups: Groups, value_fn: Callable,
 
     run = _make_perm_runner(one_perm, mesh)
 
+    vargs = tuple(jnp.asarray(a) for a in value_args)
+
     def tmc(key, T: int):
-        phis, occs = run(key, T)
+        phis, occs = run(key, T, vargs)
         return jnp.where(occs > 0, phis / occs, 0.0)
 
     return tmc

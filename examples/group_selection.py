@@ -122,7 +122,8 @@ def main():
     G = len(groups)
     print(f"N={Z.shape[0]} d={Z.shape[1]} groups={G} test={len(Yt)}")
     Zj, Xtj, Ytj = jnp.asarray(Z), jnp.asarray(Xt), jnp.asarray(Yt)
-    value_fn = logreg_laplace_value_fn(Zj, Xtj, Ytj, n_samples=256)
+    value_fn = logreg_laplace_value_fn(n_samples=256)
+    value_args = (Zj, Xtj, Ytj)
 
     t0 = time.perf_counter()
     if args.alg == "BCORES":
@@ -153,7 +154,8 @@ def main():
     elif args.alg == "DShapley":
         gp = Groups.from_lists(groups)
         gid = group_ids_from_groups(gp, Z.shape[0])
-        dshap = make_dshapley(gid, gp, value_fn, max_groups=min(20, G),
+        dshap = make_dshapley(gid, gp, value_fn, value_args=value_args,
+                              max_groups=min(20, G),
                               group_cap=args.shapley_cap)
         phis = np.asarray(dshap(jax.random.key(args.trial), args.shapley_T))
         order = np.argsort(phis)[::-1][: args.M].tolist()
@@ -163,9 +165,11 @@ def main():
         gp = Groups.from_lists(groups)
         gid = group_ids_from_groups(gp, Z.shape[0])
         full_mask = (np.asarray(gid) < G).astype(np.float32)
-        full_value = float(value_fn(jax.random.key(999), jnp.asarray(full_mask)))
+        full_value = float(value_fn(jax.random.key(999),
+                            jnp.asarray(full_mask), *value_args))
         print(f"full-data value (TMC truncation target): {full_value:.4f}")
-        tmc = make_tmc_shapley(gid, gp, value_fn, full_value=full_value,
+        tmc = make_tmc_shapley(gid, gp, value_fn, value_args=value_args,
+                               full_value=full_value,
                                group_cap=args.shapley_cap)
         phis = np.asarray(tmc(jax.random.key(args.trial), args.shapley_T))
         order = np.argsort(phis)[::-1][: args.M].tolist()
@@ -180,7 +184,8 @@ def main():
     for j, g in enumerate(order, start=1):
         mask[groups[g]] = True
         accs[j] = float(value_fn(jax.random.key(1000 + j),
-                                 jnp.asarray(mask, dtype=jnp.float32)))
+                                 jnp.asarray(mask, dtype=jnp.float32),
+                                 *value_args))
         print(f"prefix {j} (group {g}, {mask.sum()} pts): acc={accs[j]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)

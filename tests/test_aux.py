@@ -43,8 +43,8 @@ def test_config_tag_and_linearize():
 
 def test_timings(tmp_path):
     t = Timings()
-    with t.section("projection"):
-        _ = jnp.ones(10).sum()
+    with t.section("projection") as sec:
+        sec.hold(jnp.ones(10).sum())
     assert t.total("projection") > 0
     t.save(os.path.join(tmp_path, "run"))
     assert os.path.exists(os.path.join(tmp_path, "run_projection_time.npy"))

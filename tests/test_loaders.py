@@ -64,3 +64,20 @@ def test_missing_file_error_and_unknown_name(tmp_path):
         load_uci_regression("boston", data_dir=str(tmp_path))
     with pytest.raises(ValueError, match="Unsupported"):
         load_uci_regression("mnist", data_dir=str(tmp_path))
+
+
+def test_load_npz_tiny_dataset_split_guard(tmp_path):
+    """Regression (round-3 review): int(ttr*N)==0 made X[:-0] an empty train
+    set; the split must keep >= 1 train and >= 1 test row or refuse."""
+    from betacores_tpu.data.loaders import load_npz
+
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "tiny.npz", X=rng.normal(size=(4, 2)),
+             y=rng.integers(0, 2, size=4))
+    X, Y, Xt, Yt = load_npz(str(tmp_path / "tiny.npz"), ttr=0.2)
+    assert X.shape[0] == 3 and Xt.shape[0] == 1
+    assert set(np.unique(Y)) <= {-1.0, 1.0}
+
+    np.savez(tmp_path / "one.npz", X=rng.normal(size=(1, 2)), y=np.ones(1))
+    with pytest.raises(ValueError, match="training row"):
+        load_npz(str(tmp_path / "one.npz"), ttr=0.2)

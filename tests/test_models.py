@@ -235,3 +235,23 @@ class TestLinreg:
         mu_want, Sig_want = om.linreg_weighted_post(mu0, Sig0inv, self.sigsq, self.z, w)
         np.testing.assert_allclose(np.asarray(post.mu), mu_want, rtol=1e-8)
         np.testing.assert_allclose(np.asarray(post.cov), Sig_want, rtol=1e-8)
+
+
+def test_linreg_likelihood_f32_stable_at_large_targets():
+    """Regression (round-3 review): the reference expands (y - pred)^2 into
+    y^2 - 2 pred y + pred^2 (model_linreg.py:10), which catastrophically
+    cancels in f32 at |y| >> |resid|. The factored form must match the f64
+    answer at TPU-realistic unstandardized targets."""
+    from betacores_tpu.models import linreg
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 3))
+    th = rng.normal(size=(4, 3))
+    y64 = (x @ th[0]) * 1000.0 + 0.1 * rng.normal(size=16)
+    z32 = jnp.asarray(np.c_[x, y64], dtype=jnp.float32)
+    th32 = jnp.asarray(th * 1000.0, dtype=jnp.float32)
+    ll32 = np.asarray(linreg.log_likelihood(z32, th32, 2.0))
+    ll64 = np.asarray(linreg.log_likelihood(
+        jnp.asarray(np.c_[x, y64]), jnp.asarray(th * 1000.0), 2.0))
+    # expanded form errs by ~100% here; factored stays within f32 rounding
+    np.testing.assert_allclose(ll32, ll64, rtol=2e-3, atol=2e-1)

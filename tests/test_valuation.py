@@ -46,8 +46,8 @@ def test_dshapley_downranks_corrupted_groups(problem):
     Z, X, y, Xt, yt, groups = problem
     gp = Groups.from_lists(groups)
     gid = group_ids_from_groups(gp, Z.shape[0])
-    value_fn = logreg_laplace_value_fn(Z, Xt, yt, n_samples=128)
-    dshap = make_dshapley(gid, gp, value_fn, max_groups=6)
+    value_fn = logreg_laplace_value_fn(n_samples=128)
+    dshap = make_dshapley(gid, gp, value_fn, max_groups=6, value_args=(Z, Xt, yt))
     phis = np.asarray(dshap(jax.random.key(0), 40))
     clean = phis[[0, 1, 2, 3]].mean()
     corrupt = phis[[4, 5]].mean()
@@ -60,9 +60,11 @@ def test_tmc_shapley_runs_and_ranks(problem):
     Z, X, y, Xt, yt, groups = problem
     gp = Groups.from_lists(groups)
     gid = group_ids_from_groups(gp, Z.shape[0])
-    value_fn = logreg_laplace_value_fn(Z, Xt, yt, n_samples=128)
-    full_v = float(value_fn(jax.random.key(9), jnp.ones(Z.shape[0], dtype=jnp.float32)))
-    tmc = make_tmc_shapley(gid, gp, value_fn, full_value=full_v, tol=0.005)
+    value_fn = logreg_laplace_value_fn(n_samples=128)
+    full_v = float(value_fn(jax.random.key(9),
+                        jnp.ones(Z.shape[0], dtype=jnp.float32), Z, Xt, yt))
+    tmc = make_tmc_shapley(gid, gp, value_fn, full_value=full_v, tol=0.005,
+                           value_args=(Z, Xt, yt))
     phis = np.asarray(tmc(jax.random.key(1), 30))
     assert phis.shape == (6,)
     assert phis[[0, 1, 2, 3]].mean() > phis[[4, 5]].mean(), phis
@@ -77,10 +79,11 @@ def test_sharded_permutations_match_single_device(problem):
     Z, X, y, Xt, yt, groups = problem
     gp = Groups.from_lists(groups)
     gid = group_ids_from_groups(gp, Z.shape[0])
-    value_fn = logreg_laplace_value_fn(Z, Xt, yt, n_samples=128)
+    value_fn = logreg_laplace_value_fn(n_samples=128)
     mesh = make_mesh(4, 2)
-    d1 = make_dshapley(gid, gp, value_fn, max_groups=6)
-    d2 = make_dshapley(gid, gp, value_fn, max_groups=6, mesh=mesh)
+    d1 = make_dshapley(gid, gp, value_fn, max_groups=6, value_args=(Z, Xt, yt))
+    d2 = make_dshapley(gid, gp, value_fn, max_groups=6, mesh=mesh,
+                       value_args=(Z, Xt, yt))
     phis1 = np.asarray(d1(jax.random.key(3), 16))
     phis2 = np.asarray(d2(jax.random.key(3), 16))
     np.testing.assert_allclose(phis1, phis2, rtol=1e-6, atol=1e-7)
