@@ -8,32 +8,18 @@ and a grid enumerator for cluster array jobs.
 
 from __future__ import annotations
 
-import dataclasses
 import itertools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 
 def linearize(grid: Dict[str, Sequence[Any]]) -> List[Dict[str, Any]]:
     """Enumerate a {name: values} grid into an index -> config-dict list
-    (the reference's ``linearize``, zellner_neural_linear/main.py:11-26)."""
+    (the reference's ``linearize``, zellner_neural_linear/main.py:11-26).
+
+    The build-time knobs themselves live in ONE place each — the library's
+    ``IncrementalConfig``/``BPSVIConfig``/``HMCConfig`` dataclasses and the
+    drivers' argparse defaults (a parallel driver-level config dataclass
+    existed here through round 3 but was never wired and could only drift;
+    removed)."""
     keys = list(grid)
     return [dict(zip(keys, vals)) for vals in itertools.product(*(grid[k] for k in keys))]
-
-
-@dataclasses.dataclass
-class BuildConfig:
-    """Shared coreset-build knobs (reference zellner_logreg/main.py:113-127)."""
-
-    M: int = 100                     # max coreset size
-    projection_dim: int = 100        # S
-    opt_itrs: int = 500
-    n_subsample_select: int = 1000
-    n_subsample_opt: int = 200
-    i0: float = 1.0                  # lr schedule i0/(1+i)
-    beta: float = 0.1
-    learn_beta: bool = False
-    f_rate: float = 0.1              # corruption rate
-    trial: int = 1                   # seed
-
-    def step_sched(self):
-        return lambda i: self.i0 / (1.0 + i)

@@ -110,7 +110,8 @@ def main():
                                    jnp.asarray(X, dtype=jnp.float32),
                                    jnp.ones(args.N))
     mu_err, sig_tr, rkl, pll = {}, {}, {}, {}
-    for m in range(0, args.M + 1, args.eval_every):
+    # always evaluate the final size (round-3 review)
+    for m in sorted(set(range(0, args.M + 1, args.eval_every)) | {args.M}):
         wm = jnp.asarray(np.atleast_1d(w[m]).astype(np.float32))
         pm = jnp.asarray(np.atleast_2d(p[m]).astype(np.float32))
         post = mvn.weighted_post(mu0, kappa0, Psi0, nu0, pm, wm)

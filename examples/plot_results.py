@@ -55,6 +55,7 @@ def main():
 
     curves = defaultdict(list)
     xs = None  # eval sizes for dict-keyed metrics (indices otherwise)
+    xs_list = []
     if args.kind == "gaussian":
         metric = args.metric or "rklw"
         for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
@@ -66,11 +67,19 @@ def main():
     elif args.kind == "logreg":
         metric = args.metric or "accs"
         for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+            # other experiment families share the prefix and (for plls) the
+            # schema — mixing them in would silently average across
+            # experiments (round-3 review)
+            if os.path.basename(path).startswith(("results_poiss_",
+                                                  "results_mc_",
+                                                  "results_dpbpsvi_")):
+                continue
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and metric in res and isinstance(res.get(metric), dict):
                 ms = sorted(res[metric])
-                xs = np.asarray(ms)
+                xs_list.append(np.asarray(ms))
+                xs = xs_list[-1]
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
     elif args.kind == "poisson":
@@ -80,7 +89,8 @@ def main():
                 res = pickle.load(f)
             if isinstance(res, dict) and isinstance(res.get(metric), dict):
                 ms = sorted(res[metric])
-                xs = np.asarray(ms)
+                xs_list.append(np.asarray(ms))
+                xs = xs_list[-1]
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = "test predictive LL", False
     elif args.kind == "multiclass":
@@ -108,13 +118,22 @@ def main():
 
     if not curves:
         print("no results found"); return
-    # pad ragged trials to the shortest common length
+    # truncate EVERY curve (and the x grid) to one GLOBAL minimum length:
+    # per-alg truncation with a last-file x grid could pair one run's values
+    # with another run's coreset sizes, or crash on length mismatch
+    # (round-3 review)
+    L = min(len(c) for v in curves.values() for c in v)
     for k in curves:
-        L = min(len(c) for c in curves[k])
         curves[k] = np.stack([c[:L] for c in curves[k]])
     fig, ax = plt.subplots(figsize=(6, 4))
     if xs is not None:
-        L = min(len(c) for v in curves.values() for c in v)
+        if xs_list:
+            xs = xs_list[0]
+            for other in xs_list[1:]:
+                if not np.array_equal(other[:L], xs[:L]):
+                    print("WARNING: results files use different evaluation "
+                          "grids; plotting against the first file's sizes")
+                    break
         xs = xs[:L]
     plot_curves(ax, curves, x=xs, ylabel=ylabel, log_y=log_y)
     fig.tight_layout()

@@ -136,13 +136,17 @@ def main():
 
     # evaluation: Laplace posterior of each size's weighted coreset ->
     # test predictive log-likelihood (static shapes: zero-weight padded)
-    eval_ms = list(range(0, args.M + 1, args.eval_every))
+    # always evaluate the final size; never skip it when eval_every does
+    # not divide M (round-3 review; multiclass.py carried this fix already)
+    eval_ms = sorted(set(range(0, args.M + 1, args.eval_every)) | {args.M})
     cap = max(len(np.atleast_1d(w[m])) for m in eval_ms)
 
     @jax.jit
-    def eval_fn(key, wm, pm):
+    def eval_fn(key, wm, pm, zt):
+        # zt is a jit ARGUMENT (CLAUDE.md: never close a jitted fn over a
+        # dataset — round-3 review)
         samples, _ = sampler(key, 256, wm, pm, jnp.zeros(d, dtype=jnp.float32))
-        return poisson.predictive_loglik(Zt, samples)
+        return poisson.predictive_loglik(zt, samples)
 
     if args.eval == "hmc":
         from betacores_tpu.inference import (HMCConfig, run_chains_weighted_poisson,
@@ -169,7 +173,7 @@ def main():
                   f"rhat={float(diags[m]['rhat'].max()):.3f} "
                   f"ess={float(diags[m]['ess'].min()):.0f}")
         else:
-            plls[m] = float(eval_fn(key_m, wm, pm))
+            plls[m] = float(eval_fn(key_m, wm, pm, Zt))
             print(f"m={m:4d} pll={plls[m]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)

@@ -105,6 +105,7 @@ def main():
         "SVI": lambda: bc.SparseVICoreset(Xc, prj_w, **common),
         "BPSVI": lambda: bc.BatchPSVICoreset(Xc, prj_w, opt_itrs=args.opt_itrs,
                                              n_subsample_opt=args.n_subsample_opt,
+                                             step_sched=lambda m: sched,
                                              seed=args.trial, max_size=args.M),
         "GIGAO": lambda: bc.HilbertCoreset(Xc, prj_opt, seed=args.trial),
         "GIGAR": lambda: bc.HilbertCoreset(Xc, prj_real, seed=args.trial),

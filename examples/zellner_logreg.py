@@ -138,6 +138,7 @@ def main():
         "SVI": lambda: bc.SparseVICoreset(Z, prj_w, **common),
         "BPSVI": lambda: bc.BatchPSVICoreset(Z, prj_w, opt_itrs=args.opt_itrs,
                                              n_subsample_opt=args.n_subsample_opt,
+                                             step_sched=lambda m: sched,
                                              seed=args.trial, max_size=args.M),
         "RAND": lambda: bc.UniformSamplingCoreset(Z, seed=args.trial),
         "PRIOR": lambda: None,
@@ -218,7 +219,9 @@ def main():
     # evaluation: HMC on the weighted coreset posterior per size
     from betacores_tpu.inference import summarize_chains
 
-    eval_ms = list(range(0, args.M + 1, args.eval_every))
+    # always evaluate the final size; never skip it when eval_every does
+    # not divide M (round-3 review; multiclass.py carried this fix already)
+    eval_ms = sorted(set(range(0, args.M + 1, args.eval_every)) | {args.M})
     accs, plls, mcmc_times, diags = {}, {}, {}, {}
     cfg = HMCConfig(n_samples=args.mcmc_samples, n_warmup=args.mcmc_warmup, L_max=32)
     # zero-weight pad every coreset to one static shape: zero-weight rows

@@ -34,9 +34,13 @@ struct Buffer {
 };
 
 // fast float parse (strtof is locale-slow; this is the usual hand-rolled
-// decimal parser, falling back to strtof for exponents/specials)
-inline float parse_float(const char*& p, const char* end) {
-  while (p < end && (*p == ' ' || *p == '\t')) ++p;
+// decimal parser, falling back to strtof for exponents/specials).
+// `delim` (0 = none) is NEVER skipped as whitespace: skipping '\t'
+// unconditionally collapsed empty fields in tab-delimited files (round-3
+// review: "1\t\t2" parsed as [1, 2] and was then dropped as ragged).
+inline float parse_float(const char*& p, const char* end, char delim = 0) {
+  while (p < end && ((*p == ' ' && delim != ' ') || (*p == '\t' && delim != '\t')))
+    ++p;
   const char* start = p;
   bool neg = false;
   if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
@@ -94,23 +98,50 @@ char* read_file(const char* path, size_t* out_len) {
   return buf;
 }
 
-void parse_csv_chunk(const char* p, const char* end, char delim, Buffer* out) {
+// expected_cols comes from the FILE's first data line (detect_csv_cols):
+// latching per-chunk widths let one ragged line at a chunk start silently
+// poison/discard that whole chunk, and merge() then dropped every part
+// whose width disagreed (round-3 review).
+void parse_csv_chunk(const char* p, const char* end, char delim,
+                     int64_t expected_cols, Buffer* out) {
+  out->cols = expected_cols;
   std::vector<float> row;
   while (p < end) {
     row.clear();
     while (p < end && *p != '\n') {
-      row.push_back(parse_float(p, end));
+      row.push_back(parse_float(p, end, delim));
       while (p < end && *p != delim && *p != '\n' && *p != '\r') ++p;
       if (p < end && *p == delim) ++p;
       if (p < end && *p == '\r') ++p;
     }
     if (p < end) ++p;  // newline
     if (row.empty()) continue;
-    if (out->cols == 0) out->cols = static_cast<int64_t>(row.size());
     if (static_cast<int64_t>(row.size()) != out->cols) continue;  // ragged: drop
     out->data.insert(out->data.end(), row.begin(), row.end());
     out->rows++;
   }
+}
+
+// field count of the first non-empty line (the file-wide width contract)
+int64_t detect_csv_cols(const char* p, const char* end, char delim) {
+  while (p < end) {
+    const char* q = p;
+    int64_t n = 0;
+    bool any = false;
+    while (q < end && *q != '\n') {
+      const char* f = q;
+      parse_float(q, end, delim);
+      (void)f;
+      any = true;
+      ++n;
+      while (q < end && *q != delim && *q != '\n' && *q != '\r') ++q;
+      if (q < end && *q == delim) ++q;
+      if (q < end && *q == '\r') ++q;
+    }
+    if (any) return n;
+    p = (q < end) ? q + 1 : q;
+  }
+  return 0;
 }
 
 void parse_svmlight_chunk(const char* p, const char* end, int64_t n_features,
@@ -212,11 +243,18 @@ float* bc_load_csv(const char* path, char delim, int skip_header,
   }
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
+  int64_t expected_cols = detect_csv_cols(start, buf + len, delim);
+  if (expected_cols == 0) {
+    free(buf);
+    *rows = 0; *cols = 0;
+    return static_cast<float*>(malloc(1));
+  }
   auto bounds = chunk_starts(start, len - (start - buf), n_threads);
   std::vector<Buffer> parts(n_threads);
   std::vector<std::thread> ts;
   for (int t = 0; t < n_threads; ++t)
-    ts.emplace_back(parse_csv_chunk, bounds[t], bounds[t + 1], delim, &parts[t]);
+    ts.emplace_back(parse_csv_chunk, bounds[t], bounds[t + 1], delim,
+                    expected_cols, &parts[t]);
   for (auto& th : ts) th.join();
   Buffer all = merge(parts);
   free(buf);

@@ -45,9 +45,16 @@ def incremental_build_deterministic(
         vecs, corevecs = projections(wts, pts)
         resid = vecs.sum(axis=0) - wts @ corevecs
         S = vecs.shape[1]
-        corrs = vecs @ resid / np.sqrt((vecs**2).sum(axis=1)) / S
+        # zero-norm guard matching the weighted/group variants below (a
+        # sample-constant row would otherwise score 0/0 = nan, and argmax
+        # treats nan as maximal — round-3 review)
+        vn = np.sqrt((vecs**2).sum(axis=1))
+        vn[vn == 0] = np.inf
+        corrs = vecs @ resid / vn / S
         if corevecs.shape[0] > 0:
-            corecorrs = np.abs(corevecs @ resid / np.sqrt((corevecs**2).sum(axis=1))) / S
+            cn = np.sqrt((corevecs**2).sum(axis=1))
+            cn[cn == 0] = np.inf
+            corecorrs = np.abs(corevecs @ resid / cn) / S
             take_new = corrs.max() > corecorrs.max()
         else:
             take_new = True
@@ -101,9 +108,13 @@ def incremental_build_learn_beta_deterministic(
                     if pts.shape[0] > 0 else np.zeros((0, vecs.shape[1])))
         resid = vecs.sum(axis=0) - wts @ corevecs
         S = vecs.shape[1]
-        corrs = vecs @ resid / np.sqrt((vecs**2).sum(axis=1)) / S
+        vn = np.sqrt((vecs**2).sum(axis=1))
+        vn[vn == 0] = np.inf  # zero-norm guard (see point variant above)
+        corrs = vecs @ resid / vn / S
         if corevecs.shape[0] > 0:
-            corecorrs = np.abs(corevecs @ resid / np.sqrt((corevecs**2).sum(axis=1))) / S
+            cn = np.sqrt((corevecs**2).sum(axis=1))
+            cn[cn == 0] = np.inf
+            corecorrs = np.abs(corevecs @ resid / cn) / S
             take_new = corrs.max() > corecorrs.max()
         else:
             take_new = True

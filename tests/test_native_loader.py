@@ -89,3 +89,28 @@ def test_csv_single_row_fallback_is_2d(tmp_path, monkeypatch):
     monkeypatch.setattr(nl, "_get_lib", lambda: None)
     X = nl.load_csv(str(f))
     assert X.shape == (1, 3)
+
+
+def test_csv_ragged_chunk_start_and_tab_delim(tmp_path, built):
+    """Regression (round-3 review): (a) a ragged line must drop only ITSELF
+    — per-chunk width latching could silently discard a whole thread-chunk
+    (or poison the result width when the ragged line led chunk 0); (b) a
+    tab must not be skipped as whitespace when it IS the delimiter (empty
+    fields collapsed and the row was dropped as ragged)."""
+    rows = ["%d,%d,%d" % (i, i + 1, i + 2) for i in range(2000)]
+    rows[777] = "5,6"  # ragged: must drop exactly this one row
+    path = os.path.join(tmp_path, "ragged.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    X = nl.load_csv(path, n_threads=4)
+    assert X.shape == (1999, 3)
+    assert not (X[:, 0] == 777).any()
+    assert (X[:, 0] == 776).any() and (X[:, 0] == 778).any()
+
+    path = os.path.join(tmp_path, "tabs.tsv")
+    with open(path, "w") as f:
+        f.write("1\t\t2\n3\t4\t5\n")
+    Y = nl.load_csv(path, delimiter="\t")
+    assert Y.shape == (2, 3)
+    np.testing.assert_allclose(Y[0], [1.0, 0.0, 2.0])
+    np.testing.assert_allclose(Y[1], [3.0, 4.0, 5.0])
