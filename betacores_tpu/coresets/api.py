@@ -574,6 +574,30 @@ class HilbertCoreset(Coreset):
         return self.snnls.error()
 
 
+def uniform_coreset_draws(key, n: int, N: int, start: int = 0):
+    """Draws ``start .. start+n-1`` of the UniformSamplingCoreset point
+    stream rooted at ``key``: iid uniform indices in [0, N), one
+    ``fold_in`` per draw counter — so a batched call and one-at-a-time
+    calls produce the IDENTICAL sequence (``build_trace`` vs a
+    ``build(1, m)`` loop), and a jitted pipeline on any backend can replay
+    the eager baseline's draws bit-for-bit from the same key."""
+    ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, start + jnp.arange(n))
+    return jax.vmap(lambda k: jax.random.randint(k, (), 0, N))(ks)
+
+
+def weighted_coreset_draws(key, n: int, p, start: int = 0):
+    """Counter-indexed iid categorical draws over ``len(p)`` items with
+    probabilities ``p`` (pure, jittable; inverse CDF). Same stream contract
+    as ``uniform_coreset_draws``. Callers needing exact zero-mass exclusion
+    should compact ``p`` to its positive support first (the eager class
+    does)."""
+    ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, start + jnp.arange(n))
+    u = jax.vmap(lambda k: jax.random.uniform(k, dtype=p.dtype))(ks)
+    cum = jnp.cumsum(p)
+    return jnp.clip(jnp.searchsorted(cum / cum[-1], u, side="right"),
+                    0, p.shape[0] - 1)
+
+
 class UniformSamplingCoreset(Coreset):
     """Uniform-sampling baseline (spec: reference coreset/sampling.py):
     iid uniform draws with multiplicity counts, w = N * cts / sum(cts).
@@ -582,7 +606,11 @@ class UniformSamplingCoreset(Coreset):
     pytree is materialized lazily on first read after a build. A
     ``for m: build(1, m); get()`` driver loop therefore pays one device
     round trip per *read*, not several per build call (tunnel round trips
-    dominate such loops)."""
+    dominate such loops). Draws follow the framework's explicit-JAX-PRNG
+    discipline (utils/prng.py): a committed-to-CPU threefry key stream
+    feeds the pure ``uniform_coreset_draws``/``weighted_coreset_draws``
+    functions (replayable under jit on any backend, bit-identical), with
+    zero accelerator round trips on tunneled backends."""
 
     def __init__(self, data, seed: int = 0, groups=None, data_weights=None, **kw):
         self._dirty = False
@@ -626,7 +654,24 @@ class UniformSamplingCoreset(Coreset):
             self._warm = None
         self.groups = groups
         self.selected_groups: list[int] = []
-        self._rng = np.random.default_rng(seed)
+        # Explicit-JAX-PRNG draw stream, committed to the host CPU backend:
+        # key splits and draws never touch the accelerator (no tunnel round
+        # trips per build) yet are bit-reproducible under jit on ANY backend
+        # from the same key (threefry is platform-deterministic). Weighted
+        # draws are compacted to the positive support so zero-mass rows /
+        # groups are structurally excluded, not just measure-zero.
+        self._cpu = jax.devices("cpu")[0]
+        self._n_drawn = 0
+        with jax.default_device(self._cpu):
+            self._draw_key = jax.device_put(jax.random.key(seed), self._cpu)
+            if self._u_p is not None:
+                self._u_pos = np.flatnonzero(self._u > 0)
+                self._u_p_dev = jax.device_put(
+                    jnp.asarray(self._u[self._u_pos] / self._u_total), self._cpu)
+            if groups is not None and self._g_p is not None:
+                self._g_pos = np.flatnonzero(self._g_p > 0)
+                self._g_p_dev = jax.device_put(
+                    jnp.asarray(self._g_p[self._g_pos]), self._cpu)
 
     @property
     def state(self):
@@ -662,15 +707,27 @@ class UniformSamplingCoreset(Coreset):
 
     def _draw_points(self, itrs: int):
         N = self.data.shape[0]
-        return (self._rng.integers(0, N, size=itrs) if self._u_p is None
-                else self._rng.choice(N, size=itrs, p=self._u_p))
+        start, self._n_drawn = self._n_drawn, self._n_drawn + itrs
+        with jax.default_device(self._cpu):
+            if self._u_p is None:
+                return np.asarray(
+                    uniform_coreset_draws(self._draw_key, itrs, N, start))
+            j = np.asarray(
+                weighted_coreset_draws(self._draw_key, itrs, self._u_p_dev, start))
+        return self._u_pos[j]
 
     def _draw_groups(self, itrs: int):
         # group mode (reference sampling.py:37-52); weighted: draws ~ group
-        # mass
+        # mass (zero-mass groups excluded via support compaction)
         G = len(self.groups)
-        return (self._rng.integers(0, G, size=itrs) if self._u is None
-                else self._rng.choice(G, size=itrs, p=self._g_p))
+        start, self._n_drawn = self._n_drawn, self._n_drawn + itrs
+        with jax.default_device(self._cpu):
+            if self._u is None:
+                return np.asarray(
+                    uniform_coreset_draws(self._draw_key, itrs, G, start))
+            j = np.asarray(
+                weighted_coreset_draws(self._draw_key, itrs, self._g_p_dev, start))
+        return self._g_pos[j]
 
     def _append_group(self, g: int) -> None:
         """Append every member of a NEW group once (weighted: u==0 members
@@ -696,7 +753,7 @@ class UniformSamplingCoreset(Coreset):
 
     def build_trace(self, itrs: int):
         """Per-iteration compact coresets [(wts, pts, idcs)] * itrs — the
-        output of a ``for m: build(1, m); get()`` loop (same host RNG
+        output of a ``for m: build(1, m); get()`` loop (same draw-key
         stream) with ONE device gather at the end instead of per-size
         round trips. A constructor warm start (count-1 prefix, possibly
         EXTERNAL points — see __init__) appears in every snapshot exactly
