@@ -16,7 +16,9 @@ from .groups import (
     make_group_incremental_builder,
 )
 from .bpsvi import BPSVIConfig, bpsvi_build_batch, make_bpsvi_builder
-from .dpbpsvi import DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon, make_dp_bpsvi_builder
+from .dpbpsvi import (DiffPrivBatchPSVICoreset, DPConfig, gaussian_rdp_epsilon,
+                      make_dp_bpsvi_builder, poisson_batch_cap,
+                      poisson_overflow_p, sgm_rdp, subsampled_gaussian_epsilon)
 from .incremental import IncrementalBuilder, IncrementalConfig, make_incremental_builder
 from .psvi import PseudoSparseVICoreset, make_psvi_builder
 from .refine import refine_weights
@@ -48,6 +50,10 @@ __all__ = [
     "DPConfig",
     "gaussian_rdp_epsilon",
     "make_dp_bpsvi_builder",
+    "poisson_batch_cap",
+    "poisson_overflow_p",
+    "sgm_rdp",
+    "subsampled_gaussian_epsilon",
     "IncrementalBuilder",
     "IncrementalConfig",
     "make_incremental_builder",

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--clip-norm", type=float, default=1.0)
     ap.add_argument("--delta", type=float, default=1e-5)
     ap.add_argument("--noise-grid", default="0.5,1.0,2.0,4.0")
+    ap.add_argument("--sampling", choices=("poisson", "swr"), default="poisson",
+                    help="poisson: subsampled-Gaussian RDP accounting "
+                         "(amplification by subsampling); swr: round-3 "
+                         "unamplified substitution accounting")
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -86,7 +90,7 @@ def main():
             jnp.asarray(X), prj, opt_itrs=args.opt_itrs,
             n_subsample_opt=args.n_subsample_opt, step_sched=sched,
             clip_norm=args.clip_norm, noise_multiplier=nm,
-            delta=args.delta, seed=args.trial)
+            delta=args.delta, seed=args.trial, sampling=args.sampling)
         t0 = time.perf_counter()
         alg.build(1, args.M)
         w, p = alg.get()
@@ -103,8 +107,9 @@ def main():
         print(f"{r['noise']:>6g} {r['eps']:>10g} {r['rkl']:>12.4g} "
               f"{r['nnz']:>4d} {r['t_s']:>6.1f}")
     os.makedirs(args.results_dir, exist_ok=True)
-    out = os.path.join(args.results_dir,
-                       f"results_dpbpsvi_N{args.N}_M{args.M}_{args.trial}.pk")
+    out = os.path.join(
+        args.results_dir,
+        f"results_dpbpsvi_N{args.N}_M{args.M}_{args.sampling}_{args.trial}.pk")
     with open(out, "wb") as f:
         pickle.dump({"rows": rows, "rkl_prior": rkl_prior,
                      "config": vars(args)}, f)

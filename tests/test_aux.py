@@ -57,6 +57,77 @@ def test_rdp_accountant_monotone():
     assert e2 > e1 > e3 > 0
 
 
+def test_sgm_rdp_gaussian_identity_and_small_q():
+    """q=1 must equal the plain Gaussian RDP alpha/(2 sigma^2) exactly; the
+    small-q leading order is C(a,2) q^2 (e^{1/s^2}-1) / (a-1)."""
+    from betacores_tpu.coresets import sgm_rdp
+
+    orders = np.array([2, 4, 16, 64])
+    np.testing.assert_allclose(sgm_rdp(1.0, 2.0, orders), orders / (2 * 4.0),
+                               rtol=1e-12)
+    # small-q leading (k=2) order — only where the k=alpha tail term
+    # q^a e^{a(a-1)/2s^2} is negligible (at high alpha / small sigma that
+    # tail genuinely dominates: the known SGM large-order blow-up)
+    q, s = 1e-5, 1.5
+    low = np.array([2, 4, 16])
+    lead = (low * q ** 2 * (np.exp(1.0 / s ** 2) - 1.0) / 2)
+    np.testing.assert_allclose(sgm_rdp(q, s, low), lead, rtol=1e-3)
+    assert np.all(sgm_rdp(0.0, 1.0, orders) == 0.0)
+
+
+@pytest.mark.parametrize("q,sigma", [(0.1, 1.0), (0.01, 2.0), (0.5, 0.8)])
+def test_sgm_rdp_matches_numerical_integration(q, sigma):
+    """Independent oracle: the Renyi divergence of the sampled Gaussian
+    mechanism's mixture mu = (1-q)N(0,s^2) + qN(1,s^2) against N(0,s^2),
+    D_a = 1/(a-1) log E_{z~mu0}[(mu/mu0)^a], by direct quadrature —
+    validates the closed-form integer-alpha formula (Mironov et al. 2019)
+    the accountant uses, with no shared code."""
+    from scipy.integrate import quad
+
+    from betacores_tpu.coresets import sgm_rdp
+
+    for a in (2, 3, 8, 32):
+        def log_integrand(z):
+            log_p0 = -z ** 2 / (2 * sigma ** 2) - 0.5 * np.log(2 * np.pi * sigma ** 2)
+            log_ratio = np.logaddexp(np.log1p(-q),
+                                     np.log(q) + (2 * z - 1) / (2 * sigma ** 2))
+            return log_p0 + a * log_ratio
+
+        # the raw integrand overflows float64 at small sigma / large alpha
+        # (the integral itself is e^{hundreds}); integrate the shifted
+        # exp(logI - shift) and add the shift back in log space
+        zg = np.linspace(-50 * sigma, 50 * sigma + 1, 20001)
+        shift = float(np.max(log_integrand(zg)))
+        val, _ = quad(lambda z: np.exp(log_integrand(z) - shift),
+                      -50 * sigma, 50 * sigma + 1, limit=400)
+        oracle = (shift + np.log(val)) / (a - 1)
+        got = float(sgm_rdp(q, sigma, np.array([a]))[0])
+        assert got == pytest.approx(oracle, rel=1e-6), (a, got, oracle)
+
+
+def test_subsampled_epsilon_amplification():
+    """The canonical DP-SGD anchor (Abadi-style MNIST config: q=256/60000,
+    nm=1.1, ~60 epochs, delta=1e-5) lands at the well-known eps ~ 3; the
+    amplified bound must crush the unamplified one at the dp_bpsvi example
+    config; and the truncation mass must be charged, not ignored."""
+    from betacores_tpu.coresets import (poisson_batch_cap, poisson_overflow_p,
+                                        subsampled_gaussian_epsilon)
+
+    eps_anchor = subsampled_gaussian_epsilon(
+        14060, 256 / 60000, 1.1, 1e-5, init_releases=0)
+    assert 2.2 < eps_anchor < 3.6, eps_anchor
+    # dp_bpsvi frontier shape: N=5000, n_opt=200 -> q=0.04, T=300
+    eps_amp = subsampled_gaussian_epsilon(300, 0.04, 1.0, 1e-5)
+    eps_unamp = gaussian_rdp_epsilon(300, 1.0, 1e-5)
+    assert eps_amp < eps_unamp / 20
+    assert 0 < eps_amp < 10
+    # overflow accounting: a tight cap must raise, a sane cap is negligible
+    cap = poisson_batch_cap(5000, 0.1)
+    assert poisson_overflow_p(5000, 0.1, cap) < 1e-16
+    with pytest.raises(ValueError):
+        subsampled_gaussian_epsilon(300, 0.1, 1.0, 1e-5, n=5000, cap=500)
+
+
 def test_dp_bpsvi_build(rng):
     d = 3
     Sig = np.eye(d)
@@ -66,7 +137,8 @@ def test_dp_bpsvi_build(rng):
     prj = bc.BlackBoxProjector(fixed_sampler(samples), 8, model.log_likelihood,
                                model.grad_z_log_likelihood)
     alg = bc.DiffPrivBatchPSVICoreset(jnp.asarray(X), prj, opt_itrs=30,
-                                      n_subsample_opt=64, noise_multiplier=1.0, seed=0)
+                                      n_subsample_opt=64, noise_multiplier=1.0,
+                                      seed=0, sampling="swr")
     alg.build(1, 6)
     w, p = alg.get()
     assert len(w) >= 1 and (w >= 0).all()
@@ -77,6 +149,33 @@ def test_dp_bpsvi_build(rng):
     assert 0 < eps < 200
     assert eps == pytest.approx(gaussian_rdp_epsilon(30, 1.0, 1e-5))
     # pseudo-points must not be raw data rows (privacy of initialization)
+    dists = np.min(np.linalg.norm(p[:, None, :] - X[None, :, :], axis=-1), axis=1)
+    assert (dists > 1e-6).all()
+
+
+def test_dp_bpsvi_poisson_build(rng):
+    """Default (round 4) Poisson mode: builds run, epsilon uses the
+    amplified accountant, and the pseudo-points stay off the raw rows."""
+    from betacores_tpu.coresets import poisson_batch_cap, subsampled_gaussian_epsilon
+
+    d = 3
+    Sig = np.eye(d)
+    X = rng.normal(size=(200, d))
+    model = gmod.bundle(jnp.asarray(Sig), 0.0)
+    samples = jnp.asarray(rng.normal(size=(8, d)))
+    prj = bc.BlackBoxProjector(fixed_sampler(samples), 8, model.log_likelihood,
+                               model.grad_z_log_likelihood)
+    alg = bc.DiffPrivBatchPSVICoreset(jnp.asarray(X), prj, opt_itrs=30,
+                                      n_subsample_opt=64, noise_multiplier=1.0,
+                                      seed=0)
+    alg.build(1, 6)
+    w, p = alg.get()
+    assert len(w) >= 1 and (w >= 0).all() and np.isfinite(p).all()
+    q = 64 / 200
+    expect = subsampled_gaussian_epsilon(30, q, 1.0, 1e-5, n=200,
+                                         cap=poisson_batch_cap(200, q))
+    assert alg.epsilon() == pytest.approx(expect)
+    assert alg.epsilon() < gaussian_rdp_epsilon(30, 1.0, 1e-5)
     dists = np.min(np.linalg.norm(p[:, None, :] - X[None, :, :], axis=-1), axis=1)
     assert (dists > 1e-6).all()
 
