@@ -585,17 +585,30 @@ def uniform_coreset_draws(key, n: int, N: int, start: int = 0):
     return jax.vmap(lambda k: jax.random.randint(k, (), 0, N))(ks)
 
 
-def weighted_coreset_draws(key, n: int, p, start: int = 0):
-    """Counter-indexed iid categorical draws over ``len(p)`` items with
-    probabilities ``p`` (pure, jittable; inverse CDF). Same stream contract
-    as ``uniform_coreset_draws``. Callers needing exact zero-mass exclusion
-    should compact ``p`` to its positive support first (the eager class
-    does)."""
+def weighted_coreset_draws(key, n: int, p=None, start: int = 0, cdf=None):
+    """Counter-indexed iid categorical draws (pure, jittable; inverse CDF).
+    Same stream contract as ``uniform_coreset_draws``. Pass ``cdf`` (a
+    normalized, non-decreasing CDF over the support — the eager class
+    precomputes it once in float64 numpy, so every entry is CORRECTLY
+    ROUNDED even on x64-disabled backends) or, for back-compat, raw
+    probabilities ``p`` (CDF then accumulates in p.dtype — on float32
+    backends large supports pick up cumsum rounding drift; round-3 advisor).
+    Callers needing exact zero-mass exclusion should compact to the
+    positive support first (the eager class does).
+
+    x64 note: the uniform draws follow the backend's x64 config (float64
+    under the test conftest, float32 on default TPU runtimes), so the draw
+    STREAM is bit-identical across backends only at matching
+    ``jax_enable_x64`` — within one process it always replays exactly."""
+    if cdf is None:
+        if p is None:
+            raise ValueError("pass p or cdf")
+        cum = jnp.cumsum(p)
+        cdf = cum / cum[-1]
     ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, start + jnp.arange(n))
-    u = jax.vmap(lambda k: jax.random.uniform(k, dtype=p.dtype))(ks)
-    cum = jnp.cumsum(p)
-    return jnp.clip(jnp.searchsorted(cum / cum[-1], u, side="right"),
-                    0, p.shape[0] - 1)
+    u = jax.vmap(lambda k: jax.random.uniform(k, dtype=cdf.dtype))(ks)
+    return jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                    0, cdf.shape[0] - 1)
 
 
 class UniformSamplingCoreset(Coreset):
@@ -666,12 +679,19 @@ class UniformSamplingCoreset(Coreset):
             self._draw_key = jax.device_put(jax.random.key(seed), self._cpu)
             if self._u_p is not None:
                 self._u_pos = np.flatnonzero(self._u > 0)
-                self._u_p_dev = jax.device_put(
-                    jnp.asarray(self._u[self._u_pos] / self._u_total), self._cpu)
+                # CDF precomputed ONCE in float64 numpy (round-3 advisor):
+                # each entry correctly rounded on device regardless of the
+                # backend's x64 config — a per-call f32 jnp.cumsum would
+                # accumulate rounding drift over large supports
+                cdf = np.cumsum(self._u[self._u_pos])
+                self._u_cdf_dev = jax.device_put(
+                    jnp.asarray(cdf / cdf[-1]), self._cpu)
             if groups is not None and self._g_p is not None:
                 self._g_pos = np.flatnonzero(self._g_p > 0)
-                self._g_p_dev = jax.device_put(
-                    jnp.asarray(self._g_p[self._g_pos]), self._cpu)
+                gcdf = np.cumsum(np.asarray(self._g_p[self._g_pos],
+                                            dtype=np.float64))
+                self._g_cdf_dev = jax.device_put(
+                    jnp.asarray(gcdf / gcdf[-1]), self._cpu)
 
     @property
     def state(self):
@@ -689,6 +709,11 @@ class UniformSamplingCoreset(Coreset):
         self.selected_groups = []
         self._dirty = False
         self._warm = None
+        # rewind the draw counter: a reset instance replays the SAME stream
+        # as a freshly constructed one (the uniform_coreset_draws replay
+        # contract; round-3 advisor — the counter previously kept running,
+        # so post-reset draws were not reproducible from counter 0)
+        self._n_drawn = 0
         super().reset()
 
     def size(self) -> int:
@@ -712,8 +737,8 @@ class UniformSamplingCoreset(Coreset):
             if self._u_p is None:
                 return np.asarray(
                     uniform_coreset_draws(self._draw_key, itrs, N, start))
-            j = np.asarray(
-                weighted_coreset_draws(self._draw_key, itrs, self._u_p_dev, start))
+            j = np.asarray(weighted_coreset_draws(
+                self._draw_key, itrs, start=start, cdf=self._u_cdf_dev))
         return self._u_pos[j]
 
     def _draw_groups(self, itrs: int):
@@ -725,8 +750,8 @@ class UniformSamplingCoreset(Coreset):
             if self._u is None:
                 return np.asarray(
                     uniform_coreset_draws(self._draw_key, itrs, G, start))
-            j = np.asarray(
-                weighted_coreset_draws(self._draw_key, itrs, self._g_p_dev, start))
+            j = np.asarray(weighted_coreset_draws(
+                self._draw_key, itrs, start=start, cdf=self._g_cdf_dev))
         return self._g_pos[j]
 
     def _append_group(self, g: int) -> None:

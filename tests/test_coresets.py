@@ -739,6 +739,10 @@ def test_uniform_draws_follow_jax_prng_discipline(rng):
     aw = bc.UniformSamplingCoreset(X, seed=9, data_weights=jnp.asarray(u))
     dw = aw._draw_points(64)
     assert set(int(i) for i in dw) <= set(np.flatnonzero(u).tolist())
-    jw = jax.jit(lambda k, p: weighted_coreset_draws(k, 64, p))
+    jw = jax.jit(lambda k, c: weighted_coreset_draws(k, 64, cdf=c))
     np.testing.assert_array_equal(
-        dw, aw._u_pos[np.asarray(jw(aw._draw_key, aw._u_p_dev))])
+        dw, aw._u_pos[np.asarray(jw(aw._draw_key, aw._u_cdf_dev))])
+    # reset() rewinds the draw counter: a reset instance replays the same
+    # stream as a fresh one (round-3 advisor)
+    a.reset()
+    np.testing.assert_array_equal(eager, a._draw_points(5))
