@@ -546,3 +546,71 @@ def test_hierarchical_reduction_caps_union_and_keeps_quality(rng):
         merge_reduce_build(jax.random.key(7), X, model, smp, cfg, cfg,
                            chunk_size=100, m_leaf=5, m_final=8,
                            st_leaf=st_leaf, max_union_rows=8)
+
+
+def test_reduction_checkpoint_resume_bit_identical(rng, tmp_path):
+    """Round-4 (verdict item 7): crash DURING the hierarchical reduction
+    (leaf pass complete), rerun with the same args + checkpoint_path ->
+    bit-identical to an uninterrupted run; the same file carries leaf AND
+    (level, group) reduction progress; removed on success."""
+    import os
+
+    import betacores_tpu.coresets.streaming as streaming_mod
+
+    d = 3
+    Xall, _ = _contaminated(rng, N=1200, d=d)
+    X = jnp.asarray(Xall)
+    _, model, smp, _ = _gauss_problem(rng, N=4)
+    cfg = IncrementalConfig(projection_dim=12, n_subsample_select=80,
+                            n_subsample_opt=40, opt_itrs=15, i0=1.0,
+                            use_beta=True)
+    st_leaf = init_state(6, d, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(7)
+    # same shapes as test_hierarchical_reduction_caps_union_and_keeps_quality
+    # (compile-cache reuse): 12 leaves, union 72 rows, cap 24 -> >= 2 levels
+    args = dict(model=model, sampler=smp, leaf_config=cfg, final_config=cfg,
+                chunk_size=100, m_leaf=5, m_final=8, st_leaf=st_leaf,
+                max_union_rows=24)
+
+    st_ref, lp_ref, lw_ref = merge_reduce_build(key, X, **args)
+
+    ck = str(tmp_path / "mr_red.npz")
+    orig_make = streaming_mod.make_incremental_builder
+    calls = {"n": 0}
+    n_leaves = -(-X.shape[0] // 100)  # _contaminated appends outlier rows
+
+    def crashing_make(*a, **k):
+        b = orig_make(*a, **k)
+        orig_bwd = b.build_with_data
+
+        def bwd(*aa, **kk):
+            # crash on the SECOND reduction-group build (after all leaves)
+            if calls["n"] == n_leaves + 1:
+                raise RuntimeError("simulated crash")
+            calls["n"] += 1
+            return orig_bwd(*aa, **kk)
+
+        b.build_with_data = bwd
+        return b
+
+    streaming_mod.make_incremental_builder = crashing_make
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_reduce_build(key, X, checkpoint_path=ck, **args)
+    finally:
+        streaming_mod.make_incremental_builder = orig_make
+
+    assert os.path.exists(ck)
+    with np.load(ck) as z:
+        assert int(z["n_done"]) == n_leaves          # leaf pass complete
+        assert int(z["red_level"]) == 0 and int(z["red_g_done"]) == 1
+
+    st_r, lp_r, lw_r = merge_reduce_build(key, X, checkpoint_path=ck, **args)
+    np.testing.assert_array_equal(np.asarray(st_r.idcs), np.asarray(st_ref.idcs))
+    np.testing.assert_allclose(np.asarray(st_r.wts), np.asarray(st_ref.wts),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lw_r), np.asarray(lw_ref),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lp_r), np.asarray(lp_ref),
+                               rtol=0, atol=0)
+    assert not os.path.exists(ck)
