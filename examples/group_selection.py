@@ -108,6 +108,17 @@ def main():
     ap.add_argument("--f-rate", type=float, default=0.1)
     ap.add_argument("--M", type=int, default=10, help="number of groups to select")
     ap.add_argument("--beta", type=float, default=0.2)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="pick beta by the contamination-robust trimmed "
+                         "held-out predictive criterion over GROUP-mode "
+                         "builds (coresets/select_beta.py) before the "
+                         "reported selection — the library's answer to "
+                         "choosing beta where in-build learn_beta is "
+                         "refused in group mode (BCORES only)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.25)
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="groups per selection build (0 = --M)")
     ap.add_argument("--proj-dim", type=int, default=100)
     ap.add_argument("--opt-itrs", type=int, default=200)
     ap.add_argument("--n-subsample-opt", type=int, default=500)
@@ -124,6 +135,57 @@ def main():
     Zj, Xtj, Ytj = jnp.asarray(Z), jnp.asarray(Xt), jnp.asarray(Yt)
     value_fn = logreg_laplace_value_fn(n_samples=256)
     value_args = (Zj, Xtj, Ytj)
+
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
+
+        model_s = logreg.bundle()
+        smp_s = logreg_laplace_sampler()
+        prj_s = bc.BetaBlackBoxProjector(smp_s, args.proj_dim, model=model_s)
+        # candidate builds run GROUP mode on the full corrupted data (the
+        # group structure must stay intact); scored on a random row slice —
+        # mostly unselected at M groups out of G — by trimmed per-point
+        # predictive log-lik under the group-coreset Laplace posterior
+        rng_sel = np.random.default_rng(args.trial * 7 + 1)
+        ho = rng_sel.choice(Z.shape[0], max(1, Z.shape[0] // 6), replace=False)
+        Zho = jnp.asarray(Z[ho])
+        M_sel = args.select_M or args.M
+        alg_sel = bc.BetaCoreset(Zj, prj_s, beta=args.beta, learn_beta=False,
+                                 opt_itrs=args.opt_itrs,
+                                 n_subsample_select=None,
+                                 n_subsample_opt=args.n_subsample_opt,
+                                 groups=groups, seed=args.trial,
+                                 refit_every=args.refit_every)
+        k_score = jax.random.key(args.trial * 31 + 5)
+        S_score = 256
+        d_feat = Z.shape[1]
+
+        @jax.jit
+        def _pred_ll(wm, pm, zho):
+            samples, _ = smp_s(k_score, S_score, wm, pm,
+                               jnp.zeros(d_feat, dtype=jnp.float32))
+            ll = logreg.log_likelihood(zho, samples)
+            return (jax.scipy.special.logsumexp(ll, axis=1)
+                    - jnp.log(float(S_score)))
+
+        # a group build appends whole groups: cap the padded scorer at the
+        # largest possible selection (M_sel groups of the largest group)
+        cap_rows = int(M_sel * max(len(g) for g in groups))
+        score_fn = padded_scorer(cap_rows, d_feat,
+                                 lambda wp, pp: _pred_ll(wp, pp, Zho))
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        best_beta, select_record, _ = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, select_record["scores"])))
+        print(f"selected beta = {best_beta:g} "
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} "
+              f"group-mode builds]")
+        args.beta = best_beta
 
     t0 = time.perf_counter()
     if args.alg == "BCORES":
@@ -192,7 +254,8 @@ def main():
     tag = f"{args.dataset}_{args.alg}_{args.f_rate}_{args.trial}"
     with open(os.path.join(args.results_dir, f"group_results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "order": order, "accs": accs,
-                     "select_time_s": select_time}, fh)
+                     "select_time_s": select_time,
+                     "select_beta": select_record}, fh)
     print(f"{args.alg}: selection {select_time:.1f}s, final acc {accs[-1]:.4f}")
 
 

@@ -50,6 +50,18 @@ def main():
     ap.add_argument("--n-subsample-opt", type=int, default=200)
     ap.add_argument("--n-subsample-select", type=int, default=1000)
     ap.add_argument("--beta", type=float, default=0.3)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="pick beta by the contamination-robust trimmed "
+                         "held-out predictive criterion "
+                         "(coresets/select_beta.py) over --beta-grid before "
+                         "the reported build (BCORES only)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.3,
+                    help="fraction of lowest held-out scores to drop; choose "
+                         ">= the suspected label-flip rate (default covers "
+                         "the 20% used here)")
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--refit-every", type=int, default=1)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--results-dir", default="results")
@@ -99,6 +111,43 @@ def main():
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, seed=args.trial,
                   max_size=args.M, refit_every=args.refit_every)
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
+
+        # hold out a slice of the CORRUPTED training rows; builds on the rest
+        n_ho = min(2000, max(1, Zc.shape[0] // 6))
+        Zho, Zbuild = Zc[-n_ho:], Zc[: Zc.shape[0] - n_ho]
+        M_sel = args.select_M or args.M
+        prj_sel = bc.BetaBlackBoxProjector(smp, args.proj_dim, theta_dim=K * d,
+                                           model=model)
+        alg_sel = bc.BetaCoreset(Zbuild, prj_sel, beta=args.beta,
+                                 learn_beta=False, **common)
+        k_score = jax.random.key(args.trial * 31 + 5)
+        S_score = 256
+
+        @jax.jit
+        def _pred_ll(wm, pm, zho):
+            samples, _ = smp(k_score, S_score, wm, pm,
+                             jnp.zeros(K * d, dtype=jnp.float32))
+            ll = model.log_likelihood(zho, samples)
+            return (jax.scipy.special.logsumexp(ll, axis=1)
+                    - jnp.log(float(S_score)))
+
+        score_fn = padded_scorer(args.M, d + 1,
+                                 lambda wp, pp: _pred_ll(wp, pp, Zho))
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        best_beta, select_record, _ = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, select_record["scores"])))
+        print(f"selected beta = {best_beta:g} "
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} builds]")
+        args.beta = best_beta
+
     t0 = time.perf_counter()
     if args.alg == "BCORES":
         prj = bc.BetaBlackBoxProjector(smp, args.proj_dim, theta_dim=K * d,
@@ -150,7 +199,8 @@ def main():
     tag = f"mc_{args.dataset}_K{K}_{args.alg}_{args.f_rate}_{args.trial}"
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "sizes": sizes, "accs": accs,
-                     "build_s": t_build, "base": base}, fh)
+                     "build_s": t_build, "base": base,
+                     "select_beta": select_record}, fh)
 
 
 if __name__ == "__main__":

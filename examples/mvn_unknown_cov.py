@@ -45,6 +45,16 @@ def main():
     ap.add_argument("--n-subsample-opt", type=int, default=200)
     ap.add_argument("--n-subsample-select", type=int, default=500)
     ap.add_argument("--beta", type=float, default=0.5)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="pick beta by the contamination-robust trimmed "
+                         "held-out predictive criterion "
+                         "(coresets/select_beta.py) over --beta-grid; the "
+                         "per-point score is the closed-form NIW Student-t "
+                         "predictive log-pdf (BCORES only)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.2)
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--i0", type=float, default=1.0)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--results-dir", default="results")
@@ -84,6 +94,39 @@ def main():
         "RAND": lambda: bc.UniformSamplingCoreset(Xc, seed=args.trial),
         "PRIOR": lambda: None,
     }
+
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
+
+        # hold out a slice of the CORRUPTED rows (no clean labels needed —
+        # the trimmed mean drops the contaminated tail); builds use the rest
+        n_ho = min(2000, max(1, Xc.shape[0] // 6))
+        Xho, Xbuild = Xc[-n_ho:], Xc[: Xc.shape[0] - n_ho]
+        M_sel = args.select_M or args.M
+        alg_sel = bc.BetaCoreset(Xbuild, prj_b, beta=args.beta, **common)
+
+        @jax.jit
+        def _pred_ll(wm, pm, xho):
+            # closed-form per-point Student-t predictive under the coreset
+            # NIW posterior — no sampling needed for this family
+            post = mvn.weighted_post(mu0, kappa0, Psi0, nu0, pm, wm)
+            return mvn.predictive_logpdf(xho, post)
+
+        score_fn = padded_scorer(args.M, d,
+                                 lambda wp, pp: _pred_ll(wp, pp, Xho))
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        best_beta, select_record, _ = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, select_record["scores"])))
+        print(f"selected beta = {best_beta:g} "
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} builds]")
+        args.beta = best_beta
+
     alg = algs[args.alg]()
 
     t0 = time.perf_counter()
@@ -128,7 +171,8 @@ def main():
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "mu_err": mu_err,
                      "sig_tr": sig_tr, "rkl": rkl, "pll": pll,
-                     "build_time_s": build_time}, fh)
+                     "build_time_s": build_time,
+                     "select_beta": select_record}, fh)
     print(f"saved -> {out}")
 
 

@@ -64,6 +64,17 @@ def main():
     ap.add_argument("--n-subsample-opt", type=int, default=200)
     ap.add_argument("--n-subsample-select", type=int, default=500)
     ap.add_argument("--beta", type=float, default=0.3)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="pick beta by the contamination-robust trimmed "
+                         "held-out predictive criterion "
+                         "(coresets/select_beta.py) over --beta-grid before "
+                         "the reported build (BCORES only)")
+    ap.add_argument("--beta-grid", default="0.01,0.05,0.1,0.2,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.2,
+                    help="fraction of lowest held-out scores to drop; choose "
+                         ">= the suspected contamination rate")
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--i0", type=float, default=1.0)
     ap.add_argument("--refit-every", type=int, default=1,
                     help="lagged Fisher-scoring refits in the Adam loop "
@@ -111,6 +122,45 @@ def main():
         "RAND": lambda: bc.UniformSamplingCoreset(Z, seed=args.trial),
         "PRIOR": lambda: None,
     }
+
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import (driver_select_beta,
+                                                        padded_scorer)
+
+        # hold out a slice of the CORRUPTED training rows — the trimmed
+        # criterion needs no clean/dirty labels; builds use the rest
+        n_ho = min(2000, max(1, Z.shape[0] // 6))
+        Zho, Zbuild = Z[-n_ho:], Z[: Z.shape[0] - n_ho]
+        M_sel = args.select_M or args.M
+        alg_sel = bc.BetaCoreset(Zbuild, prj_b, beta=args.beta,
+                                 learn_beta=False, **common)
+        k_score = jax.random.key(args.trial * 31 + 5)
+        S_score = 256
+
+        @jax.jit
+        def _pred_ll(wm, pm, zho):
+            # per-point held-out predictive log-lik under the coreset's
+            # Fisher-scoring Laplace posterior (zho is a jit ARGUMENT)
+            samples, _ = sampler(k_score, S_score, wm, pm,
+                                 jnp.zeros(d, dtype=jnp.float32))
+            ll = model.log_likelihood(zho, samples)
+            return (jax.scipy.special.logsumexp(ll, axis=1)
+                    - jnp.log(float(S_score)))
+
+        score_fn = padded_scorer(args.M, d + 1,
+                                 lambda wp, pp: _pred_ll(wp, pp, Zho))
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        best_beta, select_record, _ = driver_select_beta(
+            alg_sel, grid, score_fn, args.select_trim, M_sel)
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, select_record["scores"])))
+        print(f"selected beta = {best_beta:g} "
+              f"[{select_record['select_time_s']:.1f}s for {len(grid)} builds]")
+        args.beta = best_beta
+
     alg = algs[args.alg]()
 
     t0 = time.perf_counter()
@@ -181,7 +231,8 @@ def main():
     out = os.path.join(args.results_dir, f"results_poiss_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "plls": plls,
-                     "build_time_s": build_time, "mcmc_diagnostics": diags}, fh)
+                     "build_time_s": build_time, "mcmc_diagnostics": diags,
+                     "select_beta": select_record}, fh)
     print(f"saved -> {out}")
 
 

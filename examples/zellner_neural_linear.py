@@ -64,6 +64,18 @@ def main():
     ap.add_argument("--n-subsample-opt", type=int, default=1000)
     ap.add_argument("--i0", type=float, default=0.1)
     ap.add_argument("--beta", type=float, default=0.5)
+    ap.add_argument("--select-beta", action="store_true",
+                    help="pick beta by the contamination-robust trimmed "
+                         "held-out predictive criterion "
+                         "(coresets/select_beta.py): per candidate, a fresh "
+                         "encoder + SHORT acquisition loop (--select-M "
+                         "rounds), scored by trimmed per-point Gaussian "
+                         "predictive log-density on a held-out slice of the "
+                         "CORRUPTED train rows (BCORES only)")
+    ap.add_argument("--beta-grid", default="0.01,0.1,0.3,0.5,0.7,1.0")
+    ap.add_argument("--select-trim", type=float, default=0.2)
+    ap.add_argument("--select-M", type=int, default=0,
+                    help="acquisition rounds per candidate (0 = max(3, M/4))")
     ap.add_argument("--f-rate", type=float, default=0.1)
     ap.add_argument("--nn-epochs", type=int, default=200)
     ap.add_argument("--initial-lr", type=float, default=1e-2)
@@ -140,6 +152,68 @@ def main():
     init_kw = dict(wts=np.ones(args.init_size), idcs=10_000_000 + np.arange(args.init_size),
                    pts=Z_init, groups=groups, initialized=True)
     N = Z.shape[0]
+
+    select_record = None
+    if args.select_beta:
+        if args.alg != "BCORES":
+            raise SystemExit("--select-beta only applies to BCORES")
+        from betacores_tpu.coresets.select_beta import select_beta
+        from betacores_tpu.models.neural_linear import gaussian_log_density
+
+        # score on a random slice of the CORRUPTED train rows (the trimmed
+        # mean drops the contaminated tail — no clean labels needed). The
+        # slice stays inside its groups for the candidate builds (group
+        # structure must not change); with select-M batches of
+        # --batch-size points the overlap with selected rows is minimal.
+        rng_sel = np.random.default_rng(args.trial * 7 + 1)
+        ho = rng_sel.choice(Z.shape[0], max(1, Z.shape[0] // 6), replace=False)
+        Zho = jnp.asarray(Z[ho])
+        M_sel = args.select_M or max(3, args.M // 4)
+        sel_epochs = max(20, args.nn_epochs // 4)
+        holder = {}
+
+        def build_fn(b):
+            nl_b = NeuralLinear(Z_init, out_features=F, output_mean=out_m,
+                                output_std=out_s, sigmasq=sigsq,
+                                seed=args.trial)
+            alg_b = bc.BetaCoreset(
+                jnp.asarray(Z), prj, beta=b, learn_beta=False,
+                opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
+                step_sched=sched, seed=args.trial, **init_kw)
+            wts = pts = None
+            for _ in range(M_sel):
+                alg_b.ctx = nl_b.variables
+                alg_b.build(1, N + args.init_size)
+                wts, pts = alg_b.get()[:2]
+                nl_b.update_batch(pts.astype(np.float32))
+                nl_b.optimize(wts.astype(np.float32), pts.astype(np.float32),
+                              num_epochs=sel_epochs,
+                              initial_lr=args.initial_lr,
+                              weight_decay=args.weight_decay)
+            holder["nl"] = nl_b
+            return wts, pts
+
+        def score_fn(wts, pts):
+            # per-point predictive log-density under the candidate's
+            # coreset posterior (its encoder + exact Bayes last layer)
+            mean, var = holder["nl"].forward(Zho[:, :-1])
+            return np.asarray(
+                gaussian_log_density(Zho[:, -1:], mean, var)).ravel()
+
+        grid = [float(b) for b in args.beta_grid.split(",")]
+        t_sel0 = time.perf_counter()
+        best_beta, scores = select_beta(build_fn, grid, score_fn,
+                                        trim=args.select_trim)
+        t_sel = time.perf_counter() - t_sel0
+        select_record = {"grid": grid, "scores": [float(s) for s in scores],
+                         "beta": best_beta, "trim": args.select_trim,
+                         "select_time_s": t_sel}
+        print("select-beta grid: " + "  ".join(
+            f"{b:g}:{s:.4f}" for b, s in zip(grid, scores)))
+        print(f"selected beta = {best_beta:g} [{t_sel:.1f}s, "
+              f"{M_sel} rounds per candidate]")
+        args.beta = best_beta
+
     if args.alg == "BCORES":
         alg = bc.BetaCoreset(jnp.asarray(Z), prj, beta=args.beta, learn_beta=False,
                              opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
@@ -183,7 +257,7 @@ def main():
     tag = f"{args.dataset}_{args.alg}_frate_{args.f_rate}_beta_{args.beta}_i0_{args.i0}_{args.trial}"
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "rmses": rmses, "nlls": nlls,
-                     "time_s": total}, fh)
+                     "time_s": total, "select_beta": select_record}, fh)
     print(f"done in {total:.1f}s; rmse {rmses[0]:.3f} -> {rmses[args.M]:.3f}")
 
 
