@@ -2,10 +2,15 @@
 
 Compiles lazily (``make`` in native/, cached as libbcloader.so) and falls
 back to numpy parsing when a toolchain is unavailable. Use
-``load_csv``/``load_svmlight`` for multi-GB text inputs — the native parser
-is multithreaded and ~an order of magnitude faster than np.genfromtxt
-(the reference parses these in pure Python: preproc_webspam.py,
-process_housing_prices.py).
+``load_csv``/``load_svmlight`` for multi-GB text inputs (the reference
+parses these in pure Python: preproc_webspam.py, process_housing_prices.py).
+
+Measured (examples/bench_native_loader.py, webspam-shaped 153 MB CSV /
+51 MB svmlight, SINGLE-core host 2026-08-20, values byte-identical to the
+numpy parse): CSV 144 MB/s — 22x np.genfromtxt, 1.7x np.loadtxt; svmlight
+98 MB/s — 11x the pure-Python fallback; 1.2 GB CSV end to end in 21 s.
+The parser is multithreaded (chunked two-pass over an mmap), so multi-core
+hosts scale further; the 1-core numbers above are the floor.
 """
 
 from __future__ import annotations
