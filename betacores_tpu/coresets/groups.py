@@ -123,16 +123,47 @@ def make_group_incremental_builder(
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
 
+    # The (G, S) group reduction as an MXU matmul: XLA lowers segment_sum to
+    # a scatter-add, which serializes on TPU (measured ~an order over the
+    # projection cost at movielens-groups scale — RESULTS.md group roofline),
+    # while onehot.T @ vecs is one (G+1, N) x (N, S) dot. The onehot is an
+    # (N, G+1) f32 materialization, so gate on its HBM footprint and keep
+    # the scatter for huge G*N (the real group workloads — movielens/adult/
+    # diabetes, G <= 100, N <= 30k — are far under the gate).
+    ONEHOT_MAX_BYTES = 256 * 1024 * 1024
+
     def _bind(data, gid, u):
         # data/gid/u are jit ARGUMENTS of the entry point below — a
         # closed-over dataset embeds into the HLO (see incremental._bind)
+        use_onehot = N * (G + 1) * 4 <= ONEHOT_MAX_BYTES
+
+        def _group_reduce(vecs):
+            """(G, S) sum of each group's member rows (pad segment dropped)."""
+            if use_onehot:
+                onehot = (gid[:, None] == jnp.arange(G, dtype=gid.dtype)[None, :])
+                return jax.lax.dot_general(
+                    onehot.astype(vecs.dtype), vecs, (((0,), (0,)), ((), ())))
+            return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
+
         def _group_vecs(mdl, samples, beta):
-            """(G, S) group tangent vectors via one full projection +
-            segment_sum (weighted: sum_{n in g} u_n v_n)."""
+            """(G, S) group tangent vectors via one full projection + a
+            group reduction (weighted: sum_{n in g} u_n v_n)."""
             vecs = _project(mdl, data, samples, beta)  # (N, S)
             if u is not None:
                 vecs = u[:, None] * vecs
-            return jax.ops.segment_sum(vecs, gid, num_segments=G + 1)[:G]
+            return _group_reduce(vecs)
+
+        # Σ_g (group vector g) = Σ_{n: gid_n < G} u_n v_n: the refinement
+        # target never needs the per-group split, so the optimize path does a
+        # masked weighted column sum — one fused projection+reduction pass,
+        # no (G, S) scatter/matmul at all (same math as
+        # _group_vecs(...).sum(0) up to float summation order)
+        in_group = (gid < G)
+
+        def _target_total(vecs):
+            w_eff = (in_group.astype(vecs.dtype) if u is None
+                     else u * in_group.astype(vecs.dtype))
+            return w_eff @ vecs
 
         if u is None:
             eff_sizes, g_mass = group_sizes, None
@@ -225,7 +256,8 @@ def make_group_incremental_builder(
 
             def _grad_from_samples(w, samples, k_sub):
                 if n_opt is None:
-                    vec_total = _group_vecs(mdl, samples, st.beta).sum(axis=0)
+                    vecs_all = _project(mdl, data, samples, st.beta)
+                    vec_total = _target_total(vecs_all)
                     scaling = jnp.asarray(1.0, dtype=dtype)
                 else:
                     sub_idcs, scaling = draw_subsample(k_sub, N, n_opt)

@@ -121,14 +121,25 @@ def make_sharded_group_builder(
     def _dot_S(a, b):
         return jax.lax.psum(a @ b, SAMP_AXIS)
 
+    # (G, S_loc) group reduction as a local MXU matmul instead of the
+    # scatter-add XLA emits for segment_sum (serialized on TPU — RESULTS.md
+    # group roofline), gated on the local onehot's HBM footprint exactly
+    # like the single-device builder (coresets/groups.py)
+    ONEHOT_MAX_BYTES = 256 * 1024 * 1024
+
     def _group_vecs(data_local, gid_local, u_local, samples_loc, beta):
         """Replicated (G, S_loc) group tangent vectors: local projection +
-        local segment_sum, one psum('data'). Padding rows carry id G.
+        local group reduction, one psum('data'). Padding rows carry id G.
         Weighted: sum_{n in g} u_n v_n."""
         vecs = _proj(data_local, samples_loc, beta)            # (rows_loc, S_loc)
         if u_local is not None:
             vecs = u_local[:, None] * vecs
-        part = jax.ops.segment_sum(vecs, gid_local, num_segments=G + 1)[:G]
+        if data_local.shape[0] * (G + 1) * 4 <= ONEHOT_MAX_BYTES:
+            onehot = (gid_local[:, None] == jnp.arange(G, dtype=gid_local.dtype))
+            part = jax.lax.dot_general(
+                onehot.astype(vecs.dtype), vecs, (((0,), (0,)), ((), ())))
+        else:
+            part = jax.ops.segment_sum(vecs, gid_local, num_segments=G + 1)[:G]
         return jax.lax.psum(part, DATA_AXIS)
 
     def _group_stats(gid_local, u_local):
@@ -253,8 +264,16 @@ def make_sharded_group_builder(
             samples, aux = sampler(k_samp, S, w, st.pts, aux)
             samples_loc = jax.lax.dynamic_slice_in_dim(samples, ax_s * S_loc, S_loc, axis=0)
             if n_opt_loc is None:
-                vec_total = _group_vecs(data_local, gid_local, u_local,
-                                        samples_loc, st.beta).sum(axis=0)
+                # Σ_g (group vector g) = Σ_{n: gid_n < G} u_n v_n — the
+                # refinement target needs no per-group split, so this is a
+                # masked weighted column sum fused into the projection pass
+                # (no (G, S) reduction at all; same restructure as
+                # coresets/groups.py _target_total)
+                vecs_all = _proj(data_local, samples_loc, st.beta)
+                w_eff = (gid_local < G).astype(dtype)
+                if u_local is not None:
+                    w_eff = u_local * w_eff
+                vec_total = jax.lax.psum(w_eff @ vecs_all, DATA_AXIS)
             else:
                 # stratified per-shard POINT subsample (reference subsamples
                 # individual points in optimize, bcores.py:51) with the

@@ -33,13 +33,19 @@ def _fresh_env(**extra):
 
 def test_dryrun_multichip_self_bootstraps():
     """Fresh process with 1 visible device calling dryrun_multichip(8) must
-    re-exec itself onto an 8-device virtual CPU mesh and pass."""
+    re-exec itself onto an 8-device virtual CPU mesh and pass. Smoke mode
+    (flagship sharded build + weighted build only): the bootstrap mechanics
+    are what this test owns; the full seven-subsystem dryrun runs every
+    round via the driver (MULTICHIP_r0N.json) and each subsystem has its
+    own tests in test_parallel.py (round-3 verdict item 8: this test was
+    28 s of the suite's 16-min budget)."""
     r = subprocess.run(
         [sys.executable, "-c",
          "import jax, __graft_entry__ as g; "
          "assert len(jax.devices()) == 1, jax.devices(); "
          "g.dryrun_multichip(8); print('BOOTSTRAP_OK')"],
-        env=_fresh_env(), cwd=ROOT, capture_output=True, text=True, timeout=1800)
+        env=_fresh_env(_BETACORES_DRYRUN_SMOKE="1"), cwd=ROOT,
+        capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BOOTSTRAP_OK" in r.stdout
 

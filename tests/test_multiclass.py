@@ -107,9 +107,8 @@ def test_robust_multiclass_build(rng):
     posterior classifies held-out data better than a uniform draw and close
     to the clean fit."""
     import betacores_tpu as bc
-    from betacores_tpu.inference import sample_laplace, newton_laplace
 
-    K, d, N, Nt = 3, 4, 600, 2000
+    K, d, N, Nt = 3, 4, 600, 1200
     # one draw = one true model; split train/test from the same generator
     Xall, yall, Zall = gen_synthetic_multiclass(jax.random.key(3), N + Nt,
                                                 d=d, n_classes=K,
@@ -127,23 +126,34 @@ def test_robust_multiclass_build(rng):
     prj = bc.BetaBlackBoxProjector(smp, 32, model.beta_likelihood,
                                    model.log_likelihood, model.beta_gradient,
                                    theta_dim=K * d)
-    alg = bc.BetaCoreset(Zc, prj, beta=0.3, opt_itrs=40, n_subsample_select=200,
+    # trimmed from (opt_itrs=40, build(30, 30), Nt=2000) — round-3 verdict
+    # item 8: this test was 15 s of the warm suite budget; the accuracy
+    # margins hold at the smaller build (checked: acc_core ~0.74 vs
+    # base+0.05 and acc_rand)
+    alg = bc.BetaCoreset(Zc, prj, beta=0.3, opt_itrs=25, n_subsample_select=200,
                          n_subsample_opt=100, seed=0, max_size=40)
-    alg.build(30, 30)
+    alg.build(20, 20)
     w, p, i, _ = alg.get()
 
+    M_buf, D = 40, Zc.shape[1]
+
     def acc_of(wts, pts):
-        lj = mc.make_log_joint(K)
-        lap = newton_laplace(lambda th: lj(pts, th, wts),
-                             jax.grad(lambda th: lj(pts, th, wts)),
-                             jax.hessian(lambda th: lj(pts, th, wts)),
-                             jnp.zeros(K * d, dtype=jnp.float32), n_iters=25)
-        ths = sample_laplace(jax.random.key(9), lap, 128)
+        # the library sampler at the FIXED buffer shape (zero-weight padding
+        # leaves the weighted posterior unchanged), instead of a hand-rolled
+        # newton_laplace + jax.hessian whose per-coreset-size closures cost
+        # ~10 s of compile per call (round-3 verdict item 8)
+        wp = jnp.zeros(M_buf, dtype=jnp.float32).at[:len(wts)].set(
+            jnp.asarray(wts, dtype=jnp.float32))
+        pp = jnp.zeros((M_buf, D), dtype=jnp.float32).at[:len(wts)].set(
+            jnp.asarray(pts, dtype=jnp.float32))
+        ths, _ = smp(jax.random.key(9), 64, wp, pp,
+                     jnp.zeros(K * d, dtype=jnp.float32))
         return float(mc.compute_accuracy(Xt, yt, ths, K))
 
-    acc_core = acc_of(jnp.asarray(w), jnp.asarray(p))
+    acc_core = acc_of(w, p)
     ridx = np.random.default_rng(1).choice(N, len(w), replace=False)
-    acc_rand = acc_of(jnp.full(len(w), N / len(w), dtype=jnp.float32), Zc[ridx])
+    acc_rand = acc_of(np.full(len(w), N / len(w), dtype=np.float32),
+                      np.asarray(Zc)[ridx])
     base = float(jnp.mean(yt == jnp.argmax(jnp.bincount(yt.astype(jnp.int32),
                                                         length=K))))
     assert acc_core > base + 0.05, (acc_core, base)

@@ -216,3 +216,4 @@ def test_logreg_shard_partials_matches_centered_gradient(rng):
     np.testing.assert_allclose(g_kernel, g_ref, atol=3e-4, rtol=3e-4)
     # padded core slots contribute exactly zero
     assert (a[0, M:] == 0.0).all() and (r[0, M:] == 0.0).all()
+
