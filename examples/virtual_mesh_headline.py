@@ -44,7 +44,16 @@ def main():
     ap.add_argument("--opt-itrs", type=int, default=500)
     ap.add_argument("--n-subsample-select", type=int, default=1000)
     ap.add_argument("--n-subsample-opt", type=int, default=200)
+    # round-4 verdict item 2: the FULL-DATA select config (reference default
+    # semantics, n_subsample_select=None) — every shard scores all its local
+    # rows, the exact Sigma-over-N meets in one psum('data'), and the
+    # distributed argmax runs over every valid row. This is the config where
+    # v5e-8 beats v5e-1 (BASELINE.md "when 8 chips beat 1").
+    ap.add_argument("--full-data", action="store_true",
+                    help="n_subsample_select=None (score ALL N per selection)")
     args = ap.parse_args()
+    if args.full_data:
+        args.n_subsample_select = None
     n_data, n_samp = (int(t) for t in args.mesh.split("x"))
 
     import jax
