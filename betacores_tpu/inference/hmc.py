@@ -101,23 +101,16 @@ def _leapfrog_trajectory(key, logprob_and_grad, theta, eps, L, L_max, inv_mass):
     return chosen_th, accept_stat
 
 
-def hmc_sample(
-    key: jax.Array,
-    logprob: Callable[[jnp.ndarray], jnp.ndarray],
-    theta0: jnp.ndarray,
-    config: HMCConfig = HMCConfig(),
-) -> Tuple[jnp.ndarray, dict]:
-    """Single-chain adaptive HMC. Returns (samples (n_samples, d), stats)."""
-    cfg = config
-    dtype = theta0.dtype
+def make_precise_logprob_and_grad(logprob):
+    """value_and_grad of the target at full f32 matmul precision.
 
+    TPU matmuls default to bf16 passes; the target's x @ th products (and
+    their grads) then carry ~2^-8 relative error, which is catastrophic for
+    leapfrog energies on sharply curved posteriors (measured:
+    weighted-Poisson chains stuck at R-hat ~600 on a v5e while
+    bit-identical CPU runs mix at R-hat 1.005). The targets are tiny
+    (M x d), so full f32 precision costs nothing."""
     def _lp(th):
-        # TPU matmuls default to bf16 passes; the target's x @ th products
-        # (and their grads) then carry ~2^-8 relative error, which is
-        # catastrophic for leapfrog energies on sharply curved posteriors
-        # (measured: weighted-Poisson chains stuck at R-hat ~600 on a v5e
-        # while bit-identical CPU runs mix at R-hat 1.005). The targets are
-        # tiny (M x d), so full f32 precision costs nothing.
         with jax.default_matmul_precision("highest"):
             return logprob(th)
 
@@ -127,9 +120,42 @@ def hmc_sample(
         v, g = lpg(th)
         return v, g
 
-    def one_iter(key, th, eps, L_key, inv_mass):
-        L = jax.random.randint(L_key, (), 1, cfg.L_max + 1)
-        return _leapfrog_trajectory(key, logprob_and_grad, th, eps, L, cfg.L_max, inv_mass)
+    return logprob_and_grad
+
+
+def hmc_sample(
+    key: jax.Array,
+    logprob: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0: jnp.ndarray,
+    config: HMCConfig = HMCConfig(),
+) -> Tuple[jnp.ndarray, dict]:
+    """Single-chain adaptive HMC. Returns (samples (n_samples, d), stats)."""
+    cfg = config
+    logprob_and_grad = make_precise_logprob_and_grad(logprob)
+
+    def kernel(key, th, eps, inv_mass):
+        k_traj, k_L = jax.random.split(key)
+        L = jax.random.randint(k_L, (), 1, cfg.L_max + 1)
+        th, astat = _leapfrog_trajectory(k_traj, logprob_and_grad, th, eps, L,
+                                         cfg.L_max, inv_mass)
+        return th, astat, ()
+
+    return adaptive_mcmc(key, kernel, theta0, cfg)
+
+
+def adaptive_mcmc(key, kernel, theta0, cfg) -> Tuple[jnp.ndarray, dict]:
+    """Stan-style adaptive sampling loop around any transition ``kernel``:
+    ``kernel(key, th, eps, inv_mass) -> (th', accept_stat, extras)``.
+    ``cfg`` supplies n_samples/n_warmup/target_accept/init_step_size and the
+    dual-averaging constants (HMCConfig and nuts.NUTSConfig both do).
+    ``extras`` is a pytree of per-draw kernel statistics, stacked over the
+    sampling scan and returned under stats["extras"]."""
+    dtype = theta0.dtype
+
+    def one_iter(key, th, eps, inv_mass):
+        # NOTE the key handling lives in the kernel (hmc splits k_traj/k_L —
+        # streams bit-identical to the pre-refactor hmc_sample)
+        return kernel(key, th, eps, inv_mass)
 
     # ---- warmup, two phases (Stan-style windows): ----
     # phase A: dual-average eps under identity mass, Welford-estimate the
@@ -150,8 +176,7 @@ def hmc_sample(
         def warmup_step(carry, inp):
             th, logeps, logeps_bar, h_bar, mean, m2, inv_mass = carry
             k, i = inp
-            k_traj, k_L = jax.random.split(k)
-            th, astat = one_iter(k_traj, th, jnp.exp(logeps), k_L, inv_mass)
+            th, astat, _ = one_iter(k, th, jnp.exp(logeps), inv_mass)
             t = i + 1.0
             eta = 1.0 / (t + cfg.da_t0)
             h_bar = (1.0 - eta) * h_bar + eta * (cfg.target_accept - astat)
@@ -193,16 +218,18 @@ def hmc_sample(
     # ---- sampling ----
     def sample_step(th, inp):
         k, _ = inp
-        k_traj, k_L = jax.random.split(k)
-        th, astat = one_iter(k_traj, th, eps, k_L, inv_mass)
-        return th, (th, astat)
+        th, astat, extra = one_iter(k, th, eps, inv_mass)
+        return th, (th, astat, extra)
 
     keys_s = jax.random.split(jax.random.fold_in(key, 1), cfg.n_samples)
-    th, (samples, astats) = jax.lax.scan(
+    th, (samples, astats, extras) = jax.lax.scan(
         sample_step, th, (keys_s, jnp.arange(cfg.n_samples))
     )
-    return samples, {"step_size": eps, "accept_stat": jnp.mean(astats),
-                     "inv_mass": inv_mass, "warmup_accept": jnp.mean(wu_astats)}
+    stats = {"step_size": eps, "accept_stat": jnp.mean(astats),
+             "inv_mass": inv_mass, "warmup_accept": jnp.mean(wu_astats)}
+    if extras != ():
+        stats["extras"] = extras
+    return samples, stats
 
 
 @partial(jax.jit, static_argnums=(1, 3, 4))

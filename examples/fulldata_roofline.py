@@ -36,13 +36,14 @@ import json
 import sys
 import time
 
-N, D_FEAT, M, S = 1_000_000, 10, 100, 100
+N, D_FEAT, M, S = 1_000_000, 10, 100, 100   # defaults; --n/--d override
 M_BUF = 128
 
 PEAK_MXU = 98e12    # v5e f32 matmul FLOP/s
 PEAK_BW = 819e9     # v5e HBM bytes/s
 
 def _roofline(name, t, n_full_sel, n_full_opt, opt_itrs):
+    # reads module globals N/D_FEAT, which main() may override via --n/--d
     """Floors calibrated by the component microbenchmarks
     (examples/bench_select_pass.py, RESULTS.md round-4 section): XLA keeps
     the (N, S) margin DOT's output as a materialization boundary — the dot
@@ -85,12 +86,16 @@ def _roofline(name, t, n_full_sel, n_full_opt, opt_itrs):
 
 
 def main():
+    global N, D_FEAT
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*",
                     default=["headline", "fullsel", "fullopt"])
     ap.add_argument("--fullopt-itrs", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--d", type=int, default=D_FEAT)
     args = ap.parse_args()
+    N, D_FEAT = args.n, args.d
 
     import jax
     import jax.numpy as jnp

