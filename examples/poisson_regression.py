@@ -80,7 +80,7 @@ def main():
                     help="lagged Fisher-scoring refits in the Adam loop "
                          "(1 = every-step parity; see RESULTS.md)")
     ap.add_argument("--eval-every", type=int, default=5)
-    ap.add_argument("--eval", choices=["laplace", "hmc"], default="laplace",
+    ap.add_argument("--eval", choices=["laplace", "hmc", "nuts"], default="laplace",
                     help="posterior for the predictive eval: Fisher-scoring "
                          "Laplace (fast) or multi-chain HMC on the weighted "
                          "Poisson posterior with R-hat/ESS checks (the "
@@ -198,12 +198,25 @@ def main():
         samples, _ = sampler(key, 256, wm, pm, jnp.zeros(d, dtype=jnp.float32))
         return poisson.predictive_loglik(zt, samples)
 
-    if args.eval == "hmc":
+    if args.eval in ("hmc", "nuts"):
         from betacores_tpu.inference import (HMCConfig, run_chains_weighted_poisson,
                                              summarize_chains)
 
-        hmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
-                            n_warmup=args.mcmc_warmup, L_max=32)
+        if args.eval == "nuts":
+            # dynamic-trajectory NUTS (the reference's Stan sampler family;
+            # inference/nuts.py) over the same weighted Poisson target
+            from betacores_tpu.inference import NUTSConfig
+            from betacores_tpu.inference.nuts import make_weighted_nuts
+            from betacores_tpu.models import poisson as _poisson_model
+
+            hmc_cfg = NUTSConfig(n_samples=args.mcmc_samples,
+                                 n_warmup=args.mcmc_warmup, max_treedepth=10,
+                                 target_accept=0.9)
+            run_chains_weighted_poisson = make_weighted_nuts(_poisson_model.log_joint)
+        else:
+            hmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
+                                n_warmup=args.mcmc_warmup, L_max=32)
+        args.eval = "hmc"  # one shared eval loop below
 
     plls, diags = {}, {}
     for m in eval_ms:
