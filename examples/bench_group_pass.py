@@ -88,6 +88,53 @@ def run_shape(N, G, S, d, reps):
     return out
 
 
+def run_end_to_end(N, G, S, d, M_groups, opt_itrs):
+    """The REAL group builder (make_group_incremental_builder) at scale,
+    reference group semantics (n_subsample_select=None — score every group;
+    n_subsample_opt=None — exact gradient), end to end on chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from betacores_tpu.coresets import IncrementalConfig, init_state
+    from betacores_tpu.coresets.groups import (init_group_state,
+                                               make_group_incremental_builder)
+    from betacores_tpu.data import gen_synthetic_logreg, perturb_logreg
+    from betacores_tpu.inference import logreg_laplace_sampler
+    from betacores_tpu.models import logreg
+    from betacores_tpu.ops.projection import Groups
+
+    k0, k1, k2 = jax.random.split(jax.random.key(0), 3)
+    X, y, Z = gen_synthetic_logreg(k0, N, d=d, dtype=jnp.float32)
+    X, y, Z, _ = perturb_logreg(k1, X, y, f_rate=0.1)
+    per = N // G
+    gl = [list(range(g * per, min((g + 1) * per, N))) for g in range(G)]
+    gp = Groups.from_lists(gl)
+    cfg = IncrementalConfig(projection_dim=S, n_subsample_select=None,
+                            n_subsample_opt=None, opt_itrs=opt_itrs, i0=1.0,
+                            use_beta=True)
+    build = make_group_incremental_builder(
+        Z, gp, logreg.bundle(), logreg_laplace_sampler(), cfg)
+    M_buf = (M_groups + 1) * per
+    gst0 = init_group_state(
+        init_state(M_buf, Z.shape[1], beta=0.1, dtype=jnp.float32), G)
+    t0 = time.perf_counter()
+    gst = build(k2, gst0, M_groups)
+    n_sel = int(gst.selected.sum())
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gst = build(k2, gst0, M_groups)
+    n_sel = int(gst.selected.sum())
+    t = time.perf_counter() - t0
+    per_iter = t / M_groups * 1e3
+    print(f"  end-to-end: {t:.3f}s for {M_groups} group selections x "
+          f"{opt_itrs} exact-gradient steps (first incl compile "
+          f"{t_first:.1f}s); {n_sel} groups selected, m={int(gst.core.m)} "
+          f"points; {per_iter:.1f} ms/iteration "
+          f"~ {per_iter / (1 + opt_itrs):.3f} ms per (N, S) pass")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=50)
@@ -95,6 +142,12 @@ def main():
                     default=["10000x100", "126185x500", "1000000x100"])
     ap.add_argument("--S", type=int, default=100)
     ap.add_argument("--d", type=int, default=10)
+    ap.add_argument("--end-to-end", action="store_true",
+                    help="run the real group builder (reference group "
+                         "semantics: full group select + exact gradient) "
+                         "instead of the per-pass microbenches")
+    ap.add_argument("--M-groups", type=int, default=20)
+    ap.add_argument("--opt-itrs", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -102,7 +155,10 @@ def main():
     for shp in args.shapes:
         N, G = (int(v) for v in shp.split("x"))
         print(f"N={N} G={G} S={args.S}:")
-        run_shape(N, G, args.S, args.d, args.reps)
+        if args.end_to_end:
+            run_end_to_end(N, G, args.S, args.d, args.M_groups, args.opt_itrs)
+        else:
+            run_shape(N, G, args.S, args.d, args.reps)
     return 0
 
 

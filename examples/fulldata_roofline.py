@@ -10,7 +10,7 @@ section), these are genuinely bandwidth/throughput-bound (N, S) passes: the
 one family of workloads that should saturate the chip.
 
 Configs measured end to end on one chip (N=1M contaminated logreg rows,
-d=10(+label), M=100 selections, S=100):
+d=10, M=100 selections, S=100):
 
   headline  n_sel=1000, n_opt=200, 500 Adam itrs   (control; bench.py config)
   fullsel   n_sel=None, n_opt=200, 500 Adam itrs   (reference default select)
@@ -55,7 +55,7 @@ def _roofline(name, t, n_full_sel, n_full_opt, opt_itrs):
     The 'streaming' floor is what a kernel that never materializes (N, S)
     would move — three Mosaic attempts to reach it measured SLOWER than the
     XLA composition (the negative result is recorded in RESULTS.md)."""
-    d = D_FEAT + 1  # data rows carry the label fold
+    d = D_FEAT  # Z = y * X is exactly (N, d) (data/synthetic.py:27)
     row_bytes = N * d * 4
     ns_bytes = N * S * 4
     sel_flops = 2 * N * d * S + 4 * N * S          # proj matmul + score matvecs
