@@ -39,7 +39,7 @@ def _roofline(t_build: float) -> None:
     headline config (latency-bound); the full-candidate (bandwidth-bound)
     accounting lives in examples/fulldata_roofline.py (round-4)."""
     if FULL_DATA:
-        d = D_FEAT + 1
+        d = D_FEAT  # Z = y * X is exactly (N, d)
         per_sel = (N * d + 3 * N * S) * 4          # data read + dot-boundary
         frac = 100 * M * per_sel / (t_build * 819e9)
         print(

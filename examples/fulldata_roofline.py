@@ -22,7 +22,7 @@ and the achieved fraction of each v5e-1 peak. Two HBM floors are reported
 for the select pass: the MATERIALIZING floor (write + re-read the (N, S)
 projection — what a two-pass XLA program must move, the residual needs the
 full column sum before candidates can be scored) and the STREAMING floor
-(read the 44 MB dataset twice, recompute the projection in the second pass
+(read the 40 MB dataset twice, recompute the projection in the second pass
 — what a fused kernel could achieve if the VPU transform were free).
 
 Timing discipline (CLAUDE.md): end-to-end build with a host fetch of the
@@ -47,7 +47,7 @@ def _roofline(name, t, n_full_sel, n_full_opt, opt_itrs):
     """Floors calibrated by the component microbenchmarks
     (examples/bench_select_pass.py, RESULTS.md round-4 section): XLA keeps
     the (N, S) margin DOT's output as a materialization boundary — the dot
-    itself is fast (k = d+1 = 11), but its result is written to HBM once and
+    itself is fast (k = d = 10), but its result is written to HBM once and
     read once per consumer pass (a measured single projection+reduction pass
     is 1.37 ms vs this model's 1.03 ms; the difference is the VPU transform
     + imperfect overlap). The select pass has two consumer reads (column
