@@ -64,6 +64,15 @@ def main():
                     help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--refit-every", type=int, default=1)
     ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--eval", choices=["laplace", "hmc", "nuts"],
+                    default="laplace",
+                    help="posterior for the accuracy metric: Laplace "
+                         "(default, cheap) or weighted K-class MCMC — "
+                         "jittered multinomial HMC or dynamic-trajectory "
+                         "NUTS (inference/nuts.py), 2 chains with "
+                         "split-R-hat checks")
+    ap.add_argument("--mcmc-samples", type=int, default=500)
+    ap.add_argument("--mcmc-warmup", type=int, default=500)
     ap.add_argument("--results-dir", default="results")
     args = ap.parse_args()
 
@@ -170,9 +179,49 @@ def main():
     g_of = mc.make_grad_th_log_joint(K)
     h_of = mc.make_hess_th_log_joint(K)
 
+    mcmc_chains = None
+    if args.eval in ("hmc", "nuts"):
+        # weighted K-class posterior MCMC (the reference's Stan-NUTS eval
+        # pattern; coresets are zero-weight padded to one static shape by
+        # the caller below)
+        if args.eval == "nuts":
+            from betacores_tpu.inference import NUTSConfig
+            from betacores_tpu.inference.nuts import make_weighted_nuts
+
+            mcmc_cfg = NUTSConfig(n_samples=args.mcmc_samples,
+                                  n_warmup=args.mcmc_warmup, max_treedepth=10,
+                                  target_accept=0.9)
+            mcmc_chains = make_weighted_nuts(lj)
+        else:
+            from betacores_tpu.inference import summarize_chains  # noqa: F401
+            from betacores_tpu.inference.hmc import HMCConfig, make_weighted_hmc
+
+            mcmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
+                                 n_warmup=args.mcmc_warmup, L_max=32)
+            _, mcmc_chains = make_weighted_hmc(lj)
+
+    cap = max((len(np.atleast_1d(w)) for w, _ in snaps), default=1)
+
     def acc_of(wts, pts):
         if len(wts) == 0:
             return base
+        if mcmc_chains is not None:
+            from betacores_tpu.inference import summarize_chains
+
+            wp = np.zeros(cap, np.float32)
+            wp[:len(wts)] = np.asarray(wts, np.float32)
+            pp = np.zeros((cap, Zc.shape[1]), np.float32)
+            pp[:len(wts)] = np.atleast_2d(np.asarray(pts, np.float32))
+            chains, _ = mcmc_chains(jax.random.key(99), jnp.asarray(pp),
+                                    jnp.asarray(wp),
+                                    jnp.zeros(K * d, dtype=jnp.float32), 2,
+                                    mcmc_cfg)
+            summ = summarize_chains(chains)
+            rhat = float(np.asarray(summ["rhat"]).max())
+            if rhat > 1.05:
+                print(f"  ** R-hat {rhat:.3f} > 1.05: chains have not mixed")
+            return float(mc.compute_accuracy(Xt, yt,
+                                             chains.reshape(-1, K * d), K))
         wts, pts = jnp.asarray(wts), jnp.asarray(np.atleast_2d(pts))
         lap = newton_laplace(lambda th: lj(pts, th, wts),
                              lambda th: g_of(pts, th, wts),
