@@ -37,6 +37,16 @@ from .incremental import IncrementalConfig
 from .state import CoresetState
 
 
+# The (G, S) group reduction as an MXU matmul: XLA lowers segment_sum to a
+# scatter-add, which serializes on TPU (measured ~an order over the
+# projection cost at webspam scale — RESULTS.md group roofline), while
+# onehot.T @ vecs is one (G+1, N) x (N, S) dot. The onehot is an (N, G)
+# f32 materialization, so gate on its HBM footprint and keep the scatter
+# fallback for huge G*N (module-level so tests can patch the gate and pin
+# the two paths against each other).
+ONEHOT_MAX_BYTES = 256 * 1024 * 1024
+
+
 class GroupCoresetState(NamedTuple):
     core: CoresetState
     selected: jnp.ndarray      # (G,) bool: group already in the coreset
@@ -122,15 +132,6 @@ def make_group_incremental_builder(
         if config.use_beta:
             return project_beta(mdl, pts, samples, beta)
         return project_ll(mdl, pts, samples)
-
-    # The (G, S) group reduction as an MXU matmul: XLA lowers segment_sum to
-    # a scatter-add, which serializes on TPU (measured ~an order over the
-    # projection cost at movielens-groups scale — RESULTS.md group roofline),
-    # while onehot.T @ vecs is one (G+1, N) x (N, S) dot. The onehot is an
-    # (N, G+1) f32 materialization, so gate on its HBM footprint and keep
-    # the scatter for huge G*N (the real group workloads — movielens/adult/
-    # diabetes, G <= 100, N <= 30k — are far under the gate).
-    ONEHOT_MAX_BYTES = 256 * 1024 * 1024
 
     def _bind(data, gid, u):
         # data/gid/u are jit ARGUMENTS of the entry point below — a

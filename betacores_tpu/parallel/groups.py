@@ -124,9 +124,7 @@ def make_sharded_group_builder(
     # (G, S_loc) group reduction as a local MXU matmul instead of the
     # scatter-add XLA emits for segment_sum (serialized on TPU — RESULTS.md
     # group roofline), gated on the local onehot's HBM footprint exactly
-    # like the single-device builder (coresets/groups.py)
-    ONEHOT_MAX_BYTES = 256 * 1024 * 1024
-
+    # like the single-device builder (shared gate constant there)
     def _group_vecs(data_local, gid_local, u_local, samples_loc, beta):
         """Replicated (G, S_loc) group tangent vectors: local projection +
         local group reduction, one psum('data'). Padding rows carry id G.
@@ -134,6 +132,7 @@ def make_sharded_group_builder(
         vecs = _proj(data_local, samples_loc, beta)            # (rows_loc, S_loc)
         if u_local is not None:
             vecs = u_local[:, None] * vecs
+        from ..coresets.groups import ONEHOT_MAX_BYTES
         if data_local.shape[0] * (G + 1) * 4 <= ONEHOT_MAX_BYTES:
             onehot = (gid_local[:, None] == jnp.arange(G, dtype=gid_local.dtype))
             part = jax.lax.dot_general(

@@ -265,3 +265,37 @@ def test_group_mode_learn_beta_refuses(setup):
         alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.3, learn_beta=True,
                              opt_itrs=5, groups=groups, seed=1)
         alg.build(1, 100)  # whichever of construction/build makes the builder
+
+
+def test_group_reduce_fallback_matches_onehot(setup, monkeypatch):
+    """The scatter (segment_sum) fallback above the one-hot HBM gate must
+    build the same trajectory as the one-hot matmul path (round 4: the
+    group reduction became an MXU matmul below ONEHOT_MAX_BYTES, so nothing
+    else exercises the fallback)."""
+    from betacores_tpu.coresets import groups as grp_mod
+    from betacores_tpu.coresets.groups import (init_group_state,
+                                               make_group_incremental_builder)
+    from betacores_tpu.coresets.incremental import IncrementalConfig
+    from betacores_tpu.coresets.state import init_state
+
+    X, samples, model, groups, _ = setup
+    gp = Groups.from_lists(groups)
+    cfg = IncrementalConfig(projection_dim=samples.shape[0], opt_itrs=10, i0=0.5)
+    smp = fixed_sampler(jnp.asarray(samples))
+
+    def build_with_gate(gate):
+        monkeypatch.setattr(grp_mod, "ONEHOT_MAX_BYTES", gate)
+        b = make_group_incremental_builder(jnp.asarray(X), gp, model, smp, cfg)
+        return b(jax.random.key(3),
+                 init_group_state(init_state(60, X.shape[1], dtype=jnp.float64),
+                                  gp.n_groups), 3)
+
+    g_onehot = build_with_gate(256 * 1024 * 1024)
+    g_scatter = build_with_gate(0)
+    np.testing.assert_array_equal(np.asarray(g_onehot.selected),
+                                  np.asarray(g_scatter.selected))
+    np.testing.assert_array_equal(np.asarray(g_onehot.core.idcs),
+                                  np.asarray(g_scatter.core.idcs))
+    np.testing.assert_allclose(np.asarray(g_onehot.core.wts),
+                               np.asarray(g_scatter.core.wts),
+                               rtol=1e-12, atol=1e-12)
