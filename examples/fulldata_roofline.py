@@ -94,6 +94,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n", type=int, default=N)
     ap.add_argument("--d", type=int, default=D_FEAT)
+    ap.add_argument("--quality", action="store_true",
+                    help="also score each config's FINAL coreset downstream: "
+                         "Laplace posterior on the coreset -> held-out "
+                         "accuracy / predictive log-likelihood on 20k clean "
+                         "rows, plus the shared-key tangent error")
     args = ap.parse_args()
     N, D_FEAT = args.n, args.d
 
@@ -111,6 +116,32 @@ def main():
     X, y, Z = gen_synthetic_logreg(k0, N, d=D_FEAT, dtype=jnp.float32)
     X, y, Z, _ = perturb_logreg(k1, X, y, f_rate=0.1)
     Z = jax.block_until_ready(Z)
+    if args.quality:
+        # clean held-out rows from the same generator (no corruption)
+        Xt, yt, Zt = gen_synthetic_logreg(jax.random.key(7), 20_000, d=D_FEAT,
+                                          dtype=jnp.float32)
+        # ONE shared FULL-DATA tangent-error estimator for every config —
+        # each builder's own error() uses its config's n_subsample_opt, and
+        # a subsampled estimate is inflated by estimator variance, so
+        # cross-config comparisons need the exact residual
+        from betacores_tpu.coresets.incremental import make_tangent_error
+
+        shared_err = None  # built below once model/sampler exist
+
+        @jax.jit
+        def _quality(wts, pts, slot_mask):
+            from betacores_tpu.inference.laplace import (newton_laplace,
+                                                         sample_laplace)
+
+            wm = wts * slot_mask
+            lap = newton_laplace(
+                lambda th: logreg.log_joint(pts, th, wm),
+                lambda th: logreg.grad_th_log_joint(pts, th, wm),
+                lambda th: logreg.hess_th_log_joint(pts, th, wm),
+                jnp.zeros(pts.shape[1], dtype=jnp.float32), n_iters=25)
+            ths = sample_laplace(jax.random.key(9), lap, 256)
+            return (logreg.compute_accuracy(Xt, yt, ths),
+                    logreg.predictive_loglik(Zt, ths))
 
     cfg_by_name = {
         "headline": IncrementalConfig(projection_dim=S, n_subsample_select=1000,
@@ -154,6 +185,20 @@ def main():
         out[name] = {"wall_s": round(t, 3), "m": m_sel,
                      "sum_w": round(wsum, 1), "opt_itrs": cfg.opt_itrs,
                      **{k: round(v, 4) for k, v in floors.items()}}
+        if args.quality:
+            if shared_err is None:
+                shared_err = make_tangent_error(
+                    Z, model, sampler,
+                    IncrementalConfig(projection_dim=S, n_subsample_opt=None,
+                                      use_beta=True))
+            err = float(shared_err(jax.random.key(123), st))
+            acc, pll = _quality(st.wts, st.pts,
+                                st.slot_mask.astype(jnp.float32))
+            acc, pll = float(acc), float(pll)
+            print(f"[{name}] quality: tangent err {err:.1f} (shared key), "
+                  f"held-out acc {acc:.4f}, pll {pll:.4f}", file=sys.stderr)
+            out[name].update(tangent_err=round(err, 2), acc=round(acc, 4),
+                             pll=round(pll, 4))
     print(json.dumps(out))
     return 0
 
