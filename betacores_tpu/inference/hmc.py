@@ -248,7 +248,11 @@ def run_chains_sharded(key, logprob, theta0, n_chains: int, mesh,
     chains' full warmup+sampling locally, zero collectives. True chains use
     ``run_chains``'s exact key/init streams; padding lanes (to reach a
     device multiple) are dropped. Feed the result to
-    ``inference.diagnostics.summarize_chains`` for split-R-hat / ESS."""
+    ``inference.diagnostics.summarize_chains`` for split-R-hat / ESS.
+
+    Pass a ``nuts.NUTSConfig`` to run dynamic-trajectory NUTS chains
+    instead of jittered HMC (same key/init streams as
+    ``nuts.run_chains_nuts``)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from ..parallel.mesh import DATA_AXIS, SAMP_AXIS, require_axes
 
@@ -272,8 +276,13 @@ def run_chains_sharded(key, logprob, theta0, n_chains: int, mesh,
 def _run_chains_padded(keys, inits, logprob, config, n_true: int):
     # module-level jit: one compiled program per (logprob, config, shapes) —
     # a per-call inner jit would recompile the whole warmup+sampling program
-    # on every invocation
-    samples, stats = jax.vmap(lambda k, t0: hmc_sample(k, logprob, t0, config))(keys, inits)
+    # on every invocation. Dispatch on the config type (duck-typed to avoid
+    # a module-import cycle: nuts.py imports this module).
+    if hasattr(config, "max_treedepth"):
+        from .nuts import nuts_sample as _sample
+    else:
+        _sample = hmc_sample
+    samples, stats = jax.vmap(lambda k, t0: _sample(k, logprob, t0, config))(keys, inits)
     return samples[:n_true], jax.tree.map(lambda s: s[:n_true], stats)
 
 

@@ -372,3 +372,25 @@ class TestNUTS:
         ratio = np.asarray(s).reshape(-1, d).std(axis=0) / np.asarray(sd)
         np.testing.assert_allclose(ratio, 1.0, atol=0.1)
         assert np.asarray(stats["n_divergent"]).sum() == 0
+
+    def test_sharded_nuts_chains(self):
+        """run_chains_sharded with a NUTSConfig lane-shards NUTS chains
+        (zero collectives) and they pass their own diagnostics."""
+        import numpy as np
+
+        from betacores_tpu.inference import (NUTSConfig, run_chains_sharded,
+                                             summarize_chains)
+        from betacores_tpu.parallel import make_mesh
+
+        def logprob(th):
+            return -0.5 * jnp.sum(th * th)
+
+        cfg = NUTSConfig(n_samples=150, n_warmup=150, max_treedepth=6)
+        mesh = make_mesh(4, 2)
+        s, stats = run_chains_sharded(jax.random.key(1), logprob,
+                                      jnp.zeros(2), 8, mesh, cfg)
+        assert s.shape == (8, 150, 2)
+        summ = summarize_chains(s)
+        assert (np.asarray(summ["rhat"]) < 1.05).all()
+        assert np.asarray(stats["n_divergent"]).sum() == 0
+        assert np.abs(np.asarray(s).mean((0, 1))).max() < 0.12
