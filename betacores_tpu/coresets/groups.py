@@ -9,9 +9,10 @@ appends every member of the winning group with zero initial weight; weight
 refinement then runs at the individual-point level.
 
 TPU design: group vectors come from one full (N, S) projection followed by
-``segment_sum`` over a per-point group-id vector (one pass, MXU matmul +
-scatter-add), instead of the reference's Python loop of per-group
-projections. Appending a variable-size group under static shapes scatters a
+a one-hot MXU matmul over the per-point group-id vector (segment_sum's
+scatter-add serializes on TPU — see ONEHOT_MAX_BYTES below), instead of
+the reference's Python loop of per-group projections; the refinement
+target needs no per-group split at all and reduces in the projection pass. Appending a variable-size group under static shapes scatters a
 padded (L_max,) member block with out-of-range drop.
 
 Reference behaviors preserved: the first ``initialized`` warm-start slots

@@ -6,10 +6,11 @@ batch acquisition). The dataset's N axis is sharded over the mesh's ``data``
 axis and the posterior-sample S axis over ``samp``; the group axis G is
 small and REPLICATED. Per build iteration:
 
-  * every device projects its own N/P rows and ``segment_sum``s them by
-    group id locally; one psum('data') of the (G, S_loc) partial sums yields
-    the replicated group tangent vectors — the single heavy step, and it is
-    embarrassingly row-parallel;
+  * every device projects its own N/P rows and group-reduces them locally
+    (one-hot MXU matmul below the HBM gate, scatter fallback above — see
+    coresets/groups.py); one psum('data') of the (G, S_loc) partial sums
+    yields the replicated group tangent vectors — the single heavy step,
+    and it is embarrassingly row-parallel;
   * candidate drawing, scoring, and the group argmax run REPLICATED (G is
     tiny) — unlike point mode there is no distributed argmax;
   * the winning group's member points are gathered from their owning shards

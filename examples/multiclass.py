@@ -193,7 +193,6 @@ def main():
                                   target_accept=0.9)
             mcmc_chains = make_weighted_nuts(lj)
         else:
-            from betacores_tpu.inference import summarize_chains  # noqa: F401
             from betacores_tpu.inference.hmc import HMCConfig, make_weighted_hmc
 
             mcmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
