@@ -41,10 +41,10 @@ from .state import CoresetState
 # The (G, S) group reduction as an MXU matmul: XLA lowers segment_sum to a
 # scatter-add, which serializes on TPU (measured ~an order over the
 # projection cost at webspam scale — RESULTS.md group roofline), while
-# onehot.T @ vecs is one (G+1, N) x (N, S) dot. The onehot is an (N, G)
-# f32 materialization, so gate on its HBM footprint and keep the scatter
-# fallback for huge G*N (module-level so tests can patch the gate and pin
-# the two paths against each other).
+# onehot.T @ vecs is one (G, N) x (N, S) dot. The onehot is an (N, G)
+# f32 materialization, so gate on its HBM footprint (N*G*4 bytes) and keep
+# the scatter fallback for huge G*N (module-level so tests can patch the
+# gate and pin the two paths against each other).
 ONEHOT_MAX_BYTES = 256 * 1024 * 1024
 
 
@@ -137,7 +137,7 @@ def make_group_incremental_builder(
     def _bind(data, gid, u):
         # data/gid/u are jit ARGUMENTS of the entry point below — a
         # closed-over dataset embeds into the HLO (see incremental._bind)
-        use_onehot = N * (G + 1) * 4 <= ONEHOT_MAX_BYTES
+        use_onehot = N * G * 4 <= ONEHOT_MAX_BYTES
 
         def _group_reduce(vecs):
             """(G, S) sum of each group's member rows (pad segment dropped)."""

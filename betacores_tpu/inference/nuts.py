@@ -203,7 +203,12 @@ def _nuts_transition(key, logprob_and_grad, theta0, eps, inv_mass,
         turning_full = jnp.logical_or(dth @ vel(p_l) < 0, dth @ vel(p_r) < 0)
         done = jnp.logical_or(jnp.logical_not(ok),
                               jnp.logical_and(ok, turning_full))
-        return _Loop(c.depth + 1, th_l, p_l, g_l, th_r, p_r, g_r, prop, logw,
+        # Stan's treedepth__ counts COMPLETED doublings: a rejected subtree
+        # (diverged/turned, ok=False) ends the trajectory without extending
+        # it, so don't count it. ok=False forces done=True, so the loop
+        # bound is unaffected by the conditional increment.
+        depth_new = jnp.where(ok, c.depth + 1, c.depth)
+        return _Loop(depth_new, th_l, p_l, g_l, th_r, p_r, g_r, prop, logw,
                      c.acc_sum + acc_sum, c.n_acc + n_acc,
                      jnp.logical_or(c.diverged, diverged), done, k)
 

@@ -134,7 +134,7 @@ def make_sharded_group_builder(
         if u_local is not None:
             vecs = u_local[:, None] * vecs
         from ..coresets.groups import ONEHOT_MAX_BYTES
-        if data_local.shape[0] * (G + 1) * 4 <= ONEHOT_MAX_BYTES:
+        if data_local.shape[0] * G * 4 <= ONEHOT_MAX_BYTES:
             onehot = (gid_local[:, None] == jnp.arange(G, dtype=gid_local.dtype))
             part = jax.lax.dot_general(
                 onehot.astype(vecs.dtype), vecs, (((0,), (0,)), ((), ())))

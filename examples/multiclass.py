@@ -183,15 +183,16 @@ def main():
     if args.eval in ("hmc", "nuts"):
         # weighted K-class posterior MCMC (the reference's Stan-NUTS eval
         # pattern; coresets are zero-weight padded to one static shape by
-        # the caller below)
-        if args.eval == "nuts":
-            from betacores_tpu.inference import NUTSConfig
-            from betacores_tpu.inference.nuts import make_weighted_nuts
+        # the caller below); failed diagnostics escalate HMC -> NUTS
+        # (escalation.py — this driver is where HMC measurably fails to mix:
+        # RESULTS.md recorded R-hat 1.22 on the K=5 posterior)
+        from betacores_tpu.inference import default_nuts_config
+        from betacores_tpu.inference.nuts import make_weighted_nuts
 
-            mcmc_cfg = NUTSConfig(n_samples=args.mcmc_samples,
-                                  n_warmup=args.mcmc_warmup, max_treedepth=10,
-                                  target_accept=0.9)
-            mcmc_chains = make_weighted_nuts(lj)
+        nuts_cfg = default_nuts_config(args.mcmc_samples, args.mcmc_warmup)
+        nuts_chains = make_weighted_nuts(lj)
+        if args.eval == "nuts":
+            mcmc_cfg, mcmc_chains = nuts_cfg, nuts_chains
         else:
             from betacores_tpu.inference.hmc import HMCConfig, make_weighted_hmc
 
@@ -200,27 +201,33 @@ def main():
             _, mcmc_chains = make_weighted_hmc(lj)
 
     cap = max((len(np.atleast_1d(w)) for w, _ in snaps), default=1)
+    escalations = {}
 
-    def acc_of(wts, pts):
+    def acc_of(wts, pts, m=None):
         if len(wts) == 0:
             return base
         if mcmc_chains is not None:
-            from betacores_tpu.inference import summarize_chains
+            from betacores_tpu.inference import run_with_escalation
 
             wp = np.zeros(cap, np.float32)
             wp[:len(wts)] = np.asarray(wts, np.float32)
             pp = np.zeros((cap, Zc.shape[1]), np.float32)
             pp[:len(wts)] = np.atleast_2d(np.asarray(pts, np.float32))
-            chains, _ = mcmc_chains(jax.random.key(99), jnp.asarray(pp),
-                                    jnp.asarray(wp),
-                                    jnp.zeros(K * d, dtype=jnp.float32), 2,
-                                    mcmc_cfg)
-            summ = summarize_chains(chains)
-            rhat = float(np.asarray(summ["rhat"]).max())
-            if rhat > 1.05:
-                print(f"  ** R-hat {rhat:.3f} > 1.05: chains have not mixed")
+            run = run_with_escalation(
+                jax.random.key(99), mcmc_chains, mcmc_cfg,
+                nuts_chains, nuts_cfg,
+                jnp.asarray(pp), jnp.asarray(wp),
+                jnp.zeros(K * d, dtype=jnp.float32), 2,
+                primary_name=args.eval)
+            if run.escalated:
+                print(f"  ** {args.eval} failed ({run.failure_reason}); "
+                      "recorded NUTS re-run")
+            if m is not None:
+                escalations[m] = {"sampler_used": run.sampler_used,
+                                  "escalated": run.escalated,
+                                  "reason": run.failure_reason}
             return float(mc.compute_accuracy(Xt, yt,
-                                             chains.reshape(-1, K * d), K))
+                                             run.chains.reshape(-1, K * d), K))
         wts, pts = jnp.asarray(wts), jnp.asarray(np.atleast_2d(pts))
         lap = newton_laplace(lambda th: lj(pts, th, wts),
                              lambda th: g_of(pts, th, wts),
@@ -236,7 +243,7 @@ def main():
                                   args.eval_every)) | {len(snaps)})
     for m in eval_sizes:
         w, p = snaps[m - 1]
-        a = acc_of(w, p)
+        a = acc_of(w, p, m)
         sizes.append(m)
         accs.append(a)
         print(f"m={m:4d}  acc={a:.4f}")
@@ -248,7 +255,8 @@ def main():
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "sizes": sizes, "accs": accs,
                      "build_s": t_build, "base": base,
-                     "select_beta": select_record}, fh)
+                     "select_beta": select_record,
+                     "mcmc_escalations": escalations}, fh)
 
 
 if __name__ == "__main__":

@@ -198,25 +198,27 @@ def main():
         samples, _ = sampler(key, 256, wm, pm, jnp.zeros(d, dtype=jnp.float32))
         return poisson.predictive_loglik(zt, samples)
 
-    if args.eval in ("hmc", "nuts"):
-        from betacores_tpu.inference import (HMCConfig, run_chains_weighted_poisson,
-                                             summarize_chains)
+    use_mcmc = args.eval in ("hmc", "nuts")  # args.eval itself stays intact:
+    # downstream labels/pickles key on it (round-4 advisor finding)
+    if use_mcmc:
+        from betacores_tpu.inference import (HMCConfig, default_nuts_config,
+                                             run_chains_weighted_poisson,
+                                             run_with_escalation)
+        from betacores_tpu.inference.nuts import make_weighted_nuts
+        from betacores_tpu.models import poisson as _poisson_model
 
+        # dynamic-trajectory NUTS (the reference's Stan sampler family;
+        # inference/nuts.py) over the same weighted Poisson target — the
+        # primary when --eval nuts, the escalation target when --eval hmc
+        # fails its split-R-hat/ESS diagnostics (escalation.py)
+        nuts_cfg = default_nuts_config(args.mcmc_samples, args.mcmc_warmup)
+        run_poisson_nuts = make_weighted_nuts(_poisson_model.log_joint)
         if args.eval == "nuts":
-            # dynamic-trajectory NUTS (the reference's Stan sampler family;
-            # inference/nuts.py) over the same weighted Poisson target
-            from betacores_tpu.inference import NUTSConfig
-            from betacores_tpu.inference.nuts import make_weighted_nuts
-            from betacores_tpu.models import poisson as _poisson_model
-
-            hmc_cfg = NUTSConfig(n_samples=args.mcmc_samples,
-                                 n_warmup=args.mcmc_warmup, max_treedepth=10,
-                                 target_accept=0.9)
-            run_chains_weighted_poisson = make_weighted_nuts(_poisson_model.log_joint)
+            mcmc_cfg, run_eval_chains = nuts_cfg, run_poisson_nuts
         else:
-            hmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
-                                n_warmup=args.mcmc_warmup, L_max=32)
-        args.eval = "hmc"  # one shared eval loop below
+            mcmc_cfg = HMCConfig(n_samples=args.mcmc_samples,
+                                 n_warmup=args.mcmc_warmup, L_max=32)
+            run_eval_chains = run_chains_weighted_poisson
 
     plls, diags = {}, {}
     for m in eval_ms:
@@ -225,16 +227,22 @@ def main():
         wm = jnp.asarray(np.pad(wm_c, (0, cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, cap - len(wm_c)), (0, 0))))
         key_m = jax.random.key(args.trial * 100 + m)
-        if args.eval == "hmc":
-            chains, _ = run_chains_weighted_poisson(
-                key_m, pm, wm, jnp.zeros(d, dtype=jnp.float32),
-                args.mcmc_chains, hmc_cfg)
-            summ = summarize_chains(chains)
-            diags[m] = {k: np.asarray(v) for k, v in summ.items()}
-            plls[m] = float(poisson.predictive_loglik(Zt, chains.reshape(-1, d)))
+        if use_mcmc:
+            run = run_with_escalation(
+                key_m, run_eval_chains, mcmc_cfg, run_poisson_nuts, nuts_cfg,
+                pm, wm, jnp.zeros(d, dtype=jnp.float32), args.mcmc_chains,
+                primary_name=args.eval)
+            diags[m] = {k: np.asarray(v) for k, v in run.summary.items()}
+            diags[m]["sampler_used"] = run.sampler_used
+            diags[m]["escalated"] = run.escalated
+            plls[m] = float(poisson.predictive_loglik(Zt, run.chains.reshape(-1, d)))
+            flag = ("" if not run.escalated else
+                    f"  ** {args.eval} failed ({run.failure_reason}); "
+                    "recorded NUTS re-run")
             print(f"m={m:4d} pll={plls[m]:.4f} "
                   f"rhat={float(diags[m]['rhat'].max()):.3f} "
-                  f"ess={float(diags[m]['ess'].min()):.0f}")
+                  f"ess={float(diags[m]['ess'].min()):.0f} "
+                  f"[{run.sampler_used}]{flag}")
         else:
             plls[m] = float(eval_fn(key_m, wm, pm, Zt))
             print(f"m={m:4d} pll={plls[m]:.4f}")

@@ -229,13 +229,16 @@ def main():
     # not divide M (round-3 review; multiclass.py carried this fix already)
     eval_ms = sorted(set(range(0, args.M + 1, args.eval_every)) | {args.M})
     accs, plls, mcmc_times, diags = {}, {}, {}, {}
-    if args.eval_sampler == "nuts":
-        from betacores_tpu.inference import NUTSConfig
-        from betacores_tpu.inference.nuts import run_chains_weighted_logreg_nuts
+    # diagnostic-gated escalation (escalation.py): the primary sampler runs
+    # first; failed split-R-hat/ESS/divergence diagnostics re-run that size
+    # with NUTS — the reference's evaluator IS adaptive NUTS (mcmc.py:21-59)
+    # and its user never has to pick a sampler, so neither should ours
+    from betacores_tpu.inference import default_nuts_config, run_with_escalation
+    from betacores_tpu.inference.nuts import run_chains_weighted_logreg_nuts
 
-        cfg = NUTSConfig(n_samples=args.mcmc_samples,
-                         n_warmup=args.mcmc_warmup, max_treedepth=10,
-                         target_accept=0.9)  # the reference's adapt_delta
+    nuts_cfg = default_nuts_config(args.mcmc_samples, args.mcmc_warmup)
+    if args.eval_sampler == "nuts":
+        cfg = nuts_cfg
         run_eval_chains = run_chains_weighted_logreg_nuts
     else:
         cfg = HMCConfig(n_samples=args.mcmc_samples,
@@ -251,21 +254,27 @@ def main():
         wm = jnp.asarray(np.pad(wm_c, (0, eval_cap - len(wm_c))))
         pm = jnp.asarray(np.pad(pm_c, ((0, eval_cap - len(wm_c)), (0, 0))))
         t1 = time.perf_counter()
-        chains, stats = run_eval_chains(
-            jax.random.key(args.trial * 100 + m), pm, wm,
-            jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, cfg)
-        chains = jax.block_until_ready(chains)
+        run = run_with_escalation(
+            jax.random.key(args.trial * 100 + m), run_eval_chains, cfg,
+            run_chains_weighted_logreg_nuts, nuts_cfg,
+            pm, wm, jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains,
+            primary_name=args.eval_sampler)
+        chains = jax.block_until_ready(run.chains)
         mcmc_times[m] = time.perf_counter() - t1
-        summ = summarize_chains(chains)
-        diags[m] = {k: np.asarray(v) for k, v in summ.items()}
+        diags[m] = {k: np.asarray(v) for k, v in run.summary.items()}
+        diags[m]["sampler_used"] = run.sampler_used
+        diags[m]["escalated"] = run.escalated
         samples = chains.reshape(-1, D)
         accs[m] = float(compute_accuracy(Xt, Yt, samples))
         plls[m] = float(predictive_loglik(Zt, samples))
         rhat, ess = float(diags[m]["rhat"].max()), float(diags[m]["ess"].min())
-        flag = "" if rhat < 1.05 else "  ** R-hat > 1.05: chains have not mixed"
+        flag = ("" if not run.escalated else
+                f"  ** {args.eval_sampler} failed ({run.failure_reason}); "
+                "recorded NUTS re-run")
         print(f"m={m:4d} acc={accs[m]:.4f} pll={plls[m]:.4f} "
-              f"accept={float(np.mean(stats['accept_stat'])):.2f} "
-              f"rhat={rhat:.3f} ess={ess:.0f} ({mcmc_times[m]:.1f}s){flag}")
+              f"accept={float(np.mean(run.stats['accept_stat'])):.2f} "
+              f"rhat={rhat:.3f} ess={ess:.0f} [{run.sampler_used}] "
+              f"({mcmc_times[m]:.1f}s){flag}")
 
     full = None
     if args.eval_full_data:

@@ -394,3 +394,80 @@ class TestNUTS:
         assert (np.asarray(summ["rhat"]) < 1.05).all()
         assert np.asarray(stats["n_divergent"]).sum() == 0
         assert np.abs(np.asarray(s).mean((0, 1))).max() < 0.12
+
+
+class TestEscalation:
+    """Diagnostic-gated HMC->NUTS escalation (inference/escalation.py) —
+    the reference's evaluator is adaptive NUTS (mcmc.py:21-59); our drivers
+    reach it automatically when the cheap fixed-budget primary fails."""
+
+    @staticmethod
+    def _mixed_chains(key, scale=1.0):
+        # well-mixed iid "chains": R-hat ~ 1, ESS ~ C*n
+        return scale * jax.random.normal(key, (4, 200, 2))
+
+    @staticmethod
+    def _stuck_chains(key):
+        # chains centered at different modes: split-R-hat blows up
+        offs = jnp.asarray([-3.0, -1.0, 1.0, 3.0])[:, None, None]
+        return 0.1 * jax.random.normal(key, (4, 200, 2)) + offs
+
+    def test_diagnostics_failed_reasons(self):
+        from betacores_tpu.inference import diagnostics_failed, summarize_chains
+
+        good = summarize_chains(self._mixed_chains(jax.random.key(0)))
+        assert diagnostics_failed(good) == ""
+        bad = summarize_chains(self._stuck_chains(jax.random.key(1)))
+        assert "split-R-hat" in diagnostics_failed(bad)
+        # divergences dominate: even clean rhat/ess fails when the sampler
+        # reports divergent transitions
+        assert "divergent" in diagnostics_failed(
+            good, {"n_divergent": np.asarray([0, 2])})
+
+    def test_escalates_and_records_provenance(self):
+        from betacores_tpu.inference import run_with_escalation
+
+        calls = []
+
+        def bad_primary(key, Z, w, cfg):
+            calls.append("hmc")
+            return self._stuck_chains(key), {"accept_stat": jnp.ones(4)}
+
+        def nuts(key, Z, w, cfg):
+            calls.append("nuts")
+            return self._mixed_chains(key), {"accept_stat": jnp.ones(4),
+                                             "n_divergent": jnp.zeros(4)}
+
+        run = run_with_escalation(jax.random.key(0), bad_primary, None,
+                                  nuts, None, jnp.zeros((3, 2)), jnp.ones(3))
+        assert calls == ["hmc", "nuts"]
+        assert run.escalated and run.sampler_used == "nuts"
+        assert "split-R-hat" in run.failure_reason
+        assert float(np.asarray(run.summary["rhat"]).max()) < 1.05
+
+    def test_clean_primary_not_escalated(self):
+        from betacores_tpu.inference import run_with_escalation
+
+        def good_primary(key, Z, w, cfg):
+            return self._mixed_chains(key), {"accept_stat": jnp.ones(4)}
+
+        def nuts(key, Z, w, cfg):  # pragma: no cover - must not run
+            raise AssertionError("escalated a clean run")
+
+        run = run_with_escalation(jax.random.key(0), good_primary, None,
+                                  nuts, None, jnp.zeros((3, 2)), jnp.ones(3))
+        assert not run.escalated and run.sampler_used == "hmc"
+        assert run.failure_reason == ""
+
+    def test_nuts_primary_never_reescalates(self):
+        from betacores_tpu.inference import run_with_escalation
+
+        def stuck_nuts(key, Z, w, cfg):
+            return self._stuck_chains(key), {"accept_stat": jnp.ones(4)}
+
+        run = run_with_escalation(jax.random.key(0), stuck_nuts, None,
+                                  stuck_nuts, None, jnp.zeros((3, 2)),
+                                  jnp.ones(3), primary_name="nuts")
+        # diagnostics still recorded, but no second run for a NUTS primary
+        assert not run.escalated and run.sampler_used == "nuts"
+        assert "split-R-hat" in run.failure_reason
