@@ -243,7 +243,8 @@ class _IncrementalCoreset(Coreset):
                  beta: float = 0.5, learn_beta: Optional[bool] = None,
                  beta_cap: float = 1.0, seed: int = 0,
                  max_size: int = 0, groups=None, initialized: bool = False,
-                 data_weights=None, refit_every: int = 1, **kw):
+                 data_weights=None, refit_every: int = 1,
+                 dedup_select: bool = False, **kw):
         if groups is not None and not max_size:
             # group appends add up to max-group-size slots per iteration
             max_size = sum(len(g) for g in groups)
@@ -261,6 +262,7 @@ class _IncrementalCoreset(Coreset):
             learn_beta=self._learn_beta,
             beta_cap=beta_cap,
             refit_every=refit_every,
+            dedup_select=dedup_select,
         )
         self._cfg = cfg
         self.groups = groups

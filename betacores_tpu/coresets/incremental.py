@@ -56,6 +56,15 @@ class IncrementalConfig:
     i0: float = 0.1                    # lr schedule i0 / (1 + i)
     use_beta: bool = False             # project with the beta-likelihood
     learn_beta: bool = False
+    # dedup_select=True masks already-selected data indices OUT of the
+    # candidate argmax and always installs the best remaining candidate, so
+    # every select step grows the coreset by one until the budget is full.
+    # Default False = reference parity: the reference drops a duplicate
+    # argmax on the floor (`f not in self.idcs`, bcores.py:84) and also
+    # skips the add when an existing coreset point out-scores every
+    # candidate — under subsampled select that silently under-fills the
+    # budget (the round-4 headline bench delivered 94 of M=100 points).
+    dedup_select: bool = False
     beta_grad_scale: float = 1e-5      # reference bcores.py:134 damping
     beta_cap: float = 1.0              # learn_beta clamp ceiling (see below)
     # refit_every=k > 1 re-fits the sampler's posterior (the Newton-Laplace
@@ -264,22 +273,40 @@ def make_incremental_builder(
                 # so they must never be selectable either
                 usub = u if sub_idcs is None else u[sub_idcs]
                 corrs = jnp.where(usub > 0, corrs, -jnp.inf)
-            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
-            cn = jnp.where(cn > 0, cn, jnp.inf)
-            corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
-
-            fcand = jnp.argmax(corrs)
-            f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
-            take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
-            already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
             M_max = st.wts.shape[0]
-            add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
-            if u is not None:
-                # the m==0 arm of take_new bypasses the -inf mask above: an
-                # all-padding subsample at iteration 0 would install a u==0
-                # row as the first coreset point (and Adam would then grow
-                # its weight). Never add a masked candidate.
-                add = jnp.logical_and(add, jnp.isfinite(corrs[fcand]))
+            if config.dedup_select:
+                # mask already-selected rows out of the candidate argmax:
+                # scatter the live slots' indices into an (N,) hit-count
+                # (scatter-add so a stale padding slot can never erase a
+                # live slot's mark), gather at the candidates, and always
+                # install the best remaining candidate. No corecorrs
+                # comparison: in this mode re-selection pressure on an
+                # existing point is refinement's job, never a skipped add.
+                hits = jnp.zeros((N,), jnp.int32).at[st.idcs].add(
+                    st.slot_mask.astype(jnp.int32), mode="drop")
+                cand_sel = (hits if sub_idcs is None else hits[sub_idcs]) > 0
+                corrs = jnp.where(cand_sel, -jnp.inf, corrs)
+                fcand = jnp.argmax(corrs)
+                f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+                # -inf guard covers u==0 rows, padding shards AND the
+                # (pathological) all-candidates-already-selected subsample
+                add = jnp.logical_and(st.m < M_max, jnp.isfinite(corrs[fcand]))
+            else:
+                cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+                cn = jnp.where(cn > 0, cn, jnp.inf)
+                corecorrs = jnp.where(st.slot_mask, jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+
+                fcand = jnp.argmax(corrs)
+                f = (fcand if sub_idcs is None else sub_idcs[fcand]).astype(jnp.int32)
+                take_new = jnp.logical_or(st.m == 0, corrs[fcand] > jnp.max(corecorrs))
+                already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
+                add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+                if u is not None:
+                    # the m==0 arm of take_new bypasses the -inf mask above: an
+                    # all-padding subsample at iteration 0 would install a u==0
+                    # row as the first coreset point (and Adam would then grow
+                    # its weight). Never add a masked candidate.
+                    add = jnp.logical_and(add, jnp.isfinite(corrs[fcand]))
 
             slot = jnp.minimum(st.m, M_max - 1)
             idcs_new = jnp.where(add, st.idcs.at[slot].set(f), st.idcs)

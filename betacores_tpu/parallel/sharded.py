@@ -191,9 +191,20 @@ def make_sharded_incremental_builder(
             # they must never be selectable (incremental.py weighted select)
             corrs = jnp.where(usub > 0, corrs, -jnp.inf)
 
-        cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
-        cn = jnp.where(cn > 0, cn, jnp.inf)
-        corecorrs = jnp.where(st.slot_mask, jnp.abs(_dot_S(corevecs, resid_loc)) / cn / S, -jnp.inf)
+        M_max = st.wts.shape[0]
+        if config.dedup_select:
+            # mask already-selected GLOBAL indices out of this shard's
+            # candidates before the local top-1 (the replicated st.idcs
+            # makes the membership test local — no extra collective), then
+            # always install the distributed-argmax winner. Mirrors the
+            # single-device dedup branch (coresets/incremental.py).
+            cand_g = (ax_d * rows_loc
+                      + (jnp.arange(rows_loc) if sub is None else sub)
+                      ).astype(jnp.int32)
+            cand_sel = jnp.any(
+                jnp.logical_and(cand_g[:, None] == st.idcs[None, :],
+                                st.slot_mask[None, :]), axis=1)
+            corrs = jnp.where(cand_sel, -jnp.inf, corrs)
 
         best_loc = jnp.argmax(corrs)
         best_score = corrs[best_loc]
@@ -206,15 +217,20 @@ def make_sharded_incremental_builder(
         win = jnp.argmax(scores_g)
         f, f_pt, f_score = gidx_g[win], pts_g[win], scores_g[win]
 
-        take_new = jnp.logical_or(st.m == 0, f_score > jnp.max(corecorrs))
-        already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
-        M_max = st.wts.shape[0]
-        add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
-        if u_local is not None:
-            # the m==0 arm of take_new bypasses the -inf masks: an
-            # all-masked candidate round must never install a u==0 row
-            # (same guard as the single-device weighted select)
-            add = jnp.logical_and(add, jnp.isfinite(f_score))
+        if config.dedup_select:
+            add = jnp.logical_and(st.m < M_max, jnp.isfinite(f_score))
+        else:
+            cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
+            cn = jnp.where(cn > 0, cn, jnp.inf)
+            corecorrs = jnp.where(st.slot_mask, jnp.abs(_dot_S(corevecs, resid_loc)) / cn / S, -jnp.inf)
+            take_new = jnp.logical_or(st.m == 0, f_score > jnp.max(corecorrs))
+            already = jnp.any(jnp.logical_and(st.idcs == f, st.slot_mask))
+            add = jnp.logical_and(take_new, jnp.logical_and(jnp.logical_not(already), st.m < M_max))
+            if u_local is not None:
+                # the m==0 arm of take_new bypasses the -inf masks: an
+                # all-masked candidate round must never install a u==0 row
+                # (same guard as the single-device weighted select)
+                add = jnp.logical_and(add, jnp.isfinite(f_score))
         slot = jnp.minimum(st.m, M_max - 1)
         st = st._replace(
             idcs=jnp.where(add, st.idcs.at[slot].set(f), st.idcs),

@@ -51,7 +51,24 @@ def main():
     # v5e-8 beats v5e-1 (BASELINE.md "when 8 chips beat 1").
     ap.add_argument("--full-data", action="store_true",
                     help="n_subsample_select=None (score ALL N per selection)")
+    # round-5 verdict item 1: the FULL-GRADIENT config — the reference's
+    # default semantics on BOTH phases (sparsevi.py:14-15: n_subsample=None
+    # everywhere): score ALL N candidates per selection AND optimize with
+    # the EXACT Sigma-over-N gradient every Adam step. This is the config
+    # behind BASELINE.md's "8 chips win ~7x" row; on chip it ran at 71-81%
+    # of peak HBM BW (RESULTS.md full-candidate table, opt x50).
+    ap.add_argument("--full-gradient", action="store_true",
+                    help="n_subsample_select=None AND n_subsample_opt=None "
+                         "(exact gradient; pair with --opt-itrs 50, the "
+                         "on-chip full-gradient config)")
+    ap.add_argument("--census", action="store_true",
+                    help="also AOT-lower ONE build iteration of this config "
+                         "for the TPU platform at reduced shapes and print "
+                         "its per-step collective mix (shape-independent)")
     args = ap.parse_args()
+    if args.full_gradient:
+        args.full_data = True
+        args.n_subsample_opt = None
     if args.full_data:
         args.n_subsample_select = None
     n_data, n_samp = (int(t) for t in args.mesh.split("x"))
@@ -95,11 +112,47 @@ def main():
     ok = (int(st.m) > 0 and np.isfinite(w).all() and (w >= 0).all()
           and (idcs >= 0).all() and (idcs < N).all()
           and len(set(idcs.tolist())) == len(idcs))
-    print(f"mesh={dict(mesh.shape)} N={N} M={args.itrs} S={S}: "
+    mode = ("full-gradient" if args.full_gradient
+            else "full-select" if args.full_data else "headline")
+    print(f"[{mode}] mesh={dict(mesh.shape)} N={N} M={args.itrs} S={S} "
+          f"opt_itrs={args.opt_itrs}: "
           f"selected m={int(st.m)}, nnz(w)={(w > 0).sum()}, "
           f"sum(w)={w.sum():.1f} (N={N}), "
           f"wall={t_total:.1f}s (compile included; virtual CPU devices — "
           f"not a TPU number), ok={ok}")
+
+    if args.census:
+        # Per-step collective mix of THIS config, from the TPU-platform
+        # StableHLO (jax.export cross-platform lowering — no TPU needed).
+        # Collective COUNT per step is shape-independent, so lower at tiny
+        # shapes: the full-size export would embed the closed-over N=1M
+        # shard constants into the module.
+        N_c = 16 * n_data + 3
+        Zc = Z[:N_c]
+        cfg_c = IncrementalConfig(
+            projection_dim=n_samp * 4,
+            n_subsample_select=None if args.n_subsample_select is None else 8 * n_data,
+            n_subsample_opt=None if args.n_subsample_opt is None else 4 * n_data,
+            opt_itrs=3, i0=1.0, use_beta=True)
+        Zcs, nc_true = shard_data(Zc, mesh)
+        build_c = make_sharded_incremental_builder(Zcs, nc_true, model,
+                                                   sampler, cfg_c, mesh)
+        st_c = init_state(8, D_FEAT, beta=0.1, dtype=jnp.float32)
+        exp = jax.export.export(
+            jax.jit(lambda k, s: build_c(k, s, 1)), platforms=["tpu"]
+        )(k2, st_c)
+        txt = exp.mlir_module()
+        counts = {k: txt.count(f"stablehlo.{k}") for k in
+                  ("all_reduce", "all_gather", "collective_permute",
+                   "reduce_scatter")}
+        # normalize to per-Adam-step: subtract the select pass's share by
+        # lowering a 0-opt variant is overkill — report the raw per-build-
+        # iteration mix (select + opt_itrs Adam steps) plus opt_itrs so the
+        # reader can divide
+        print(f"[{mode}] collective census (1 select + {cfg_c.opt_itrs} Adam "
+              f"steps, TPU-platform StableHLO): {counts}; no host callbacks: "
+              f"{'stablehlo.custom_call @xla_python_cpu_callback' not in txt}")
+
     if not ok:
         sys.exit(1)
 

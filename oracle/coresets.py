@@ -21,12 +21,18 @@ def center(v):
 
 
 def incremental_build_deterministic(
-    data, M, opt_itrs, step_sched, sampler_fn, lik_fn
+    data, M, opt_itrs, step_sched, sampler_fn, lik_fn, dedup=False
 ):
     """Greedy incremental coreset (BetaCoreset/SparseVI skeleton).
 
     lik_fn(pts, samples) -> (N, S) un-centered likelihood matrix.
     Returns (wts, idcs, pts) arrays over selected slots (possibly w == 0).
+
+    ``dedup=True`` is the golden counterpart of the JAX builder's
+    ``dedup_select`` mode: already-selected indices are excluded from the
+    candidate argmax and the best remaining candidate is ALWAYS added (no
+    corecorrs comparison) — every step grows the coreset by one until
+    min(M, N).
     """
     data = np.asarray(data, dtype=np.float64)
     N, D = data.shape
@@ -51,19 +57,27 @@ def incremental_build_deterministic(
         vn = np.sqrt((vecs**2).sum(axis=1))
         vn[vn == 0] = np.inf
         corrs = vecs @ resid / vn / S
-        if corevecs.shape[0] > 0:
-            cn = np.sqrt((corevecs**2).sum(axis=1))
-            cn[cn == 0] = np.inf
-            corecorrs = np.abs(corevecs @ resid / cn) / S
-            take_new = corrs.max() > corecorrs.max()
-        else:
-            take_new = True
-        if take_new:
-            f = int(np.argmax(corrs))
-            if f not in idcs:
+        if dedup:
+            corrs[idcs] = -np.inf
+            if len(idcs) < N and np.isfinite(corrs.max()):
+                f = int(np.argmax(corrs))
                 wts = np.append(wts, 0.0)
                 idcs = np.append(idcs, f)
                 pts = np.vstack([pts, data[f]])
+        else:
+            if corevecs.shape[0] > 0:
+                cn = np.sqrt((corevecs**2).sum(axis=1))
+                cn[cn == 0] = np.inf
+                corecorrs = np.abs(corevecs @ resid / cn) / S
+                take_new = corrs.max() > corecorrs.max()
+            else:
+                take_new = True
+            if take_new:
+                f = int(np.argmax(corrs))
+                if f not in idcs:
+                    wts = np.append(wts, 0.0)
+                    idcs = np.append(idcs, f)
+                    pts = np.vstack([pts, data[f]])
 
         # --- optimize (spec: bcores.py:141-150) ---
         def grd(w, i):

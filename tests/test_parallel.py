@@ -647,3 +647,31 @@ def test_sharded_fused_step_matches_xla_path(refit_every):
     np.testing.assert_array_equal(np.asarray(res[True].idcs),
                                   np.asarray(res[False].idcs))
     np.testing.assert_allclose(w1, w0, atol=5e-3 * max(1.0, np.abs(w0).max()))
+
+
+def test_sharded_dedup_select_fills_budget(problem):
+    """dedup_select on the mesh: already-selected global indices are masked
+    out of every shard's candidates before the distributed argmax, so the
+    build installs M distinct rows (the single-device dedup contract,
+    coresets/incremental.py)."""
+    X, model, sampler, aux = problem
+    cfg = IncrementalConfig(projection_dim=32, n_subsample_select=128,
+                            n_subsample_opt=64, opt_itrs=20, i0=1.0,
+                            use_beta=False, dedup_select=True)
+    mesh = make_mesh(4, 2)
+    data_sharded, n_true = shard_data(jnp.asarray(X), mesh)
+    build = make_sharded_incremental_builder(data_sharded, n_true, model,
+                                             sampler, cfg, mesh)
+    st = init_state(64, X.shape[1], dtype=data_sharded.dtype)
+    M = 12
+    st = build(jax.random.key(0), st, M)
+    m_got = int(st.m)
+    idcs = np.asarray(st.idcs)[:m_got]
+    assert m_got == M == len(set(idcs.tolist()))
+    assert (idcs >= 0).all() and (idcs < X.shape[0]).all()
+    # posterior quality is not sacrificed by forcing adds
+    w = np.asarray(st.wts)
+    keep = w > 0
+    kl = _rkl(w[keep], np.asarray(st.pts)[keep], aux)
+    kl_prior = _rkl(np.zeros(1), np.zeros((1, X.shape[1])), aux)
+    assert kl < 0.3 * kl_prior, (kl, kl_prior)
