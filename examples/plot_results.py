@@ -36,7 +36,17 @@ def main():
     ap.add_argument("--metric", default=None,
                     help="gaussian: rklw|fklw; logreg: accs|plls; neural_linear: rmses|nlls")
     ap.add_argument("--out", default="plot.png")
+    ap.add_argument("--filter", default=None,
+                    help="only include results files whose basename contains "
+                         "this substring (tags are config-encoding, so e.g. "
+                         "'_0.1_' slices one f_rate, '_gd' the graddiag runs)")
     args = ap.parse_args()
+
+    def _glob(pattern):
+        paths = glob.glob(pattern)
+        if args.filter is not None:
+            paths = [p for p in paths if args.filter in os.path.basename(p)]
+        return paths
 
     if args.kind == "housing":
         # lat/lon scatter colored by log price (reference
@@ -58,7 +68,7 @@ def main():
     xs_list = []
     if args.kind == "gaussian":
         metric = args.metric or "rklw"
-        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "results_*.pk")):
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and metric in res:
@@ -66,7 +76,7 @@ def main():
         ylabel, log_y = ("reverse KL" if metric == "rklw" else "forward KL"), True
     elif args.kind == "logreg":
         metric = args.metric or "accs"
-        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "results_*.pk")):
             # other experiment families share the prefix and (for plls) the
             # schema — mixing them in would silently average across
             # experiments (round-3 review)
@@ -84,7 +94,7 @@ def main():
         ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
     elif args.kind == "poisson":
         metric = args.metric or "plls"
-        for path in glob.glob(os.path.join(args.results_dir, "results_poiss_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "results_poiss_*.pk")):
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and isinstance(res.get(metric), dict):
@@ -94,7 +104,7 @@ def main():
                 curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = "test predictive LL", False
     elif args.kind == "multiclass":
-        for path in glob.glob(os.path.join(args.results_dir, "results_mc_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "results_mc_*.pk")):
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and "accs" in res:
@@ -103,14 +113,14 @@ def main():
         ylabel, log_y = "test accuracy", False
     elif args.kind == "neural_linear":
         metric = args.metric or "rmses"
-        for path in glob.glob(os.path.join(args.results_dir, "results_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "results_*.pk")):
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and metric in res:
                 curves[res["args"]["alg"]].append(np.asarray(res[metric]))
         ylabel, log_y = metric, False
     else:
-        for path in glob.glob(os.path.join(args.results_dir, "group_results_*.pk")):
+        for path in _glob(os.path.join(args.results_dir, "group_results_*.pk")):
             with open(path, "rb") as f:
                 res = pickle.load(f)
             curves[res["args"]["alg"]].append(np.asarray(res["accs"]))

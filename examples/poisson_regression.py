@@ -220,7 +220,7 @@ def main():
                                  n_warmup=args.mcmc_warmup, L_max=32)
             run_eval_chains = run_chains_weighted_poisson
 
-    plls, diags = {}, {}
+    plls, diags, mcmc_times = {}, {}, {}
     for m in eval_ms:
         wm_c = np.atleast_1d(w[m]).astype(np.float32)
         pm_c = np.atleast_2d(p[m]).astype(np.float32)
@@ -228,13 +228,18 @@ def main():
         pm = jnp.asarray(np.pad(pm_c, ((0, cap - len(wm_c)), (0, 0))))
         key_m = jax.random.key(args.trial * 100 + m)
         if use_mcmc:
+            t1 = time.perf_counter()
             run = run_with_escalation(
                 key_m, run_eval_chains, mcmc_cfg, run_poisson_nuts, nuts_cfg,
                 pm, wm, jnp.zeros(d, dtype=jnp.float32), args.mcmc_chains,
                 primary_name=args.eval)
+            jax.block_until_ready(run.chains)
+            mcmc_times[m] = time.perf_counter() - t1
             diags[m] = {k: np.asarray(v) for k, v in run.summary.items()}
             diags[m]["sampler_used"] = run.sampler_used
             diags[m]["escalated"] = run.escalated
+            if "n_divergent" in run.stats:
+                diags[m]["n_divergent"] = np.asarray(run.stats["n_divergent"])
             plls[m] = float(poisson.predictive_loglik(Zt, run.chains.reshape(-1, d)))
             flag = ("" if not run.escalated else
                     f"  ** {args.eval} failed ({run.failure_reason}); "
@@ -242,17 +247,22 @@ def main():
             print(f"m={m:4d} pll={plls[m]:.4f} "
                   f"rhat={float(diags[m]['rhat'].max()):.3f} "
                   f"ess={float(diags[m]['ess'].min()):.0f} "
-                  f"[{run.sampler_used}]{flag}")
+                  f"[{run.sampler_used}] ({mcmc_times[m]:.2f}s){flag}")
         else:
             plls[m] = float(eval_fn(key_m, wm, pm, Zt))
             print(f"m={m:4d} pll={plls[m]:.4f}")
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
+    if args.eval != "laplace":
+        # config-encoding filename: a NUTS-evaluated run must not overwrite
+        # the HMC-evaluated one (observed in the round-5 on-chip session)
+        tag += f"_{args.eval}"
     out = os.path.join(args.results_dir, f"results_poiss_{tag}.pk")
     with open(out, "wb") as fh:
         pickle.dump({"args": vars(args), "w": w, "p": p, "plls": plls,
-                     "build_time_s": build_time, "mcmc_diagnostics": diags,
+                     "build_time_s": build_time, "mcmc_times": mcmc_times,
+                     "mcmc_diagnostics": diags,
                      "select_beta": select_record}, fh)
     print(f"saved -> {out}")
 

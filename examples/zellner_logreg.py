@@ -305,6 +305,10 @@ def main():
     # config-encoding filename (reference pattern, main.py:235): include
     # every swept hyperparameter or sweep points overwrite each other
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}_i{args.i0}"
+    if args.graddiag:
+        # config-encoding filename: the graddiag axis is swept by
+        # run_sweep.py's logreg protocol grid (reference run.sh:7-12)
+        tag += "_gd"
     if args.select_beta:
         tag += "_selected"
     if args.structured:
