@@ -614,3 +614,48 @@ def test_reduction_checkpoint_resume_bit_identical(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(lp_r), np.asarray(lp_ref),
                                rtol=0, atol=0)
     assert not os.path.exists(ck)
+
+
+def test_mesh_streamed_rounds_match_plain(rng):
+    """K > n_lanes exercises the round-5 per-chip host-streamed chunk
+    lanes: the mesh leaf pass runs in R = K/n_lanes rounds (peak host copy
+    = one round's batch) and every leaf's result must still match the
+    unsharded one-shot vmapped build bit-for-bit — leaf (rows, u, key)
+    triples are identical and the per-lane program is elementwise in the
+    lane axis."""
+    from betacores_tpu.parallel import make_mesh
+
+    d = 3
+    Xall_np, _ = _contaminated(rng, N=1200, d=d)
+    X = jnp.asarray(Xall_np)
+    _, model, smp, _ = _gauss_problem(rng, N=4)
+    leaf_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=100,
+                                 n_subsample_opt=60, opt_itrs=20, i0=1.0,
+                                 use_beta=True)
+    final_cfg = IncrementalConfig(projection_dim=16, n_subsample_select=None,
+                                  n_subsample_opt=None, opt_itrs=20, i0=1.0,
+                                  use_beta=True)
+    st_leaf = init_state(10, d, beta=0.4, dtype=jnp.float64)
+    key = jax.random.key(4)
+
+    # chunk=150 -> K = ceil(N/150) > 4 chunks; data axis 4 lanes -> the
+    # mesh leaf pass streams in multiple rounds
+    import math
+    K = math.ceil(X.shape[0] / 150)
+    assert K > 4  # multi-round regime
+    st_p, lp_p, lw_p = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=150,
+        m_leaf=6, m_final=10, st_leaf=st_leaf, parallel_leaves=True)
+    mesh = make_mesh(4, 2)
+    st_m, lp_m, lw_m = merge_reduce_build(
+        key, X, model, smp, leaf_cfg, final_cfg, chunk_size=150,
+        m_leaf=6, m_final=10, st_leaf=st_leaf, mesh=mesh)
+
+    assert lw_m.shape == (K * 10,) and lw_p.shape == (K * 10,)
+    np.testing.assert_allclose(np.asarray(lw_m), np.asarray(lw_p),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp_m), np.asarray(lp_p),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(st_m.idcs), np.asarray(st_p.idcs))
+    np.testing.assert_allclose(np.asarray(st_m.wts), np.asarray(st_p.wts),
+                               rtol=1e-7, atol=1e-10)
