@@ -66,7 +66,7 @@ class TestHMC:
             delta = th - mu
             return -0.5 * delta @ (Siginv @ delta)
 
-        cfg = hmc.HMCConfig(n_samples=2500, n_warmup=800, L_max=24)
+        cfg = hmc.HMCConfig(n_samples=1500, n_warmup=600, L_max=24)
         samples, stats = hmc.hmc_sample(jax.random.key(0), logprob, jnp.zeros(d), cfg)
         s = np.asarray(samples)
         assert 0.4 < float(stats["accept_stat"]) <= 1.0
@@ -88,7 +88,7 @@ class TestHMC:
             lambda th: logreg.hess_th_log_joint(Z, th, w),
             jnp.zeros(d), n_iters=12,
         )
-        cfg = hmc.HMCConfig(n_samples=2000, n_warmup=800, L_max=24)
+        cfg = hmc.HMCConfig(n_samples=1200, n_warmup=600, L_max=24)
         samples, stats = hmc.hmc_sample(jax.random.key(3), logprob, jnp.zeros(d), cfg)
         s = np.asarray(samples)
         sd = np.sqrt(np.diag(np.asarray(lap.prec_chol @ lap.prec_chol.T)) ** -1)
@@ -115,7 +115,7 @@ def test_hmc_exact_invariance_correlated_gaussian():
     Sig = jnp.asarray([[2.0, 0.8], [0.8, 1.0]])
     Siginv = jnp.linalg.inv(Sig)
     logprob = lambda th: -0.5 * th @ (Siginv @ th)
-    cfg = HMCConfig(n_samples=20000, n_warmup=1500, L_max=16)
+    cfg = HMCConfig(n_samples=10000, n_warmup=1000, L_max=16)
     s, stats = hmc_sample(jax.random.key(0), logprob, jnp.zeros(2), cfg)
     s = np.asarray(s)
     assert float(stats["accept_stat"]) > 0.6
@@ -341,7 +341,7 @@ class TestNUTS:
         Siginv = A @ A.T
         Sig = np.linalg.inv(np.asarray(Siginv))
         logprob = lambda th: -0.5 * th @ Siginv @ th
-        cfg = NUTSConfig(n_samples=2500, n_warmup=700, max_treedepth=8)
+        cfg = NUTSConfig(n_samples=1500, n_warmup=600, max_treedepth=8)
         s, stats = nuts_sample(jax.random.key(0), logprob, jnp.zeros(3), cfg)
         s = np.asarray(s)
         assert np.abs(s.mean(axis=0)).max() < 0.08
