@@ -299,3 +299,37 @@ def test_group_reduce_fallback_matches_onehot(setup, monkeypatch):
     np.testing.assert_allclose(np.asarray(g_onehot.core.wts),
                                np.asarray(g_scatter.core.wts),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_group_dedup_select_fills_budget(rng):
+    """dedup_select in group mode: selected groups are masked out of the
+    candidate argmax and every step installs the best remaining FITTING
+    group, so the build keeps growing until no group fits the remaining
+    capacity (parity semantics can stall a step whenever a selected group
+    out-scores the candidates)."""
+    import betacores_tpu as bc
+    from betacores_tpu.inference import fixed_sampler
+    from betacores_tpu.models import gaussian as gmod
+
+    N, d, S = 48, 3, 8
+    Sig = np.eye(d) * 2.0
+    X = rng.normal(size=(N, d))
+    samples = rng.normal(size=(S, d))
+    model = gmod.bundle(jnp.asarray(np.linalg.inv(Sig)),
+                        np.linalg.slogdet(Sig)[1])
+    groups = [list(range(i, i + 4)) for i in range(0, N, 4)]  # 12 groups of 4
+    prj = bc.BetaBlackBoxProjector(fixed_sampler(jnp.asarray(samples)), S,
+                                   model.beta_likelihood, model.log_likelihood,
+                                   model.beta_gradient)
+    alg = bc.BetaCoreset(jnp.asarray(X), prj, beta=0.4, opt_itrs=8,
+                         groups=groups, seed=0, dedup_select=True,
+                         max_size=32)  # buffer capacity: 8 groups of 4
+    for _ in range(8):
+        alg.build(1, alg.size() + 4)
+    assert int(alg.state.m) == 32      # every step added: 8 distinct groups
+    sel = alg.selected_groups
+    assert len(sel) == 8 == len(set(sel))
+    # installed indices are exactly the union of the selected groups
+    got = sorted(np.asarray(alg.state.idcs)[:32].tolist())
+    want = sorted(i for g in sel for i in groups[g])
+    assert got == want
