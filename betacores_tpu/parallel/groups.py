@@ -222,16 +222,24 @@ def make_sharded_group_builder(
             # zero-mass groups contribute nothing to the target: never
             # selectable (coresets/groups.py weighted select)
             corrs = jnp.where(g_mass[cand_gidx] > 0, corrs, -jnp.inf)
+        if config.dedup_select:
+            # dedup mode (round 5, mirrors coresets/groups.py): selected
+            # groups are masked out of the argmax (replicated state ->
+            # local test) and the best remaining fitting group always adds
+            corrs = jnp.where(gst.selected[cand_gidx], -jnp.inf, corrs)
         best = jnp.argmax(corrs)
         f = cand_gidx[best]
-        take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
-        fresh = jnp.logical_not(gst.selected[f])
         size_f = eff_sizes[f]
         room = st.m + size_f <= M_max
-        add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
-        if g_mass is not None:
-            # the m==0 arm of take_new bypasses the -inf masks above
-            add = jnp.logical_and(add, jnp.isfinite(corrs[best]))
+        if config.dedup_select:
+            add = jnp.logical_and(room, jnp.isfinite(corrs[best]))
+        else:
+            take_new = jnp.logical_or(st.m == 0, corrs[best] > jnp.max(corecorrs))
+            fresh = jnp.logical_not(gst.selected[f])
+            add = jnp.logical_and(take_new, jnp.logical_and(fresh, room))
+            if g_mass is not None:
+                # the m==0 arm of take_new bypasses the -inf masks above
+                add = jnp.logical_and(add, jnp.isfinite(corrs[best]))
 
         mem_f = members[f]                                   # (L_max,) padded -1
         pts_f = _gather_members(data_local, mem_f, ax_d)     # (L_max, d)

@@ -675,3 +675,42 @@ def test_sharded_dedup_select_fills_budget(problem):
     kl = _rkl(w[keep], np.asarray(st.pts)[keep], aux)
     kl_prior = _rkl(np.zeros(1), np.zeros((1, X.shape[1])), aux)
     assert kl < 0.3 * kl_prior, (kl, kl_prior)
+
+
+def test_sharded_group_dedup_matches_single_device(problem):
+    """Group-mode dedup on the mesh: same-key full-candidate builds must
+    match the single-device group dedup build exactly (the membership test
+    is replicated-state-local, no new collectives)."""
+    from betacores_tpu.coresets.groups import (group_ids_from_groups,
+                                               init_group_state,
+                                               make_group_incremental_builder)
+    from betacores_tpu.ops.projection import Groups
+    from betacores_tpu.parallel import make_sharded_group_builder, shard_group_ids
+
+    X, model, sampler, aux = problem
+    N = X.shape[0]
+    groups = [list(range(i, min(i + 25, N))) for i in range(0, N, 25)]
+    gp = Groups.from_lists(groups)
+    cfg = IncrementalConfig(projection_dim=16, n_subsample_select=None,
+                            n_subsample_opt=None, opt_itrs=10, i0=1.0,
+                            use_beta=False, dedup_select=True)
+    key = jax.random.key(3)
+    M_buf, itrs = 128, 4
+
+    b1 = make_group_incremental_builder(jnp.asarray(X), gp, model, sampler, cfg)
+    g1 = b1(key, init_group_state(
+        init_state(M_buf, X.shape[1], dtype=jnp.float64), gp.n_groups), itrs)
+
+    mesh = make_mesh(4, 2)
+    ds, n_true = shard_data(jnp.asarray(X), mesh)
+    gid = shard_group_ids(group_ids_from_groups(gp, N), mesh, gp.n_groups)
+    b2 = make_sharded_group_builder(ds, gid, n_true, gp, model, sampler, cfg, mesh)
+    g2 = b2(key, init_group_state(
+        init_state(M_buf, X.shape[1], dtype=ds.dtype), gp.n_groups), itrs)
+
+    # dedup adds one distinct group per iteration
+    assert int(g1.core.m) == int(g2.core.m) == itrs * 25
+    np.testing.assert_array_equal(np.asarray(g1.selected), np.asarray(g2.selected))
+    np.testing.assert_array_equal(np.asarray(g1.core.idcs), np.asarray(g2.core.idcs))
+    np.testing.assert_allclose(np.asarray(g1.core.wts), np.asarray(g2.core.wts),
+                               rtol=1e-6, atol=1e-9)
