@@ -471,3 +471,20 @@ class TestEscalation:
         # diagnostics still recorded, but no second run for a NUTS primary
         assert not run.escalated and run.sampler_used == "nuts"
         assert "split-R-hat" in run.failure_reason
+
+
+def test_nuts_rejected_first_doubling_reports_depth_zero():
+    """Stan treedepth__ semantics (round-4 advisor): a doubling whose
+    subtree is rejected (diverged) does not count as a completed tree
+    level. Force an immediate divergence with a catastrophically large
+    step size: the reported depth must be 0, with the divergence counted."""
+    from betacores_tpu.inference.nuts import (_nuts_transition,
+                                              make_precise_logprob_and_grad)
+
+    lpg = make_precise_logprob_and_grad(lambda th: -0.5 * jnp.sum(th * th))
+    theta, accept, (depth, n_leap, div) = _nuts_transition(
+        jax.random.key(0), lpg, jnp.ones(3), jnp.asarray(1e6), jnp.ones(3),
+        8, 1000.0)
+    assert int(div) == 1
+    assert int(depth) == 0          # the failed doubling is not counted
+    assert np.allclose(np.asarray(theta), 1.0)  # proposal rejected: stay put
