@@ -81,6 +81,28 @@ def test_run_sweep_list(capsys, monkeypatch):
     _run("run_sweep.py", ["--exp", "logreg", "--list"], monkeypatch)
     out = capsys.readouterr().out
     assert "BCORES" in out
+    # the round-5 protocol axes (reference run.sh:7-12) are in the grid
+    assert "--graddiag" in out and "--i0" in out
+
+
+def test_run_sweep_boolean_flag_convention(monkeypatch, capsys):
+    """None = omit the flag entirely, '' = pass it bare (store_true flags
+    cannot take a grid value) — the convention the logreg protocol grid's
+    graddiag axis relies on."""
+    import subprocess
+
+    calls = []
+    monkeypatch.setattr(subprocess, "run",
+                        lambda cmd, **kw: (calls.append(cmd) or
+                                           type("R", (), {"returncode": 0})()))
+    _run("run_sweep.py", ["--exp", "logreg_i0_graddiag"], monkeypatch)
+    assert len(calls) == 6  # 2 graddiag x 3 i0
+    with_flag = [c for c in calls if "--graddiag" in c]
+    assert len(with_flag) == 3
+    for c in with_flag:
+        # bare flag: the next token is another option, never a value
+        nxt = c[c.index("--graddiag") + 1]
+        assert nxt.startswith("--")
 
 
 def test_preprocess_covtype_and_mnist2(tmp_path, monkeypatch):

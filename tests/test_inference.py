@@ -364,11 +364,11 @@ class TestNUTS:
         d = 6
         sd = jnp.asarray(np.logspace(-2, 1, d))
         logprob = lambda th: -0.5 * jnp.sum((th / sd) ** 2)
-        cfg = NUTSConfig(n_samples=1000, n_warmup=700, max_treedepth=10)
+        cfg = NUTSConfig(n_samples=700, n_warmup=500, max_treedepth=10)
         s, stats = run_chains_nuts(jax.random.key(0), logprob, jnp.zeros(d), 4, cfg)
         summ = summarize_chains(s)
         assert np.asarray(summ["rhat"]).max() < 1.02
-        assert np.asarray(summ["ess"]).min() > 400
+        assert np.asarray(summ["ess"]).min() > 280  # 10% of the 2800 draws
         ratio = np.asarray(s).reshape(-1, d).std(axis=0) / np.asarray(sd)
         np.testing.assert_allclose(ratio, 1.0, atol=0.1)
         assert np.asarray(stats["n_divergent"]).sum() == 0
@@ -401,16 +401,20 @@ class TestEscalation:
     the reference's evaluator is adaptive NUTS (mcmc.py:21-59); our drivers
     reach it automatically when the cheap fixed-budget primary fails."""
 
+    # chain-stack shape matches test_sharded_chains_match_and_converge's
+    # (8, 150, 2) so summarize_chains reuses its compiled diagnostics
+    # programs instead of adding shape-unique ones to the suite budget
+
     @staticmethod
     def _mixed_chains(key, scale=1.0):
         # well-mixed iid "chains": R-hat ~ 1, ESS ~ C*n
-        return scale * jax.random.normal(key, (4, 200, 2))
+        return scale * jax.random.normal(key, (8, 150, 2))
 
     @staticmethod
     def _stuck_chains(key):
         # chains centered at different modes: split-R-hat blows up
-        offs = jnp.asarray([-3.0, -1.0, 1.0, 3.0])[:, None, None]
-        return 0.1 * jax.random.normal(key, (4, 200, 2)) + offs
+        offs = jnp.linspace(-3.0, 3.0, 8)[:, None, None]
+        return 0.1 * jax.random.normal(key, (8, 150, 2)) + offs
 
     def test_diagnostics_failed_reasons(self):
         from betacores_tpu.inference import diagnostics_failed, summarize_chains
@@ -431,12 +435,12 @@ class TestEscalation:
 
         def bad_primary(key, Z, w, cfg):
             calls.append("hmc")
-            return self._stuck_chains(key), {"accept_stat": jnp.ones(4)}
+            return self._stuck_chains(key), {"accept_stat": jnp.ones(8)}
 
         def nuts(key, Z, w, cfg):
             calls.append("nuts")
-            return self._mixed_chains(key), {"accept_stat": jnp.ones(4),
-                                             "n_divergent": jnp.zeros(4)}
+            return self._mixed_chains(key), {"accept_stat": jnp.ones(8),
+                                             "n_divergent": jnp.zeros(8)}
 
         run = run_with_escalation(jax.random.key(0), bad_primary, None,
                                   nuts, None, jnp.zeros((3, 2)), jnp.ones(3))
@@ -449,7 +453,7 @@ class TestEscalation:
         from betacores_tpu.inference import run_with_escalation
 
         def good_primary(key, Z, w, cfg):
-            return self._mixed_chains(key), {"accept_stat": jnp.ones(4)}
+            return self._mixed_chains(key), {"accept_stat": jnp.ones(8)}
 
         def nuts(key, Z, w, cfg):  # pragma: no cover - must not run
             raise AssertionError("escalated a clean run")
@@ -463,7 +467,7 @@ class TestEscalation:
         from betacores_tpu.inference import run_with_escalation
 
         def stuck_nuts(key, Z, w, cfg):
-            return self._stuck_chains(key), {"accept_stat": jnp.ones(4)}
+            return self._stuck_chains(key), {"accept_stat": jnp.ones(8)}
 
         run = run_with_escalation(jax.random.key(0), stuck_nuts, None,
                                   stuck_nuts, None, jnp.zeros((3, 2)),
