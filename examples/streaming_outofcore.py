@@ -51,9 +51,33 @@ def main():
     ap.add_argument("--max-union-rows", type=int, default=0,
                     help=">0: hierarchical merge-reduce tree, capping every "
                          "level's working set at this many weighted rows")
+    ap.add_argument("--mesh", default="",
+                    help="e.g. 8x1: run the MESH-STREAMED leaf pass (round 5)"
+                         " — rounds of n_lanes simultaneous leaf builds on a "
+                         "virtual CPU mesh (forces the CPU platform: "
+                         "multi-chip TPU hardware is not available here; on "
+                         "a real pod the same code runs over real chips). "
+                         "Incompatible with --checkpoint (per-leaf "
+                         "checkpoints need the sequential stream).")
     args = ap.parse_args()
 
+    mesh_shape = None
+    if args.mesh:
+        if args.checkpoint:
+            raise SystemExit("--mesh is incompatible with --checkpoint")
+        mesh_shape = tuple(int(t) for t in args.mesh.split("x"))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{mesh_shape[0] * mesh_shape[1]}").strip()
+
     import jax
+
+    if mesh_shape is not None:
+        # must land before backend init; the axon plugin ignores the
+        # JAX_PLATFORMS env var (tests/conftest.py technique)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from betacores_tpu.coresets import (IncrementalConfig, init_state,
@@ -108,12 +132,20 @@ def main():
 
     # ---- streamed merge-reduce build (out-of-core: one chunk on device
     # at a time) ----
+    mesh = None
+    if mesh_shape is not None:
+        from betacores_tpu.parallel import make_mesh
+
+        mesh = make_mesh(*mesh_shape)
+        print(f"mesh-streamed leaf pass over {dict(mesh.shape)} "
+              f"({-(-N // C)} leaves in rounds of {mesh_shape[0]})")
     t0 = time.perf_counter()
     st_leaf = init_state(args.m_leaf, d, dtype=jnp.float32)
     final_state, leaf_pts, leaf_wts = merge_reduce_build(
         jax.random.key(args.seed), data, model, sampler,
         leaf_config=cfg, final_config=cfg, chunk_size=C,
         m_leaf=args.m_leaf, m_final=args.m_final, st_leaf=st_leaf,
+        mesh=mesh,
         checkpoint_path=args.checkpoint or None,
         max_union_rows=args.max_union_rows or None)
     w = np.asarray(jax.block_until_ready(final_state.wts))
