@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--select-M", type=int, default=0,
                     help="coreset size for the selection builds (0 = --M)")
     ap.add_argument("--refit-every", type=int, default=1)
+    ap.add_argument("--dedup-select", action="store_true",
+                    help="mask already-selected indices out of the candidate "
+                         "argmax so every selection adds a distinct point "
+                         "(default: reference-parity duplicate drop, which "
+                         "under-fills under subsampled select — RESULTS.md "
+                         "'Dedup-masked select')")
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--eval", choices=["laplace", "hmc", "nuts"],
                     default="laplace",
@@ -119,7 +125,7 @@ def main():
     smp = multiclass_laplace_sampler(K)
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, seed=args.trial,
-                  max_size=args.M, refit_every=args.refit_every)
+                  max_size=args.M, refit_every=args.refit_every, dedup_select=args.dedup_select)
     select_record = None
     if args.select_beta:
         if args.alg != "BCORES":
@@ -252,6 +258,8 @@ def main():
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"mc_{args.dataset}_K{K}_{args.alg}_{args.f_rate}_{args.trial}"
+    if args.dedup_select:
+        tag += "_dedup"
     with open(os.path.join(args.results_dir, f"results_{tag}.pk"), "wb") as fh:
         pickle.dump({"args": vars(args), "sizes": sizes, "accs": accs,
                      "build_s": t_build, "base": base,

@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--refit-every", type=int, default=1,
                     help="lagged Fisher-scoring refits in the Adam loop "
                          "(1 = every-step parity; see RESULTS.md)")
+    ap.add_argument("--dedup-select", action="store_true",
+                    help="mask already-selected indices out of the candidate "
+                         "argmax so every selection adds a distinct point "
+                         "(default: reference-parity duplicate drop, which "
+                         "under-fills under subsampled select — RESULTS.md "
+                         "'Dedup-masked select')")
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--eval", choices=["laplace", "hmc", "nuts"], default="laplace",
                     help="posterior for the predictive eval: Fisher-scoring "
@@ -111,7 +117,7 @@ def main():
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
                   seed=args.trial, max_size=args.M,
-                  refit_every=args.refit_every)
+                  refit_every=args.refit_every, dedup_select=args.dedup_select)
     prj_b = bc.BetaBlackBoxProjector(sampler, args.proj_dim, theta_dim=d,
                                      model=model)
     prj = bc.BlackBoxProjector(sampler, args.proj_dim, theta_dim=d,
@@ -254,6 +260,8 @@ def main():
 
     os.makedirs(args.results_dir, exist_ok=True)
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}"
+    if args.dedup_select:
+        tag += "_dedup"
     if args.eval != "laplace":
         # config-encoding filename: a NUTS-evaluated run must not overwrite
         # the HMC-evaluated one (observed in the round-5 on-chip session)

@@ -83,6 +83,12 @@ def main():
                     help="lagged Laplace refits in the Adam loop (1 = "
                          "reference every-step parity; ~4 is a measured "
                          "quality-free 20%% latency cut, RESULTS.md)")
+    ap.add_argument("--dedup-select", action="store_true",
+                    help="mask already-selected indices out of the candidate "
+                         "argmax so every selection adds a distinct point "
+                         "(default: reference-parity duplicate drop, which "
+                         "under-fills under subsampled select — RESULTS.md "
+                         "'Dedup-masked select')")
     ap.add_argument("--beta", type=float, default=0.1)
     ap.add_argument("--select-beta", action="store_true",
                     help="BCORES only: pick beta by the trimmed held-out "
@@ -138,7 +144,7 @@ def main():
 
     common = dict(opt_itrs=args.opt_itrs, n_subsample_opt=args.n_subsample_opt,
                   n_subsample_select=args.n_subsample_select, step_sched=sched,
-                  seed=args.trial, max_size=args.M, refit_every=args.refit_every)
+                  seed=args.trial, max_size=args.M, refit_every=args.refit_every, dedup_select=args.dedup_select)
     algs = {
         "BCORES": lambda: bc.BetaCoreset(Z, prj_bw, beta=args.beta, learn_beta=False, **common),
         "SVI": lambda: bc.SparseVICoreset(Z, prj_w, **common),
@@ -305,6 +311,8 @@ def main():
     # config-encoding filename (reference pattern, main.py:235): include
     # every swept hyperparameter or sweep points overwrite each other
     tag = f"{args.dataset}_{args.alg}_{args.trial}_{args.f_rate}_b{args.beta}_i{args.i0}"
+    if args.dedup_select:
+        tag += "_dedup"
     if args.graddiag:
         # config-encoding filename: the graddiag axis is swept by
         # run_sweep.py's logreg protocol grid (reference run.sh:7-12)
