@@ -124,6 +124,12 @@ def main():
     ap.add_argument("--n-subsample-opt", type=int, default=500)
     ap.add_argument("--refit-every", type=int, default=1,
                     help="lagged Laplace refits in the Adam loop (RESULTS.md)")
+    ap.add_argument("--dedup-select", action="store_true",
+                    help="group-mode dedup: mask already-selected groups out "
+                         "of the candidate argmax and always install the "
+                         "best remaining fitting group (default: reference "
+                         "parity — a selected group winning is a skipped "
+                         "iteration)")
     ap.add_argument("--shapley-T", type=int, default=50)
     ap.add_argument("--shapley-cap", type=int, default=50)
     ap.add_argument("--results-dir", default="results")
@@ -159,7 +165,8 @@ def main():
                                  n_subsample_select=None,
                                  n_subsample_opt=args.n_subsample_opt,
                                  groups=groups, seed=args.trial,
-                                 refit_every=args.refit_every)
+                                 refit_every=args.refit_every,
+                                 dedup_select=args.dedup_select)
         k_score = jax.random.key(args.trial * 31 + 5)
         S_score = 256
         d_feat = Z.shape[1]
@@ -196,7 +203,8 @@ def main():
                              opt_itrs=args.opt_itrs, n_subsample_select=None,
                              n_subsample_opt=args.n_subsample_opt,
                              groups=groups, seed=args.trial,
-                             refit_every=args.refit_every)
+                             refit_every=args.refit_every,
+                             dedup_select=args.dedup_select)
         # some iterations re-weight existing points instead of adding a
         # group, so iterate until M distinct groups are selected (cap 4M).
         # Chunked build_trace: M iterations per DEVICE call (the selection

@@ -216,7 +216,7 @@ def incremental_build_weighted_deterministic(
 
 
 def group_incremental_build_deterministic(
-    data, groups, itrs, opt_itrs, step_sched, sampler_fn, lik_fn
+    data, groups, itrs, opt_itrs, step_sched, sampler_fn, lik_fn, dedup=False
 ):
     """Group-mode greedy incremental coreset (reference bcores.py:91-123 /
     sparsevi.py:97-126 group branches), deterministic sampler, no
@@ -254,20 +254,35 @@ def group_incremental_build_deterministic(
         vn = np.sqrt((gvecs**2).sum(axis=1))
         vn[vn == 0] = np.inf
         corrs = gvecs @ resid / vn / S
-        if corevecs.shape[0] > 0:
-            cn = np.sqrt((corevecs**2).sum(axis=1))
-            cn[cn == 0] = np.inf
-            corecorrs = np.abs(corevecs @ resid / cn) / S
-            take_new = corrs.max() > corecorrs.max()
-        else:
-            take_new = True
-        if take_new:
-            f = int(np.argmax(corrs))
-            if not selected[f]:
+        if dedup:
+            # golden counterpart of the JAX builders' dedup_select group
+            # mode: selected groups are masked out of the argmax and the
+            # best remaining group ALWAYS adds (capacity never binds here —
+            # the oracle grows unboundedly; golden tests size the JAX
+            # buffer so `fits` never masks either)
+            corrs = corrs.copy()
+            corrs[selected] = -np.inf
+            if not selected.all() and np.isfinite(corrs.max()):
+                f = int(np.argmax(corrs))
                 wts = np.concatenate([wts, np.zeros(len(members[f]))])
                 idcs = np.concatenate([idcs, members[f]])
                 pts = np.vstack([pts, data[members[f]]])
                 selected[f] = True
+        else:
+            if corevecs.shape[0] > 0:
+                cn = np.sqrt((corevecs**2).sum(axis=1))
+                cn[cn == 0] = np.inf
+                corecorrs = np.abs(corevecs @ resid / cn) / S
+                take_new = corrs.max() > corecorrs.max()
+            else:
+                take_new = True
+            if take_new:
+                f = int(np.argmax(corrs))
+                if not selected[f]:
+                    wts = np.concatenate([wts, np.zeros(len(members[f]))])
+                    idcs = np.concatenate([idcs, members[f]])
+                    pts = np.vstack([pts, data[members[f]]])
+                    selected[f] = True
 
         # --- optimize (point-level weights, full grouped-data target) ---
         def grd(w, i):

@@ -333,3 +333,40 @@ def test_group_dedup_select_fills_budget(rng):
     got = sorted(np.asarray(alg.state.idcs)[:32].tolist())
     want = sorted(i for g in sel for i in groups[g])
     assert got == want
+
+
+def test_group_dedup_build_matches_oracle(setup):
+    """Golden trajectory for group-mode dedup_select: selected groups
+    masked from the argmax, best remaining group always added — JAX build
+    vs the independent NumPy oracle's dedup mode (buffer sized so the
+    capacity mask never binds, matching the oracle's unbounded growth)."""
+    from oracle import coresets as ocs
+    from oracle import models as om
+
+    X, samples, model, groups, Siginv = setup
+    d = X.shape[1]
+    logdetSig = np.linalg.slogdet(2.0 * np.eye(d))[1]
+    gp = Groups.from_lists(groups)
+    itrs, opt_itrs, i0 = 4, 20, 0.5
+    cfg = IncrementalConfig(projection_dim=samples.shape[0],
+                            opt_itrs=opt_itrs, i0=i0, dedup_select=True)
+    builder = make_group_incremental_builder(
+        jnp.asarray(X), gp, model, fixed_sampler(jnp.asarray(samples)), cfg)
+    gst = builder(jax.random.key(0),
+                  init_group_state(init_state(60, d, dtype=jnp.float64),
+                                   gp.n_groups), itrs)
+
+    w_o, i_o, p_o, sel_o = ocs.group_incremental_build_deterministic(
+        X, groups, itrs, opt_itrs, lambda i: i0 / (1.0 + i),
+        lambda w, p: samples,
+        lambda pts, s: om.gauss_log_likelihood(pts, s, Siginv, logdetSig),
+        dedup=True)
+
+    # dedup adds one distinct group per iteration
+    assert int(sel_o.sum()) == min(itrs, gp.n_groups)
+    np.testing.assert_array_equal(np.asarray(gst.selected), sel_o)
+    m = int(gst.core.m)
+    assert m == len(i_o) > 0
+    np.testing.assert_array_equal(np.asarray(gst.core.idcs)[:m], i_o)
+    np.testing.assert_allclose(np.asarray(gst.core.wts)[:m], w_o,
+                               rtol=1e-6, atol=1e-9)
