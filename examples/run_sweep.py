@@ -45,7 +45,7 @@ GRIDS = {
     # docs/figures/zellner_logreg_f{0,10,20}_acc.png
     "logreg_bands": {
         "script": "zellner_logreg.py",
-        "grid": {"--alg": ["BCORES", "SVI", "RAND"],
+        "grid": {"--alg": ["BCORES", "SVI", "BPSVI", "RAND"],
                  "--dataset": ["phishing"],
                  "--f-rate": ["0.0", "0.1", "0.2"],
                  "--trial": ["1", "2", "3"]},
