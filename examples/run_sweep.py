@@ -134,6 +134,14 @@ def main():
             print(i, c)
         return
     todo = configs if args.index is None else [configs[args.index]]
+    env = dict(os.environ)
+    # persistent XLA compile cache across the sweep's subprocesses: grid
+    # points share almost every compiled program (same shapes, different
+    # data/flags), and through the TPU tunnel a cold compile costs minutes
+    # — measured round 5: run-1 build 132 s cold vs 7-13 s for every
+    # cached run after it. Respect an explicit user setting.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(HERE), ".cache", "jax_sweep_compile"))
     for i, cfg in enumerate(todo):
         cmd = [sys.executable, os.path.join(HERE, spec["script"]),
                "--results-dir", args.results_dir]
@@ -145,7 +153,7 @@ def main():
                 cmd.append(v)
         cmd += list(args.extra)
         print(f"[{i + 1}/{len(todo)}] {' '.join(cmd)}", flush=True)
-        r = subprocess.run(cmd)
+        r = subprocess.run(cmd, env=env)
         if r.returncode != 0:
             print(f"FAILED (rc={r.returncode}): {cfg}", file=sys.stderr)
 
