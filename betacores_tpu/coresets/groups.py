@@ -199,12 +199,15 @@ def make_group_incremental_builder(
             vn = jnp.sqrt(jnp.sum(gvecs * gvecs, axis=1))
             vn = jnp.where(vn > 0, vn, jnp.inf)
             corrs = (gvecs @ resid) / vn / S
-            cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
-            cn = jnp.where(cn > 0, cn, jnp.inf)
-            slot_ids = jnp.arange(st.wts.shape[0])
-            compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
-            corecorrs = jnp.where(compare_mask,
-                                  jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
+            if not config.dedup_select:
+                # corecorrs exist only for the parity take_new comparison;
+                # dedup mode never compares against selected groups
+                cn = jnp.sqrt(jnp.sum(corevecs * corevecs, axis=1))
+                cn = jnp.where(cn > 0, cn, jnp.inf)
+                slot_ids = jnp.arange(st.wts.shape[0])
+                compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
+                corecorrs = jnp.where(compare_mask,
+                                      jnp.abs(corevecs @ resid) / cn / S, -jnp.inf)
 
             # groups too large for the remaining static capacity are masked
             # OUT of the argmax (not merely rejected after winning): a

@@ -157,15 +157,20 @@ def merge_reduce_build(
         for r in range(R):
             batch = np.empty((n_lanes, chunk_size, D), dtype=dtype)
             ub = np.zeros((n_lanes, chunk_size), dtype=dtype)
-            # pad/tail rows carry row0 with zero weight: inert in the build
-            # but finite under any likelihood (all-zero rows need not be)
-            batch[:] = row0
             for j in range(n_lanes):
                 lo = (r * n_lanes + j) * chunk_size
                 hi = min(lo + chunk_size, N)
-                if lo < N:
-                    batch[j, : hi - lo] = dh[lo:hi]
-                    ub[j, : hi - lo] = 1.0
+                n_j = max(hi - lo, 0)
+                if n_j:
+                    batch[j, :n_j] = dh[lo:hi]
+                    ub[j, :n_j] = 1.0
+                if n_j < chunk_size:
+                    # pad/tail rows carry row0 with zero weight: inert in
+                    # the build but finite under any likelihood (all-zero
+                    # rows need not be). Fill ONLY the padding — a whole-
+                    # batch prefill would double the host writes of the
+                    # path whose point is minimizing host copies
+                    batch[j, n_j:] = row0
             sts = vbuild(jax.device_put(batch, sh_c),
                          jax.device_put(ub, sh_u),
                          jax.device_put(leaf_keys[r * n_lanes:(r + 1) * n_lanes], sh_k))

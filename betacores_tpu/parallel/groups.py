@@ -206,12 +206,16 @@ def make_sharded_group_builder(
         vn = jnp.sqrt(jax.lax.psum(jnp.sum(gvecs * gvecs, axis=1), SAMP_AXIS))
         vn = jnp.where(vn > 0, vn, jnp.inf)
         corrs = _dot_S(gvecs, resid) / vn / S
-        cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
-        cn = jnp.where(cn > 0, cn, jnp.inf)
-        slot_ids = jnp.arange(st.wts.shape[0])
-        compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
-        corecorrs = jnp.where(compare_mask,
-                              jnp.abs(_dot_S(corevecs, resid)) / cn / S, -jnp.inf)
+        if not config.dedup_select:
+            # corecorrs (and their SAMP_AXIS psum) exist only for the
+            # parity take_new comparison — never traced in dedup mode
+            # (matches incremental.py / sharded.py branch placement)
+            cn = jnp.sqrt(jax.lax.psum(jnp.sum(corevecs * corevecs, axis=1), SAMP_AXIS))
+            cn = jnp.where(cn > 0, cn, jnp.inf)
+            slot_ids = jnp.arange(st.wts.shape[0])
+            compare_mask = jnp.logical_and(st.slot_mask, slot_ids >= gst.initialized)
+            corecorrs = jnp.where(compare_mask,
+                                  jnp.abs(_dot_S(corevecs, resid)) / cn / S, -jnp.inf)
 
         # capacity-aware masking (see coresets/groups.py: a rejected
         # too-large winner would stall every later iteration)

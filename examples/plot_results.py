@@ -76,6 +76,7 @@ def main():
         ylabel, log_y = ("reverse KL" if metric == "rklw" else "forward KL"), True
     elif args.kind == "logreg":
         metric = args.metric or "accs"
+        loaded = []
         for path in _glob(os.path.join(args.results_dir, "results_*.pk")):
             # other experiment families share the prefix and (for plls) the
             # schema — mixing them in would silently average across
@@ -87,10 +88,31 @@ def main():
             with open(path, "rb") as f:
                 res = pickle.load(f)
             if isinstance(res, dict) and metric in res and isinstance(res.get(metric), dict):
-                ms = sorted(res[metric])
-                xs_list.append(np.asarray(ms))
-                xs = xs_list[-1]
-                curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
+                loaded.append(res)
+        # one band must never average over DIFFERENT hyperparameter configs
+        # (the round-5 sweep grids add i0/graddiag/f_rate axes whose pickles
+        # share a directory): keep only the modal (f_rate, i0, graddiag,
+        # beta, dedup) combo and say what was dropped. --filter still
+        # selects any slice explicitly.
+        def _cfg(res):
+            a = res.get("args", {})
+            return tuple((k, a.get(k)) for k in
+                         ("f_rate", "i0", "graddiag", "beta", "dedup_select"))
+        if loaded:
+            combos = [_cfg(r) for r in loaded]
+            modal = max(set(combos), key=combos.count)
+            dropped = sum(c != modal for c in combos)
+            if dropped:
+                print(f"WARNING: {dropped}/{len(loaded)} results files use a "
+                      f"different hyperparameter config than the modal "
+                      f"{dict(modal)}; dropped from the bands (use --filter "
+                      f"to slice another config)")
+            loaded = [r for r, c in zip(loaded, combos) if c == modal]
+        for res in loaded:
+            ms = sorted(res[metric])
+            xs_list.append(np.asarray(ms))
+            xs = xs_list[-1]
+            curves[res["args"]["alg"]].append(np.asarray([res[metric][m] for m in ms]))
         ylabel, log_y = ("accuracy" if metric == "accs" else "predictive LL"), False
     elif args.kind == "poisson":
         metric = args.metric or "plls"

@@ -65,7 +65,13 @@ def main():
     if args.mesh:
         if args.checkpoint:
             raise SystemExit("--mesh is incompatible with --checkpoint")
-        mesh_shape = tuple(int(t) for t in args.mesh.split("x"))
+        try:
+            mesh_shape = tuple(int(t) for t in args.mesh.split("x"))
+        except ValueError:
+            mesh_shape = ()
+        if len(mesh_shape) != 2 or min(mesh_shape) < 1:
+            raise SystemExit(f"--mesh must be DATAxSAMP (e.g. 8x1), got "
+                             f"{args.mesh!r}")
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (

@@ -293,9 +293,16 @@ def main():
                if n_fd < N else np.arange(N))
         w_fd = jnp.full((n_fd,), N / n_fd, dtype=jnp.float32)
         t1 = time.perf_counter()
+        # the baseline always runs the HMC runner, so it needs an HMCConfig
+        # even when --eval-sampler nuts set cfg to a NUTSConfig (round-5
+        # review: passing the NUTSConfig here crashed on cfg.L_max AFTER
+        # the whole per-size eval loop had completed)
+        fd_cfg = (cfg if isinstance(cfg, HMCConfig) else
+                  HMCConfig(n_samples=args.mcmc_samples,
+                            n_warmup=args.mcmc_warmup, L_max=32))
         chains, stats = hmc.run_chains_weighted_logreg(
             jax.random.key(args.trial * 100 + 999), Z[jnp.asarray(sub)], w_fd,
-            jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, cfg)
+            jnp.zeros(D, dtype=jnp.float32), args.mcmc_chains, fd_cfg)
         chains = jax.block_until_ready(chains)
         t_fd = time.perf_counter() - t1
         samples = chains.reshape(-1, D)
