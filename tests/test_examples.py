@@ -52,6 +52,11 @@ def test_zellner_logreg(tmp_path, monkeypatch):
     res = pickle.load(open(tmp_path / f, "rb"))
     accs = res["accs"]
     assert accs and all(np.isfinite(v) for v in accs.values())
+    # escalation provenance recorded for every evaluated size (round 5):
+    # which sampler produced the numbers, and whether it was a re-run
+    for m, dg in res["mcmc_diagnostics"].items():
+        assert dg["sampler_used"] in ("hmc", "nuts")
+        assert isinstance(dg["escalated"], bool)
 
 
 def test_zellner_neural_linear(tmp_path, monkeypatch):
