@@ -659,3 +659,27 @@ def test_mesh_streamed_rounds_match_plain(rng):
     np.testing.assert_array_equal(np.asarray(st_m.idcs), np.asarray(st_p.idcs))
     np.testing.assert_allclose(np.asarray(st_m.wts), np.asarray(st_p.wts),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_zero_weight_rows_never_selected_dedup(rng):
+    """dedup_select + weighted base data: the u-mask is applied BEFORE the
+    dedup candidate mask, so u==0 rows stay unselectable (dedup's
+    always-add rule must not override them) while the budget fills among
+    the real rows without duplicates."""
+    X, model, smp, _ = _gauss_problem(rng, N=50)
+    u = np.zeros(50)
+    live = [3, 17, 24, 31, 42]
+    u[live] = 1.0
+    cfg = IncrementalConfig(projection_dim=8, n_subsample_select=25,
+                            n_subsample_opt=8, opt_itrs=5, i0=0.5,
+                            use_beta=True, dedup_select=True)
+    b = make_incremental_builder(X, model, smp, cfg,
+                                 data_weights=jnp.asarray(u))
+    st = b.build(jax.random.key(0),
+                 init_state(8, 3, beta=0.4, dtype=jnp.float64), 6)
+    m = int(st.m)
+    sel = np.asarray(st.idcs)[:m].tolist()
+    assert set(sel).issubset(set(live)), sel
+    # distinct picks only; with 25-row subsamples over 50 rows, all 5 live
+    # rows are seen with overwhelming probability across 6 iterations
+    assert len(sel) == len(set(sel)) == 5
